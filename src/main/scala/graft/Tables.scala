@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provisioned parquet tables (see TESTDATA.md).
+  *
+  * Each table is a plain `spark.read.parquet` scan so Catalyst pushes
+  * filters (`PushedFilters`) and prunes columns (`ReadSchema`) into the
+  * parquet reader — the Spark-native analog of the reference's
+  * server-side JQL predicate + manual field projection
+  * (reference: etl.js:92-148, config.json:4).
+  *
+  * At 100 TB these would be partitioned/bucketed table locations; the
+  * API shape (a `DataFrame` per logical table, lazily scanned) is the
+  * same.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

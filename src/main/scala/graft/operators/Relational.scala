@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Scalars._
+
+/** Generic relational operators generalizing the reference's dataflow
+  * (SURVEY.md §2). Each is a reusable `DataFrame => DataFrame`-style
+  * combinator; the test-query catalog binds them to the fixture tables.
+  *
+  * Scale notes (100 TB): every combinator is a declarative plan —
+  * Catalyst chooses broadcast-hash for small dims, AQE handles skew;
+  * nothing here collects to the driver except the quality-gate's two
+  * scalar counts (one row each).
+  */
+object Relational {
+
+  /** Denormalizing view builder — the Spark-native equivalent of
+    * `v_feasibility` (reference: schema.sql:66-94, SURVEY.md §2.4
+    * J3–J6). The reference's CTE formulation scans the fact table four
+    * times; composing one left-join tree scans it once and lets
+    * Catalyst broadcast each dim.
+    */
+  def denormalize(fact: DataFrame, dims: Seq[(DataFrame, Column)]): DataFrame =
+    dims.foldLeft(fact) { case (acc, (dim, joinCond)) =>
+      acc.join(broadcast(dim), joinCond, "left")
+    }
+
+  /** Correlated child rollup — the reference's client-side correlated
+    * join of feasibilities to per-issue worklogs (etl.js:216-220,
+    * helpers.js:41-53; SURVEY.md §2.4 J1 + §2.5 A1/A2): aggregate the
+    * child table by the parent key, then left-join so parents without
+    * children keep a NULL rollup (SURVEY.md §2.10-2).
+    *
+    * The child aggregation is a partial+final hash agg (map-side
+    * combine), so the shuffle carries one row per key, not per child —
+    * the property that keeps this viable at 100 TB.
+    */
+  def childRollup(
+      parent: DataFrame,
+      child: DataFrame,
+      parentKey: String,
+      childKey: String,
+      aggs: Seq[Column]): DataFrame = {
+    val rolled = child.groupBy(col(childKey).as(parentKey)).agg(aggs.head, aggs.tail: _*)
+    parent.join(rolled, Seq(parentKey), "left")
+  }
+
+  /** Quality gate (reference: etl.js:249-278, SURVEY.md §2.6 Q1):
+    * remove parents whose supplemental data errored (left-anti join),
+    * compute `percentChangeAbs(oldCount, newCount)`
+    * (helpers.js:234-240), and abort the run when the loss exceeds the
+    * threshold. Returns the pruned frame; counts are the only
+    * driver-side values (two scalars).
+    */
+  def qualityGate(
+      parents: DataFrame,
+      erroredKeys: DataFrame,
+      key: String,
+      thresholdPct: Double): DataFrame = {
+    val pruned = parents.join(erroredKeys, Seq(key), "left_anti")
+    val oldCount = parents.count().toDouble
+    val newCount = pruned.count().toDouble
+    val change = math.abs((newCount - oldCount) / math.abs(oldCount)) * 100.0
+    require(
+      change < thresholdPct,
+      f"quality gate: $change%.2f%% of rows lost supplemental data (threshold $thresholdPct%%)")
+    pruned
+  }
+
+  /** Plan-only form of the quality gate's accounting, for the oracle
+    * harness: one row with (old_count, new_count, pct_change).
+    */
+  def qualityGateStats(parents: DataFrame, erroredKeys: DataFrame, key: String): DataFrame = {
+    val olds = parents.agg(count(lit(1)).as("old_count"))
+    val news = parents
+      .join(erroredKeys, Seq(key), "left_anti")
+      .agg(count(lit(1)).as("new_count"))
+    olds
+      .crossJoin(news)
+      .select(
+        col("old_count"),
+        col("new_count"),
+        percentChangeAbs(col("old_count").cast("double"), col("new_count").cast("double"))
+          .as("pct_change"))
+  }
+
+  /** Dimension get-or-create with dense surrogate ids — the Spark-native
+    * `get_project_id` / `get_user_id` (reference: schema.sql:105-134,
+    * SURVEY.md §2.8 G1/G2). New names = incoming anti-join existing;
+    * ids assigned deterministically as `row_number() over (order by
+    * name) + max(existing)`. Dim domains (users, projects) are tiny
+    * relative to the fact table, so the window over new keys is cheap
+    * even at 100 TB fact scale; the result is broadcast back for FK
+    * resolution.
+    */
+  def dimGetOrCreate(existing: DataFrame, incomingNames: DataFrame): DataFrame = {
+    // existing: (id: bigint, name: string); incomingNames: (name: string)
+    val maxId = existing
+      .agg(coalesce(max(col("id")), lit(0L)).as("max_id"))
+    val newNames = incomingNames
+      .select(col("name"))
+      .distinct()
+      .join(existing.select("name"), Seq("name"), "left_anti")
+    val newRows = newNames
+      .crossJoin(maxId)
+      .select(
+        (row_number().over(Window.orderBy(col("name"))).cast("long") + col("max_id")).as("id"),
+        col("name"))
+    existing.select(col("id"), col("name")).unionByName(newRows)
+  }
+
+  /** Trigger-equivalent denormalized write path (reference:
+    * schema.sql:141-173, SURVEY.md §2.8 G3/G4 and §3.2): resolve each
+    * name column to a surrogate id via the (get-or-created) dimension,
+    * producing the normalized fact rows. The engine owns both sides, so
+    * no INSTEAD-OF trigger is needed — this is the whole rewrite.
+    */
+  def resolveDimFk(
+      fact: DataFrame,
+      dim: DataFrame,
+      nameCol: String,
+      fkCol: String): DataFrame =
+    fact
+      .join(broadcast(dim.withColumnRenamed("name", nameCol)), Seq(nameCol), "left")
+      .withColumnRenamed("id", fkCol)
+}
