@@ -25,7 +25,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  /** The events table's `ts` is parquet TIMESTAMP(NANOS), which Spark
+    * only reads with `spark.sql.legacy.parquet.nanosAsLong=true` (as a
+    * long of epoch nanoseconds). Normalize either representation to an
+    * extra `ts_us` column (epoch microseconds, the precision Spark
+    * timestamps carry) so downstream operators are session-agnostic.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.LongType
+    val df = table(s, d, "events")
+    val tsUs = df.schema("ts").dataType match {
+      case LongType => (col("ts") / 1000L).cast("long")
+      case _        => unix_micros(col("ts"))
+    }
+    df.withColumn("ts_us", tsUs)
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
