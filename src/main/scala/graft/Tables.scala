@@ -32,11 +32,13 @@ object Tables {
     * timestamps carry) so downstream operators are session-agnostic.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
     import org.apache.spark.sql.types.LongType
     val df = table(s, d, "events")
     val tsUs = df.schema("ts").dataType match {
-      case LongType => (col("ts") / 1000L).cast("long")
+      // Integer division: epoch-ns (~1.7e18) exceeds double's 2^53 exact
+      // range, so `/ 1000.0` would be off by 1µs on some rows.
+      case LongType => expr("ts div 1000")
       case _        => unix_micros(col("ts"))
     }
     df.withColumn("ts_us", tsUs)

@@ -50,10 +50,13 @@ object Scalars {
   def sumCharge(price: Column, disc: Column, tax: Column): Column =
     sum(money(price) * factor(lit(1.0) - disc) * factor(lit(1.0) + tax)).cast("double")
 
-  /** JS-semantics double division: x/0 ⇒ ±Infinity, 0/0 ⇒ NaN — works
-    * under Spark 4's default ANSI mode (where a bare `/` by zero throws)
-    * and is session-config-independent. The division only evaluates in
-    * the nonzero branch, so no ANSI error is reachable.
+  /** JS-semantics double division for non-null inputs: x/0 ⇒ ±Infinity,
+    * 0/0 ⇒ NaN — works under Spark 4's default ANSI mode (where a bare
+    * `/` by zero throws) and is session-config-independent. The division
+    * only evaluates in the nonzero branch, so no ANSI error is reachable.
+    * A NULL numerator or denominator yields NULL (SQL semantics) — JS
+    * would coerce null to 0; callers needing that coerce with `coalesce`
+    * before calling.
     */
   def jsDiv(n: Column, d: Column): Column =
     when(

@@ -96,11 +96,15 @@ object Relational {
     * resolution.
     */
   def dimGetOrCreate(existing: DataFrame, incomingNames: DataFrame): DataFrame = {
-    // existing: (id: bigint, name: string); incomingNames: (name: string)
+    // existing: (id: bigint, name: string); incomingNames: (name: string).
+    // NULL names are dropped: a NULL never equi-matches the anti-join, so
+    // without the filter it would be "new" on every call and the
+    // get-or-create idempotence contract would break for NULL keys.
     val maxId = existing
       .agg(coalesce(max(col("id")), lit(0L)).as("max_id"))
     val newNames = incomingNames
       .select(col("name"))
+      .filter(col("name").isNotNull)
       .distinct()
       .join(existing.select("name"), Seq("name"), "left_anti")
     val newRows = newNames
@@ -122,7 +126,11 @@ object Relational {
       dim: DataFrame,
       nameCol: String,
       fkCol: String): DataFrame =
-    fact
-      .join(broadcast(dim.withColumnRenamed("name", nameCol)), Seq(nameCol), "left")
-      .withColumnRenamed("id", fkCol)
+    // Project the dim to exactly (nameCol, fkCol) before joining: extra dim
+    // columns must not leak into the fact output, and renaming after the
+    // join would collide with any pre-existing `id` column on the fact.
+    fact.join(
+      broadcast(dim.select(col("name").as(nameCol), col("id").as(fkCol))),
+      Seq(nameCol),
+      "left")
 }

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.Hashing._
+
+/** Similarity search over embedding columns (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and SRP-LSH (signed
+  * random projections) bucketing as the approximate scale path.
+  *
+  * Numeric contract: dot products and norms accumulate in
+  * DECIMAL(28,10) (each float→double product rounded once to decimal),
+  * so results are exact, order-independent, and bit-identical to the
+  * DuckDB oracle — and identical across partitionings, which is what
+  * makes a distributed similarity run reproducible. The final cosine is
+  * a double ratio of those exact values (IEEE-deterministic).
+  */
+object Similarity {
+
+  private val decT = DecimalType(28, 10)
+  private def dec(c: Column): Column = c.cast(decT)
+
+  /** Exact squared L2 norm of a float-array column (decimal fold). */
+  def sqNorm(emb: Column): Column =
+    aggregate(
+      emb,
+      lit(0).cast(decT),
+      (acc, x) => dec(acc + dec(x.cast("double") * x.cast("double"))))
+      .cast("double")
+
+  /** Exact dot product of two float-array columns via zip_with + fold —
+    * stays inside whole-stage codegen, no explode, no shuffle.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => dec(x.cast("double") * y.cast("double"))),
+      lit(0).cast(decT),
+      (acc, x) => dec(acc + x))
+      .cast("double")
+
+  /** Cosine from a precomputed exact dot and squared norms. */
+  def cosine(dotV: Column, sqA: Column, sqB: Column): Column =
+    dotV / (sqrt(sqA) * sqrt(sqB))
+
+  /** Adds an exact `sq_norm` column. Compute once, reuse across joins —
+    * at scale the norms table is the small broadcast side.
+    */
+  def withSqNorm(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("sq_norm", sqNorm(col(embCol)))
+
+  /** Brute-force cosine top-k: every query row scored against every
+    * corpus row. Exact but O(|Q|·|C|) — the baseline ANN variants are
+    * measured against. Queries are expected to be the small broadcast
+    * side; the corpus streams. Ranking ties break on neighbor id so the
+    * result is total-ordered.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    val q = withSqNorm(queries, embCol)
+      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"), col("sq_norm").as("q_sq"))
+    val c = withSqNorm(corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"), col("sq_norm").as("c_sq"))
+    val scored = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosine(dot(col("q_emb"), col("c_emb")), col("q_sq"), col("c_sq")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** All pairs with cosine ≥ threshold (embedding near-duplicate
+    * detection). Direct pair join — callers bound the input; the
+    * LSH-bucketed path below is the unbounded-scale variant.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, embCol: String, threshold: Double): DataFrame = {
+    val n = withSqNorm(df, embCol)
+      .select(col(idCol), col(embCol), col("sq_norm"))
+    val a = n.select(col(idCol).as("vec_a"), col(embCol).as("emb_a"), col("sq_norm").as("sq_a"))
+    val b = n.select(col(idCol).as("vec_b"), col(embCol).as("emb_b"), col("sq_norm").as("sq_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(
+        col("vec_a"),
+        col("vec_b"),
+        cosine(dot(col("emb_a"), col("emb_b")), col("sq_a"), col("sq_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** SRP-LSH signature: `bits` signed-random-projection bits per
+    * vector. Hyperplane (j, i) weight is ±1 by the parity of
+    * h60("srp j _ i") — deterministic, reproducible in SQL, no stored
+    * projection matrix. Bit j is 1 iff Σᵢ wⱼᵢ·eᵢ > 0, with the sum
+    * accumulated in decimal so the sign never flips between engines or
+    * partitionings. Vectors in the same bucket are ANN candidates:
+    * bucket count 2^bits partitions the corpus, turning ANN search into
+    * an equi-join — the shape that scales out.
+    */
+  def srpSignature(df: DataFrame, idCol: String, embCol: String, bits: Int): DataFrame =
+    df.select(col(idCol), posexplode(col(embCol)).as(Seq("pos", "e")))
+      .select(col(idCol), col("pos"), col("e"), explode(sequence(lit(0), lit(bits - 1))).as("j"))
+      .select(
+        col(idCol),
+        col("j"),
+        when(h60(concat_ws("_", lit("srp"), col("j"), col("pos"))) % 2 === 0, dec(col("e").cast("double")))
+          .otherwise(dec(-col("e").cast("double")))
+          .as("w"))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("w")).as("s"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
+          .as("bucket"))
+
+  /** Bucketed ANN: top-k by exact cosine among same-bucket candidates.
+    * Recall is tunable via `bits` (fewer bits → bigger buckets → higher
+    * recall, more compute). Queries with empty buckets return fewer
+    * than k rows — the caller decides whether to fall back to brute
+    * force (multi-probe is the usual production extension).
+    */
+  def srpAnnTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      bits: Int,
+      k: Int): DataFrame = {
+    val buckets = srpSignature(corpus, idCol, embCol, bits)
+    val n = withSqNorm(corpus, embCol).join(buckets, idCol)
+    val q = n
+      .join(queries.select(col(idCol)), idCol)
+      .select(
+        col(idCol).as("query_id"),
+        col(embCol).as("q_emb"),
+        col("sq_norm").as("q_sq"),
+        col("bucket"))
+    val c = n.select(
+      col(idCol).as("neighbor_id"),
+      col(embCol).as("c_emb"),
+      col("sq_norm").as("c_sq"),
+      col("bucket"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q)
+      .join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosine(dot(col("q_emb"), col("c_emb")), col("q_sq"), col("c_sq")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+}

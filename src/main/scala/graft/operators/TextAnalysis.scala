@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (marker-word + CJK heuristic), quality scoring, token counting, and
+  * normalization. All pure per-row `Column` expressions — codegen'd,
+  * shuffle-free, and embarrassingly parallel at any scale.
+  *
+  * Regexes are restricted to the POSIX-ish subset that Java regex
+  * (Spark) and RE2 (DuckDB oracle) evaluate identically.
+  */
+object TextAnalysis {
+
+  /** Marker vocabularies per language. Tiny on purpose: real language
+    * ID would load larger profiles; the operator shape (count marker
+    * hits per candidate language, argmax) is the same.
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"))
+
+  /** Number of whitespace tokens that belong to `vocab`. */
+  def markerHits(text: Column, vocab: Seq[String]): Column =
+    size(filter(split(text, " "), t => t.isin(vocab.map(_.asInstanceOf[Any]): _*)))
+      .cast("long")
+
+  /** Count of CJK codepoints — the zh signal. */
+  def cjkCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast("long")
+
+  /** Predicted language: zh if any CJK, else the marker-argmax with a
+    * fixed de > en > es > fr tie preference (deterministic CASE chain —
+    * identical in the SQL oracle).
+    */
+  def predictLang(cjk: Column, de: Column, en: Column, es: Column, fr: Column): Column =
+    when(cjk > 0, lit("zh"))
+      .when(de >= en && de >= es && de >= fr, lit("de"))
+      .when(en >= es && en >= fr, lit("en"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+
+  /** Whitespace token count (split on single space — empty tokens from
+    * runs of spaces count, matching DuckDB's string_split).
+    */
+  def wsTokenCount(text: Column): Column = size(split(text, " ")).cast("long")
+
+  /** BPE-ish token count: alpha runs, digit runs, and single non-space
+    * symbols each count as one token — the usual cheap proxy for
+    * subword-tokenizer budgets.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long")
+
+  /** Lowercase-alpha character count. */
+  def alphaCount(text: Column): Column =
+    length(regexp_replace(text, "[^a-z]", "")).cast("long")
+
+  /** Composite quality score in [0,1]:
+    * 0.4·alpha_ratio + 0.3·min(1, tokens/100) + 0.3·(1 − stop_ratio).
+    * Arithmetic is written identically in the oracle SQL, so the double
+    * result is bit-equal.
+    */
+  def qualityScore(alphaRatio: Column, nTokens: Column, stopRatio: Column): Column =
+    lit(0.4) * alphaRatio +
+      lit(0.3) * least(lit(1.0), nTokens.cast("double") / lit(100.0)) +
+      lit(0.3) * (lit(1.0) - stopRatio)
+
+  /** Whitespace normalization: lowercase + collapse runs of whitespace
+    * (the canonical form fingerprints and exact dedup hash over).
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+}

@@ -243,7 +243,7 @@ object AnalyticQueries {
 
   val q17Sql: String =
     """SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS dim,
-      | CAST(SUM(CAST(e AS DECIMAL(28,10))) AS DOUBLE) AS elem_sum,
+      | CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS elem_sum,
       | CAST(SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS sq_norm
       |FROM (SELECT vec_id, embedding, UNNEST(embedding) AS e FROM embeddings WHERE vec_id < 50)
       |GROUP BY vec_id, embedding

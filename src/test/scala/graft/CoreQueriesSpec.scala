@@ -51,4 +51,29 @@ class CoreQueriesSpec extends AnyFunSuite {
     val again = Relational.dimGetOrCreate(dimDf, incoming)
     assert(again.count() == 4)
   }
+
+  test("dimGetOrCreate: NULL names are dropped, not re-created each call") {
+    import spark.implicits._
+    val existing = Seq((1L, "alpha")).toDF("id", "name")
+    val incoming = Seq(Some("beta"), None, None).toDF("name")
+    val dim = Relational.dimGetOrCreate(existing, incoming)
+    assert(dim.count() == 2)
+    assert(dim.filter(col("name").isNull).count() == 0)
+    // idempotent under NULLs: a second pass adds nothing
+    val again = Relational.dimGetOrCreate(dim, incoming)
+    assert(again.count() == 2)
+  }
+
+  test("resolveDimFk: only the fk column joins in; pre-existing id survives") {
+    import spark.implicits._
+    val fact = Seq((10L, "alpha", 1L), (11L, "gamma", 2L)).toDF("id", "proj", "x")
+    val dim = Seq((1L, "alpha", "extra-a"), (2L, "beta", "extra-b"))
+      .toDF("id", "name", "junk")
+    val out = Relational.resolveDimFk(fact, dim, "proj", "fk_project")
+    assert(out.columns.sorted.toSeq == Seq("fk_project", "id", "proj", "x"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getLong(rows(0).fieldIndex("id")) == 10L)
+    assert(rows(0).getLong(rows(0).fieldIndex("fk_project")) == 1L)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("fk_project"))) // unmatched name
+  }
 }
