@@ -37,4 +37,32 @@ object Hashing {
     */
   def h60Salted(c: Column, j: Int): Column =
     h60(concat(c, lit("#" + j)))
+
+  /** 32-bit base hash (first 8 hex digits of md5). Cheap affine family
+    * members derive from ONE md5 per value — the k-independent-hashes
+    * trick that makes MinHash O(md5) instead of O(k·md5).
+    * DuckDB twin: `CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)`.
+    */
+  def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Largest 32-bit prime — modulus of the affine MinHash family. */
+  val AffineP: Long = 4294967291L
+
+  /** Affine family member j over a precomputed h32:
+    * `(a_j·h + b_j) mod P` with a_j = 2j+3, b_j = 5j+7. Products stay
+    * under 2^36 — no 64-bit overflow, identical in DuckDB BIGINT math.
+    */
+  def affine(h: Column, j: Int): Column =
+    (h * lit(2L * j + 3) + lit(5L * j + 7)) % lit(AffineP)
+
+  /** Driver-side replica of [[h60]] over a literal string — for
+    * deterministic constants (e.g. SRP hyperplane weights) computed
+    * once at plan-build time instead of per row.
+    */
+  def h60Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
 }

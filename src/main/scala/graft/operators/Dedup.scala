@@ -61,17 +61,26 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
   /** MinHash signature: adds columns mh0..mh{k-1}, where
-    * `mh_j = min over shingles s of h60(s + "#j")`. Pure per-row array
-    * math — no shuffle, no UDF. `df` must already carry the shingle
-    * array under `shinglesCol` (kept in the output for downstream
-    * exact-Jaccard verification).
+    * `mh_j = min over shingles s of (a_j·h32(s) + b_j) mod P`. Each
+    * shingle is md5-hashed ONCE; the k family members are cheap affine
+    * transforms of that base hash (k× fewer md5 evaluations — the
+    * dominant cost at scale). Pure per-row array math — no shuffle, no
+    * UDF. `df` must already carry the shingle array under
+    * `shinglesCol` (kept in the output for downstream exact-Jaccard
+    * verification). The base-hash projection is a separate select so
+    * Catalyst's CollapseProject (which never duplicates non-cheap
+    * aliases) keeps the md5 pass single.
     */
   def minHashSignature(df: DataFrame, idCol: String, shinglesCol: String, k: Int): DataFrame =
     df.select(
-      col(idCol) +:
-        col(shinglesCol) +:
-        (0 until k).map(j =>
-          array_min(transform(col(shinglesCol), t => h60Salted(t, j))).as(s"mh$j")): _*)
+      col(idCol),
+      col(shinglesCol),
+      transform(col(shinglesCol), t => h32(t)).as("__hs"))
+      .select(
+        col(idCol) +:
+          col(shinglesCol) +:
+          (0 until k).map(j =>
+            array_min(transform(col("__hs"), h => affine(h, j))).as(s"mh$j")): _*)
 
   /** LSH banding: split the k-row signature into `nBands` bands of
     * k/nBands rows, hash each band, and emit candidate pairs that agree

@@ -98,28 +98,31 @@ object Similarity {
 
   /** SRP-LSH signature: `bits` signed-random-projection bits per
     * vector. Hyperplane (j, i) weight is ±1 by the parity of
-    * h60("srp j _ i") — deterministic, reproducible in SQL, no stored
-    * projection matrix. Bit j is 1 iff Σᵢ wⱼᵢ·eᵢ > 0, with the sum
-    * accumulated in decimal so the sign never flips between engines or
-    * partitionings. Vectors in the same bucket are ANN candidates:
-    * bucket count 2^bits partitions the corpus, turning ANN search into
-    * an equi-join — the shape that scales out.
+    * h60("srp_j_i") — deterministic, reproducible in SQL, no stored
+    * projection matrix. The weight matrix is tiny (bits × dim), so it
+    * is computed once at plan-build time and embedded as literals; per
+    * row the signature is `bits` zip_with folds — no explode, no
+    * shuffle, fully codegen'd. Bit j is 1 iff Σᵢ wⱼᵢ·eᵢ > 0, with the
+    * sum accumulated in decimal so the sign never flips between
+    * engines or partitionings. Vectors in the same bucket are ANN
+    * candidates: 2^bits buckets partition the corpus, turning ANN
+    * search into an equi-join — the shape that scales out.
     */
-  def srpSignature(df: DataFrame, idCol: String, embCol: String, bits: Int): DataFrame =
-    df.select(col(idCol), posexplode(col(embCol)).as(Seq("pos", "e")))
-      .select(col(idCol), col("pos"), col("e"), explode(sequence(lit(0), lit(bits - 1))).as("j"))
-      .select(
-        col(idCol),
-        col("j"),
-        when(h60(concat_ws("_", lit("srp"), col("j"), col("pos"))) % 2 === 0, dec(col("e").cast("double")))
-          .otherwise(dec(-col("e").cast("double")))
-          .as("w"))
-      .groupBy(col(idCol), col("j"))
-      .agg(sum(col("w")).as("s"))
-      .groupBy(col(idCol))
-      .agg(
-        sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
-          .as("bucket"))
+  def srpSignature(df: DataFrame, idCol: String, embCol: String, bits: Int, dim: Int): DataFrame = {
+    val bucket = (0 until bits)
+      .map { j =>
+        val w = typedLit((0 until dim).map { p =>
+          if (h60Local(s"srp_${j}_$p") % 2 == 0) 1.0 else -1.0
+        })
+        val s = aggregate(
+          zip_with(col(embCol), w, (x, wv) => dec(x.cast("double") * wv)),
+          lit(0).cast(decT),
+          (acc, x) => dec(acc + x))
+        when(s > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+    df.select(col(idCol), bucket.as("bucket"))
+  }
 
   /** Bucketed ANN: top-k by exact cosine among same-bucket candidates.
     * Recall is tunable via `bits` (fewer bits → bigger buckets → higher
@@ -133,8 +136,9 @@ object Similarity {
       idCol: String,
       embCol: String,
       bits: Int,
+      dim: Int,
       k: Int): DataFrame = {
-    val buckets = srpSignature(corpus, idCol, embCol, bits)
+    val buckets = srpSignature(corpus, idCol, embCol, bits, dim)
     val n = withSqNorm(corpus, embCol).join(buckets, idCol)
     val q = n
       .join(queries.select(col(idCol)), idCol)

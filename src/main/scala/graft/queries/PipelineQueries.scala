@@ -75,7 +75,7 @@ object PipelineQueries {
   val q20Sql: String = {
     val mhDefs = (0 until MinHashK)
       .map(j =>
-        s" list_min(list_transform(sh, t -> CAST('0x'||substr(md5(t||'#$j'),1,15) AS BIGINT))) AS mh$j")
+        s" list_min(list_transform(hs, h -> (h * ${2L * j + 3} + ${5L * j + 7}) % ${graft.functions.Hashing.AffineP})) AS mh$j")
       .mkString(",\n")
     val rpb = MinHashK / MinHashBands
     val bandCase = "CASE band " + (0 until MinHashBands)
@@ -89,9 +89,10 @@ object PipelineQueries {
       .mkString(" + ")
     s"""WITH d AS (SELECT doc_id, list_distinct([substr(lower(text), i, 5) for i in range(1, len(text)-3)]) AS sh
        |           FROM documents WHERE doc_id < 1000),
+       |dh AS (SELECT doc_id, sh, list_transform(sh, t -> CAST('0x'||substr(md5(t),1,8) AS BIGINT)) AS hs FROM d),
        |s AS (SELECT doc_id, sh,
        |$mhDefs
-       | FROM d),
+       | FROM dh),
        |b AS (SELECT doc_id, band, $bandCase AS bv
        |      FROM s CROSS JOIN (SELECT unnest(range($MinHashBands)) AS band)),
        |p AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
@@ -220,7 +221,7 @@ object PipelineQueries {
   val q25AnnLsh: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     Similarity
-      .srpAnnTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 8, 3)
+      .srpAnnTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 8, 64, 3)
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.Scalars.dec4
+
+/** Structured Streaming surface of the engine — the streaming twins of
+  * the batch event queries (q15 tumbling windows, q16 sessionization).
+  *
+  * The reference is a single-shot batch script (SURVEY.md §2.11:
+  * streaming absent), so this is green-field, built the Spark way:
+  * `readStream` → declarative transforms → `writeStream`, with
+  * watermarks bounding state. Every transform here takes a DataFrame/
+  * Dataset and works identically on a batch frame (tested for parity
+  * with q15/q16) and a streaming one — the "write once, run either
+  * mode" property Structured Streaming is designed around.
+  *
+  * Scale notes: state for windowed aggregation is (window × event_type)
+  * — tiny. Sessionization state is one struct per active user, hash-
+  * partitioned by user_id across executors; the watermark evicts idle
+  * users, so state is bounded by the active-user set, not history.
+  */
+object EventStreams {
+
+  /** File-source stream over the events table layout (a directory of
+    * parquet files becomes an unbounded source as files land).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+  }
+
+  /** Tumbling event-time window counts + exact decimal sums per event
+    * type (streaming twin of q15). Late rows beyond `watermarkDelay`
+    * are dropped; in append mode a window emits exactly once, when the
+    * watermark passes its end.
+    */
+  def tumblingAgg(events: DataFrame, windowDur: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec4(col("value"))).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n"),
+        col("sum_value"))
+
+  /** One event on the session timeline (µs event time — the precision
+    * contract shared with the batch path, Tables.events/ts_us).
+    */
+  case class Ev(userId: Long, eventId: Long, tsUs: Long)
+
+  /** A closed session: closed either by a later event arriving past the
+    * gap, or by event-time timeout (watermark passed last event + gap).
+    */
+  case class Session(
+      userId: Long,
+      sessionId: Long,
+      startUs: Long,
+      endUs: Long,
+      nEvents: Long)
+
+  /** Internal per-user sessionizer state (public: the state encoder's
+    * generated serializer must reach the field accessors).
+    */
+  case class SessState(
+      sessionId: Long,
+      startUs: Long,
+      lastUs: Long,
+      nEvents: Long)
+
+  /** Stateful sessionizer (streaming twin of q16): a gap of more than
+    * `gapUs` between consecutive events of a user starts a new session.
+    * Arbitrary state via `flatMapGroupsWithState` — the engine hash-
+    * partitions by user, each executor owns its users' state, and the
+    * event-time timeout flushes sessions the watermark has passed, so
+    * the operator emits every session exactly once in append mode.
+    *
+    * Events inside one trigger are sorted by (tsUs, eventId) before
+    * merging — iterator order within a micro-batch is not guaranteed.
+    * The same function sessionizes a batch Dataset (no timeout path;
+    * still-open sessions simply stay unemitted), which is how the spec
+    * checks parity with the batch q16 semantics.
+    */
+  def sessionize(
+      events: Dataset[Ev],
+      gapUs: Long,
+      watermarkDelay: String = "10 minutes",
+      flushOpen: Boolean = false): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+
+    def handle(
+        userId: Long,
+        batch: Iterator[Ev],
+        state: GroupState[SessState]): Iterator[Session] = {
+      var closed = List.empty[Session]
+      if (state.hasTimedOut) {
+        // Timeout invocations carry no data: the watermark passed
+        // lastUs + gap, so the open session is definitively closed.
+        val s = state.get
+        closed ::= Session(userId, s.sessionId, s.startUs, s.lastUs, s.nEvents)
+        state.remove()
+      } else {
+        val evs = batch.toArray.sortBy(e => (e.tsUs, e.eventId))
+        var cur = state.getOption
+        evs.foreach { e =>
+          cur match {
+            case Some(s) if e.tsUs - s.lastUs <= gapUs =>
+              cur = Some(s.copy(lastUs = e.tsUs, nEvents = s.nEvents + 1))
+            case Some(s) =>
+              closed ::= Session(userId, s.sessionId, s.startUs, s.lastUs, s.nEvents)
+              cur = Some(SessState(s.sessionId + 1, e.tsUs, e.tsUs, 1))
+            case None =>
+              cur = Some(SessState(1, e.tsUs, e.tsUs, 1))
+          }
+        }
+        cur.foreach { s =>
+          if (flushOpen) {
+            closed ::= Session(userId, s.sessionId, s.startUs, s.lastUs, s.nEvents)
+            state.remove()
+          } else {
+            state.update(s)
+            if (streaming) state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L)
+          }
+        }
+      }
+      closed.reverseIterator
+    }
+
+    if (streaming)
+      events
+        .withColumn("eventTime", timestamp_micros(col("tsUs")))
+        .withWatermark("eventTime", watermarkDelay)
+        .as[Ev]
+        .groupByKey(_.userId)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(handle)
+    else
+      events
+        .groupByKey(_.userId)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(handle)
+  }
+}

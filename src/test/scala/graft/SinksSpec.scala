@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sinks
+import graft.sources.Sinks.DimSpec
+
+/** The trigger-equivalent denormalized write path (reference:
+  * schema.sql:141-173): dimension growth, shared-dim resolution
+  * (reviewer and reporter through one user dim), NULL-id guard, and
+  * idempotence — the whole INSTEAD-OF-INSERT rewrite as one batch API.
+  */
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def emptyDim = {
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("id", "name")
+  }
+
+  private val specs = Seq(
+    DimSpec("reviewer_name", "fk_reviewer", "jira_user"),
+    DimSpec("reporter_name", "fk_reporter", "jira_user"),
+    DimSpec("project_name", "fk_project", "project"))
+
+  test("normalize: dims grow with dense ids; shared dim resolves both name columns") {
+    import spark.implicits._
+    val incoming = Seq(
+      ("K-1", "alice", "bob", "projA"),
+      ("K-2", "bob", "carol", "projB"),
+      ("K-3", "alice", "alice", "projA"))
+      .toDF("key", "reviewer_name", "reporter_name", "project_name")
+    val (dims, fact) = Sinks.normalize(
+      incoming,
+      Map("jira_user" -> emptyDim, "project" -> emptyDim),
+      specs)
+    val users = dims("jira_user").collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(users == Map("alice" -> 1L, "bob" -> 2L, "carol" -> 3L))
+    assert(dims("project").count() == 2)
+    assert(fact.columns.toSet == Set("key", "fk_reviewer", "fk_reporter", "fk_project"))
+    val k3 = fact.filter(col("key") === "K-3").collect()(0)
+    assert(k3.getLong(k3.fieldIndex("fk_reviewer")) == users("alice"))
+    assert(k3.getLong(k3.fieldIndex("fk_reporter")) == users("alice"))
+  }
+
+  test("normalize: idempotent — re-running the same batch grows nothing") {
+    import spark.implicits._
+    val incoming = Seq(("K-1", "alice", "bob", "projA"))
+      .toDF("key", "reviewer_name", "reporter_name", "project_name")
+    val (dims1, _) = Sinks.normalize(
+      incoming,
+      Map("jira_user" -> emptyDim, "project" -> emptyDim),
+      specs)
+    val (dims2, fact2) = Sinks.normalize(incoming, dims1, specs)
+    assert(dims2("jira_user").count() == dims1("jira_user").count())
+    assert(dims2("project").count() == dims1("project").count())
+    assert(Sinks.requireResolved(fact2, specs).count() == 1)
+  }
+
+  test("requireResolved: NULL-id guard trips on unresolvable rows (schema.sql:151-152)") {
+    import spark.implicits._
+    val incoming = Seq(("K-1", "alice", null, "projA"))
+      .toDF("key", "reviewer_name", "reporter_name", "project_name")
+    // NULL reporter: dimGetOrCreate drops NULL names, so the fk stays null
+    val (_, fact) = Sinks.normalize(
+      incoming,
+      Map("jira_user" -> emptyDim, "project" -> emptyDim),
+      specs)
+    intercept[IllegalArgumentException] {
+      Sinks.requireResolved(fact, specs)
+    }
+  }
+
+  test("writeParquet round-trip with partition pruning layout") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)).toDF("id", "part", "v")
+    val out = java.nio.file.Files.createTempDirectory("sink").toString
+    Sinks.writeParquet(df, out, Seq("part"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3)
+    // partition layout on disk → directory-level pruning
+    assert(new java.io.File(out).listFiles().map(_.getName).count(_.startsWith("part=")) == 2)
+    assert(back.filter(col("part") === "a").count() == 2)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Ev, Session}
+
+/** Streaming semantics: append-mode watermarked windows and stateful
+  * sessionization, driven through MemoryStream micro-batches; plus
+  * batch parity of the sessionizer against the q16 window formulation.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  // Minutes on a fixed event-time axis, in µs.
+  private def minUs(m: Long): Long = 1700000000000000L + m * 60000000L
+
+  test("tumblingAgg: window emits exactly once, after the watermark passes it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventStreams.tumblingAgg(
+      in.toDF.toDF("ts", "event_type", "value"),
+      "1 hour",
+      "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumbling").outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2026-01-01 10:05:00"), "a", 1.5),
+        (ts("2026-01-01 10:20:00"), "a", 2.5),
+        (ts("2026-01-01 10:30:00"), "b", 1.0))
+      q.processAllAvailable()
+      // 10:00 window still open (watermark 10:20)
+      assert(spark.table("tumbling").count() == 0)
+      in.addData((ts("2026-01-01 12:00:00"), "a", 9.0))
+      q.processAllAvailable()
+      val closed = spark
+        .table("tumbling")
+        .select("event_type", "n", "sum_value")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(closed == Set(("a", 2L, 4.0), ("b", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize (streaming): gap closes a session; watermark timeout flushes the last one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val sessions = EventStreams.sessionize(in.toDS(), gapUs = 30L * 60L * 1000000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: events at t=0,10 then t=60 → 50-min gap closes session 1
+      in.addData(Ev(1, 1, minUs(0)), Ev(1, 2, minUs(10)), Ev(1, 3, minUs(60)))
+      q.processAllAvailable()
+      // advance watermark far past user 1's open session (+gap)
+      in.addData(Ev(2, 4, minUs(300)))
+      q.processAllAvailable()
+      in.addData(Ev(2, 5, minUs(305)))
+      q.processAllAvailable()
+      val out = spark
+        .table("sessions")
+        .as[Session]
+        .collect()
+        .filter(_.userId == 1)
+        .sortBy(_.sessionId)
+      assert(out.length == 2)
+      assert(out(0) == Session(1, 1, minUs(0), minUs(10), 2))
+      assert(out(1) == Session(1, 2, minUs(60), minUs(60), 1))
+    } finally q.stop()
+  }
+
+  test("sessionize (batch, flushOpen): parity with the q16 window formulation") {
+    import spark.implicits._
+    val gapUs = 30L * 60L * 1000000L
+    val ev = Tables
+      .events(spark, sf)
+      .select(
+        col("user_id").as("userId"),
+        col("event_id").as("eventId"),
+        col("ts_us").as("tsUs"))
+      .as[Ev]
+    val fromState = EventStreams
+      .sessionize(ev, gapUs, flushOpen = true)
+      .groupBy(col("userId").as("user_id"))
+      .agg(sum(col("nEvents")).as("n_events"), max(col("sessionId")).as("n_sessions"))
+    val fromWindows = SparkEntry
+      .queries("q16_sessionize")(spark, sf)
+      .select("user_id", "n_events", "n_sessions")
+    assert(fromState.except(fromWindows).count() == 0)
+    assert(fromWindows.except(fromState).count() == 0)
+  }
+}
