@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: dot product of two `array<float>`
+  * columns, accumulated in double.
+  *
+  * Why an Expression and not `zip_with` + `aggregate`: higher-order
+  * functions evaluate their lambdas interpreted, one function call per
+  * element, outside whole-stage codegen. This expression emits a tight
+  * primitive loop over the unsafe array data (`getFloat(i)` reads
+  * straight from Tungsten memory), so a 100 TB similarity scan scores
+  * vectors at memory bandwidth instead of interpreter speed —
+  * the engine's example of the "custom Expression beats UDF beats
+  * driver loop" preference order (SURVEY.md §7.3).
+  *
+  * Trailing elements of the longer array are ignored (min-length
+  * semantics); null elements contribute 0. This is the FAST path —
+  * sequential double accumulation, so results are deterministic for a
+  * given element order but not exactly equal to the DECIMAL-exact
+  * [[graft.operators.Similarity.dot]], which remains the oracle-gated
+  * path.
+  */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_dot requires (array<float>, array<float>), got ($l, $r)")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Registration for the engine's native expressions. */
+object GraftFunctions {
+
+  /** Register `graft_dot` in the session's function registry so SQL and
+    * `call_function("graft_dot", ...)` resolve it. Idempotent.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => DotProductFloat(exprs.head, exprs(1)),
+      "built-in")
+}
+
+/** `spark.sql.extensions`-style injection (the installation path for a
+  * cluster where sessions are built by the platform, not the app):
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProductFloat].getCanonicalName, "graft_dot"),
+        (exprs: Seq[Expression]) => DotProductFloat(exprs.head, exprs(1))))
+}

@@ -79,6 +79,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Fast twin of [[bruteForceTopK]] on the codegen'd native
+    * [[graft.functions.DotProductFloat]] expression (register with
+    * `GraftFunctions.register(spark)` first). Sequential double
+    * accumulation — deterministic but not decimal-exact, so it is the
+    * throughput path, not the oracle path.
+    */
+  def bruteForceTopKFast(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    def sq(c: Column): Column = call_function("graft_dot", c, c)
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"), sq(col(embCol)).as("q_sq"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"), sq(col(embCol)).as("c_sq"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (call_function("graft_dot", col("q_emb"), col("c_emb")) / (sqrt(col("q_sq")) * sqrt(col("c_sq"))))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-duplicate
     * detection). Direct pair join — callers bound the input; the
     * LSH-bucketed path below is the unbounded-scale variant.

@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Schema-pinned sources. The reference's only scans are an HTTP JSON
+  * API and Postgres (SURVEY.md §2.1, §2.11 — no file formats); the
+  * engine's sources cover the file formats a data platform actually
+  * feeds Spark with, all with explicit schemas:
+  *
+  *  - inference is a full extra pass over the data at 100 TB;
+  *  - inferred types drift between drops (an all-null day turns a
+  *    double column into string) — a pinned `StructType` fails fast
+  *    instead;
+  *  - with the schema known, Catalyst prunes columns and pushes
+  *    predicates into the reader (`ReadSchema` / `PushedFilters` in
+  *    `.explain`), which inference-era plans only get after the fact.
+  */
+object Sources {
+
+  /** Columnar scan — the default. Parquet carries its own schema;
+    * passing one anyway asserts the contract (and lets the reader
+    * prune to it).
+    */
+  def parquet(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.foreach(r.schema)
+    r.parquet(path)
+  }
+
+  /** CSV with mandatory schema: header-based inference is both slow
+    * (extra pass) and fragile. `mode=FAILFAST` surfaces bad rows at
+    * read time instead of silently nulling them.
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType, header: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header)
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** JSON-lines with mandatory schema — the production form of the
+    * JIRA-payload ingestion (`spark.read.json` inference is for
+    * exploration; SURVEY.md §1.3 pins a StructType for determinism).
+    */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  /** Partitioned JDBC scan — the read twin of [[Sinks.writeJdbc]].
+    * `partitionColumn` + bounds split the table into `numPartitions`
+    * range predicates, one connection each: the only way a JDBC scan
+    * parallelizes. Untested in this container (no database).
+    */
+  def jdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      props: Properties,
+      partitionColumn: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound, numPartitions, props)
+}

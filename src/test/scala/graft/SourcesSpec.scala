@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sources
+
+/** Schema-pinned file sources round-trip (CSV / JSON-lines / parquet). */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("csv: pinned schema round-trip, no inference pass") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    val dir = tmp("csv")
+    df.write.mode("overwrite").option("header", true).csv(dir)
+    val back = Sources.csv(spark, dir, schema)
+    assert(back.schema == schema)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+      Set((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
+  test("jsonLines: pinned schema keeps types stable even when a column is all-null") {
+    import spark.implicits._
+    val dir = tmp("json")
+    // score absent from every row: inference would drop/stringify it;
+    // the pinned schema keeps it a nullable double
+    Seq("""{"id": 1, "name": "a"}""", """{"id": 2, "name": "b"}""").toDF("value")
+      .write.mode("overwrite").text(dir)
+    val back = Sources.jsonLines(spark, dir, schema)
+    assert(back.schema == schema)
+    assert(back.count() == 2)
+    assert(back.filter(back("score").isNull).count() == 2)
+  }
+
+  test("parquet: schema asserted on read") {
+    import spark.implicits._
+    val dir = tmp("pq")
+    Seq((1L, "a", 1.5)).toDF("id", "name", "score").write.mode("overwrite").parquet(dir)
+    val back = Sources.parquet(spark, dir, Some(schema))
+    assert(back.schema == schema)
+    assert(back.count() == 1)
+  }
+}
