@@ -133,4 +133,79 @@ object Relational {
       broadcast(dim.select(col("name").as(nameCol), col("id").as(fkCol))),
       Seq(nameCol),
       "left")
+
+  /** Backward as-of join — an operator Spark lacks natively: for each
+    * left row, attach the latest right row with the same key and
+    * rightTime ≤ leftTime (ties at equal time match).
+    *
+    * Built the scalable way (SURVEY.md preference (a): compose existing
+    * ops): union both sides tagged, ONE shuffle+sort per key, and a
+    * running `last(_, ignoreNulls)` over the right-side payload —
+    * O(n log n) per key group, no range-explosion, no per-left-row
+    * probe. The right payload rides in a single struct so all attached
+    * columns come atomically from the same right row. Equivalent to
+    * DuckDB/pandas ASOF JOIN semantics (the oracle for q31).
+    *
+    * Returns every left column plus `<prefix><rightTimeCol>` and
+    * `<prefix><c>` for each right value column (NULL when no right row
+    * precedes the left row).
+    */
+  def asOfJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightValueCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val rCols = rightTimeCol +: rightValueCols
+    val rStructT = org.apache.spark.sql.types.StructType(rCols.map(c => right.schema(c)))
+    val leftNonKey = left.columns.filterNot(c => keys.contains(c)).toSeq
+    val lPart = left.select(
+      keys.map(col) ++
+        Seq(col(leftTimeCol).as("__t"), lit(1).as("__side"), lit(null).cast(rStructT).as("__r")) ++
+        leftNonKey.map(col): _*)
+    val rPart = right.select(
+      keys.map(col) ++
+        Seq(
+          col(rightTimeCol).as("__t"),
+          lit(0).as("__side"),
+          struct(rCols.map(col): _*).as("__r")) ++
+        leftNonKey.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lPart
+      .unionByName(rPart)
+      .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        keys.map(col) ++ leftNonKey.map(col) ++
+          rCols.map(c => col(s"__last_r.$c").as(s"$prefix$c")): _*)
+  }
+
+  /** Two-phase salted aggregation for skewed keys: phase 1 aggregates
+    * on (keys, salt) — spreading one hot key over `salts` reducers —
+    * phase 2 merges the partials on the true keys. Correct for any
+    * algebraic aggregate the caller can express as partial + merge
+    * (sum/sum, count/sum, min/min, max/max...).
+    *
+    * The salt is `pmod(hash(entire row? no — the partition id), salts)`:
+    * `spark_partition_id()` is free, uniform across input splits, and
+    * never correlates with key values. AQE's skew handling covers
+    * skewed JOINS; skewed AGGREGATION keys are the case this operator
+    * exists for.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      salts: Int,
+      partialAggs: Seq[Column],
+      mergeAggs: Seq[Column]): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
 }

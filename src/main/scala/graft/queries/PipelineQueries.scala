@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.Scalars.{dec4, sumDec}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.queries.CoreQueries.Q
 
 /** LLM-data-pipeline operator catalog (dedup, similarity search, text
@@ -419,6 +420,69 @@ object PipelineQueries {
       |FROM documents WHERE doc_id < 200
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  // ------------------------------------------------------------- temporal
+
+  /** q31 — backward as-of join: each click event picks up the latest
+    * preceding view event of the same user (union + one window — the
+    * single-shuffle as-of shape). Oracle: DuckDB's native ASOF JOIN.
+    */
+  val q31AsOfJoin: Q = (s, d) => {
+    val e = Tables
+      .events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+    val clicks = e
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_us").as("click_us"))
+    val views = e
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts_us").as("view_us"))
+    Relational
+      .asOfJoinBackward(clicks, views, Seq("user_id"), "click_us", "view_us", Seq("view_id"))
+      .select(
+        col("click_id"),
+        col("user_id"),
+        col("click_us"),
+        col("asof_view_id").as("view_id"),
+        col("asof_view_us").as("view_us"),
+        (col("click_us") - col("asof_view_us")).as("gap_us"))
+      .orderBy(col("click_id"))
+  }
+
+  val q31Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+      |c AS (SELECT event_id AS click_id, user_id, us AS click_us FROM e WHERE event_type = 'click'),
+      |v AS (SELECT event_id AS view_id, user_id, us AS view_us FROM e WHERE event_type = 'view')
+      |SELECT c.click_id, c.user_id, c.click_us, v.view_id, v.view_us,
+      | c.click_us - v.view_us AS gap_us
+      |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.click_us >= v.view_us
+      |ORDER BY click_id NULLS FIRST""".stripMargin
+
+  /** q32 — salted two-phase aggregation: the skew-resistant groupBy
+    * (hot key spread over 16 reducers, partials merged on the true
+    * key). The oracle is the PLAIN group-by — the gate proves the
+    * two-phase rewrite is result-identical.
+    */
+  val q32SaltedAgg: Q = (s, d) =>
+    Relational
+      .saltedAgg(
+        Tables.lineitem(s, d),
+        Seq("l_returnflag"),
+        salts = 16,
+        partialAggs = Seq(
+          sum(dec4(col("l_quantity"))).as("ps"),
+          count(lit(1)).as("pn")),
+        mergeAggs = Seq(
+          sum(col("ps")).cast("double").as("sum_qty"),
+          sum(col("pn")).as("n_items")))
+      .orderBy(col("l_returnflag"))
+
+  val q32Sql: String =
+    """SELECT l_returnflag,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | COUNT(*) AS n_items
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q19_exact_dedup" -> q19ExactDedup,
     "q20_minhash_lsh" -> q20MinHashLsh,
@@ -431,7 +495,9 @@ object PipelineQueries {
     "q27_quality" -> q27Quality,
     "q28_token_counts" -> q28TokenCounts,
     "q29_fingerprint" -> q29Fingerprint,
-    "q30_multimodal_meta" -> q30MultimodalMeta
+    "q30_multimodal_meta" -> q30MultimodalMeta,
+    "q31_asof_join" -> q31AsOfJoin,
+    "q32_salted_agg" -> q32SaltedAgg
   )
 
   val oracles: Map[String, String] = Map(
@@ -446,6 +512,8 @@ object PipelineQueries {
     "q27_quality" -> q27Sql,
     "q28_token_counts" -> q28Sql,
     "q29_fingerprint" -> q29Sql,
-    "q30_multimodal_meta" -> q30Sql
+    "q30_multimodal_meta" -> q30Sql,
+    "q31_asof_join" -> q31Sql,
+    "q32_salted_agg" -> q32Sql
   )
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+
+/** Edge semantics of the temporal / skew operators. */
+class RelationalOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("asOfJoinBackward: latest preceding match, equal-time tie matches, no-match is NULL") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "l1"), (1L, 50L, "l2"), (2L, 10L, "l3"))
+      .toDF("k", "lt", "lv")
+    val right = Seq((1L, 40L, "r40"), (1L, 100L, "r100"), (1L, 120L, "r120"), (3L, 5L, "rx"))
+      .toDF("k", "rt", "rv")
+    val out = Relational
+      .asOfJoinBackward(left, right, Seq("k"), "lt", "rt", Seq("rv"))
+      .collect()
+      .map(r => r.getString(r.fieldIndex("lv")) ->
+        (if (r.isNullAt(r.fieldIndex("asof_rv"))) null else r.getString(r.fieldIndex("asof_rv"))))
+      .toMap
+    assert(out("l1") == "r100") // equal time matches (>= semantics)
+    assert(out("l2") == "r40")  // latest preceding
+    assert(out("l3") == null)   // key with no right rows
+  }
+
+  test("saltedAgg: result-identical to direct groupBy on skewed input") {
+    import spark.implicits._
+    // one hot key (90%), two cold keys
+    val skewed = ((1 to 900).map(i => ("hot", i.toLong)) ++
+      (1 to 60).map(i => ("cold1", i.toLong)) ++
+      (1 to 40).map(i => ("cold2", i.toLong))).toDF("k", "v").repartition(8)
+    val salted = Relational
+      .saltedAgg(
+        skewed,
+        Seq("k"),
+        salts = 4,
+        partialAggs = Seq(sum(col("v")).as("ps"), count(lit(1)).as("pn")),
+        mergeAggs = Seq(sum(col("ps")).as("sum_v"), sum(col("pn")).as("n")))
+    val direct = skewed.groupBy("k").agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+    assert(salted.except(direct).count() == 0)
+    assert(direct.except(salted).count() == 0)
+  }
+}
