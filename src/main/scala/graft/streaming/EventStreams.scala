@@ -23,12 +23,14 @@ import graft.functions.Scalars.dec4
   */
 object EventStreams {
 
-  /** File-source stream over the events table layout (a directory of
-    * parquet files becomes an unbounded source as files land).
+  /** File-source stream over an events directory: each parquet file
+    * that lands becomes a micro-batch (the standard landing-zone
+    * ingestion shape). The schema is pinned from the existing files —
+    * streaming sources cannot infer.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
   }
 
   /** Tumbling event-time window counts + exact decimal sums per event

@@ -76,6 +76,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readEventStream + tumblingAgg (AvailableNow) matches the batch aggregation") {
+    import org.apache.spark.sql.streaming.Trigger
+    // file streams watch a directory: stage the fixture as a landing zone
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val toTs = expr("timestamp_micros(ts_us)")
+    val stream = graft.streaming.EventStreams
+      .readEventStream(spark, dir.toString)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", toTs)
+    val q = graft.streaming.EventStreams
+      .tumblingAgg(stream, "1 hour", "1 minute")
+      .writeStream
+      .format("memory")
+      .queryName("file_tumbling")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("file_tumbling")
+    val batch = graft.streaming.EventStreams
+      .tumblingAgg(Tables.events(spark, sf).withColumn("ts", toTs), "1 hour", "1 minute")
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("sessionize (batch, flushOpen): parity with the q16 window formulation") {
     import spark.implicits._
     val gapUs = 30L * 60L * 1000000L
