@@ -155,12 +155,70 @@ object StatQueries {
       |WHERE rn <= 3
       |ORDER BY segment NULLS FIRST, rank NULLS FIRST""".stripMargin
 
+  /** q38 — non-equi range join: events bucketed into value tiers via
+    * `lo <= v < hi`. The tier table is tiny, so the right plan is a
+    * broadcast nested-loop join (range conditions have no hash key) —
+    * the fact side streams, the tier table broadcasts; at scale this
+    * is the only join shape that doesn't shuffle the fact.
+    */
+  val q38RangeJoin: Q = (s, d) => {
+    import s.implicits._
+    val tiers = Seq(
+      (0.0, 100.0, "low"),
+      (100.0, 300.0, "mid"),
+      (300.0, 1000.0, "high")).toDF("lo", "hi", "tier")
+    Tables
+      .events(s, d)
+      .join(broadcast(tiers), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
+      .orderBy(col("tier"))
+  }
+
+  val q38Sql: String =
+    """SELECT tier, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |JOIN (VALUES (0.0, 100.0, 'low'), (100.0, 300.0, 'mid'), (300.0, 1000.0, 'high'))
+      |  AS t(lo, hi, tier) ON value >= lo AND value < hi
+      |GROUP BY tier
+      |ORDER BY tier NULLS FIRST""".stripMargin
+
+  /** q39 — keep-latest dedup (the CDC/compaction shape): one row per
+    * customer, the most recent order by (o_orderdate desc, tie-break
+    * o_orderkey) via row_number = 1. One window shuffle on the dedup
+    * key — the standard "latest snapshot" pass a 100 TB upsert
+    * compaction runs.
+    */
+  val q39KeepLatest: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+    Tables
+      .orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q39Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn
+      | FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q33_distinct_agg" -> q33DistinctAgg,
     "q34_cube" -> q34Cube,
     "q35_pivot" -> q35Pivot,
     "q36_quantiles" -> q36Quantiles,
-    "q37_topk_udaf" -> q37TopKUdaf
+    "q37_topk_udaf" -> q37TopKUdaf,
+    "q38_range_join" -> q38RangeJoin,
+    "q39_keep_latest" -> q39KeepLatest
   )
 
   val oracles: Map[String, String] = Map(
@@ -168,6 +226,8 @@ object StatQueries {
     "q34_cube" -> q34Sql,
     "q35_pivot" -> q35Sql,
     "q36_quantiles" -> q36Sql,
-    "q37_topk_udaf" -> q37Sql
+    "q37_topk_udaf" -> q37Sql,
+    "q38_range_join" -> q38Sql,
+    "q39_keep_latest" -> q39Sql
   )
 }
