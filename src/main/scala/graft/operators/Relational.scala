@@ -208,4 +208,33 @@ object Relational {
       .agg(partialAggs.head, partialAggs.tail: _*)
       .groupBy(keys.map(col): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
+
+  /** Salted equi-join for skewed keys (the replicate-and-salt rewrite):
+    * the fact side gets a salt in [0, salts) and the (small) build side
+    * is replicated once per salt, so one hot key's rows spread over
+    * `salts` reducers instead of one. Result-identical to the plain
+    * join — each fact row matches exactly the build replica carrying
+    * its salt (gate: q49 vs. a plain-join oracle).
+    *
+    * The salt is `pmod(spark_partition_id(), salts)` — free, uniform
+    * across input splits, and uncorrelated with key values. Use when a
+    * shuffled hash/sort-merge join skews and the build side is too big
+    * to broadcast outright but small enough to replicate `salts`×; for
+    * broadcast-able build sides prefer `broadcast()`, and for
+    * runtime-detected skew AQE's skew-join split covers the sort-merge
+    * case.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      salts: Int,
+      joinType: String = "inner"): DataFrame =
+    fact
+      .withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
+      .join(
+        build.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1)))),
+        keys :+ "__salt",
+        joinType)
+      .drop("__salt")
 }

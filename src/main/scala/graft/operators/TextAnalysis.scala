@@ -74,4 +74,22 @@ object TextAnalysis {
     */
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Overlapping sliding-window document chunking — the LLM-pipeline
+    * pre-tokenization pass (context-window packing): chunk `g` covers
+    * characters `[g*stride+1, g*stride+window]` (1-based, inclusive),
+    * for `g in 0..floor((len-1)/stride)`, so consecutive chunks overlap
+    * by `window - stride` characters and every character lands in ≥1
+    * chunk. Pure generate-and-project (`sequence` + `explode`) — no
+    * shuffle, embarrassingly parallel, and the per-row output size is
+    * bounded by `len/stride`, so the operator streams at any scale.
+    *
+    * Returns (all input columns, chunk_id, chunk) — one row per chunk.
+    */
+  def chunk(df: org.apache.spark.sql.DataFrame, textCol: String, window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && window >= stride, "need window >= stride > 0")
+    val nChunks = floor((length(col(textCol)) - 1).cast("double") / lit(stride.toDouble)).cast("long")
+    df.withColumn("chunk_id", explode(sequence(lit(0L), nChunks)))
+      .withColumn("chunk", col(textCol).substr((col("chunk_id") * stride + 1).cast("int"), lit(window)))
+  }
 }

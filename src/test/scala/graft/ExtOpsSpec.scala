@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.KMinValues
+import graft.operators.{Relational, TextAnalysis}
+
+/** Edge semantics of the round-2 extension operators (salted join,
+  * chunking, KMV sketch).
+  */
+class ExtOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("saltedJoin: result-identical to the plain join on skewed input") {
+    import spark.implicits._
+    val fact = ((1 to 500).map(_ => (1L, "hot")) ++ (1 to 50).map(i => (i.toLong % 7 + 2, "cold")))
+      .toDF("k", "tag")
+      .repartition(8)
+    val dim = (1 to 9).map(i => (i.toLong, s"d$i")).toDF("k", "dv")
+    val plain = fact.join(dim, Seq("k")).groupBy("k", "dv").count()
+    val salted = Relational.saltedJoin(fact, dim, Seq("k"), salts = 4).groupBy("k", "dv").count()
+    assert(salted.collect().toSet == plain.collect().toSet)
+  }
+
+  test("saltedJoin: left join keeps unmatched fact rows exactly once") {
+    import spark.implicits._
+    val fact = Seq((1L, "a"), (2L, "b"), (99L, "miss")).toDF("k", "tag")
+    val dim = Seq((1L, "d1"), (2L, "d2")).toDF("k", "dv")
+    val out = Relational.saltedJoin(fact, dim, Seq("k"), salts = 3, joinType = "left")
+    assert(out.count() == 3)
+    assert(out.filter(col("k") === 99 && col("dv").isNull).count() == 1)
+  }
+
+  test("chunk: every char covered, stride/window geometry, short docs get one chunk") {
+    import spark.implicits._
+    val docs = Seq((1L, "x" * 10), (2L, "y" * 150), (3L, "z" * 151), (4L, "w" * 400))
+      .toDF("id", "text")
+    val chunks = TextAnalysis.chunk(docs, "text", window = 200, stride = 150)
+    val byId = chunks
+      .groupBy("id")
+      .agg(count(lit(1)).as("n"), sum(length(col("chunk"))).as("chars"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(byId(1L)._1 == 1) // len 10  -> 1 chunk
+    assert(byId(2L)._1 == 1) // len 150 -> 1 chunk (stride boundary)
+    assert(byId(3L)._1 == 2) // len 151 -> second chunk of 1 char
+    assert(byId(4L)._1 == 3) // len 400 -> starts 1,151,301
+    // doc 4: chunks cover [1,200],[151,350],[301,400] -> lengths 200+200+100
+    assert(byId(4L)._2 == 500)
+    // overlap: consecutive chunks share window-stride chars
+    val c4 = chunks.filter(col("id") === 4).orderBy("chunk_id").select("chunk").as[String].collect()
+    assert(c4(0).takeRight(50) == c4(1).take(50))
+  }
+
+  test("KMinValues: kth smallest distinct hash, None below k, merge-order invariant") {
+    import spark.implicits._
+    val kmv = udaf(new KMinValues(4))
+    // values with duplicates; distinct = {10,20,30,40,50} -> 4th smallest = 40
+    val df = Seq(50L, 10L, 20L, 10L, 30L, 40L, 20L, 50L).toDF("h").repartition(5)
+    val kth = df.agg(kmv(col("h"))).collect()(0).getLong(0)
+    assert(kth == 40L)
+    // below k distinct -> null
+    val small = Seq(7L, 7L, 8L).toDF("h")
+    assert(small.agg(kmv(col("h"))).collect()(0).isNullAt(0))
+  }
+}
