@@ -83,14 +83,20 @@ case class DotProductFloat(left: Expression, right: Expression)
 /** Registration for the engine's native expressions. */
 object GraftFunctions {
 
-  /** Register `graft_dot` in the session's function registry so SQL and
-    * `call_function("graft_dot", ...)` resolve it. Idempotent.
+  /** Register `graft_dot` (fast double path) and `graft_dot_dec`
+    * (DECIMAL-exact, oracle-gateable path) in the session's function
+    * registry so SQL and `call_function(...)` resolve them. Idempotent.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       exprs => DotProductFloat(exprs.head, exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot_dec",
+      exprs => DotProductDecimal(exprs.head, exprs(1)),
+      "built-in")
+  }
 }
 
 /** `spark.sql.extensions`-style injection (the installation path for a
@@ -98,10 +104,16 @@ object GraftFunctions {
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (
         FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[DotProductFloat].getCanonicalName, "graft_dot"),
         (exprs: Seq[Expression]) => DotProductFloat(exprs.head, exprs(1))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_dot_dec"),
+        new ExpressionInfo(classOf[DotProductDecimal].getCanonicalName, "graft_dot_dec"),
+        (exprs: Seq[Expression]) => DotProductDecimal(exprs.head, exprs(1))))
+  }
 }

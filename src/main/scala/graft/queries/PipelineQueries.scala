@@ -47,24 +47,30 @@ object PipelineQueries {
     */
   val q20MinHashLsh: Q = (s, d) => {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 1000)
-    val sig = Dedup.minHashSignature(
-      docs.select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("shingles")),
-      "doc_id",
-      "shingles",
-      MinHashK)
+    val shingled = docs.select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("shingles"))
+    // The signature plan (shingle + k·md5-min per doc) feeds FOUR
+    // consumers (both sides of the LSH self-join, both est-jaccard
+    // probes). Persist the compact signature table — id + k longs, the
+    // shingles dropped — so the expensive pass runs once; at 100 TB
+    // this is the difference between one and four scans of the corpus.
+    // The cheap shingle arrays are recomputed only for the verify joins.
+    val sig = Dedup
+      .minHashSignature(shingled, "doc_id", "shingles", MinHashK)
+      .drop("shingles")
+      .persist()
     val cands = Dedup.lshCandidates(sig, "doc_id", MinHashK, MinHashBands)
-    val aSide = sig.select(
-      col("doc_id").as("id_a") +: col("shingles").as("sh_a") +:
-        (0 until MinHashK).map(j => col(s"mh$j").as(s"a_mh$j")): _*)
-    val bSide = sig.select(
-      col("doc_id").as("id_b") +: col("shingles").as("sh_b") +:
-        (0 until MinHashK).map(j => col(s"mh$j").as(s"b_mh$j")): _*)
+    val aSig = sig.select(
+      col("doc_id").as("id_a") +: (0 until MinHashK).map(j => col(s"mh$j").as(s"a_mh$j")): _*)
+    val bSig = sig.select(
+      col("doc_id").as("id_b") +: (0 until MinHashK).map(j => col(s"mh$j").as(s"b_mh$j")): _*)
     val estMatches = (0 until MinHashK)
       .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
       .reduce(_ + _)
     cands
-      .join(aSide, "id_a")
-      .join(bSide, "id_b")
+      .join(aSig, "id_a")
+      .join(bSig, "id_b")
+      .join(shingled.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(shingled.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .select(
         col("id_a").as("doc_a"),
         col("id_b").as("doc_b"),
@@ -109,11 +115,15 @@ object PipelineQueries {
     * pairs within Hamming distance 3.
     */
   val q21SimHash: Q = (s, d) => {
+    // Both sides of the Hamming self-join consume the fingerprint plan
+    // (token explode → two aggregations) — persist the tiny (id, long)
+    // result so it computes once.
     val sh = Dedup.simHash(
       Tables.documents(s, d).filter(col("doc_id") < 1000),
       "doc_id",
       "text",
       48)
+      .persist()
     Dedup
       .simHashPairs(sh, "doc_id", 3)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
