@@ -369,7 +369,8 @@ object PipelineQueries {
 
   val q28Sql: String =
     """SELECT lang, COUNT(*) AS n_docs,
-      | SUM(ws) AS sum_ws_tokens, SUM(rx) AS sum_rx_tokens, SUM(nc) AS sum_chars,
+      | CAST(SUM(ws) AS BIGINT) AS sum_ws_tokens, CAST(SUM(rx) AS BIGINT) AS sum_rx_tokens,
+      | CAST(SUM(nc) AS BIGINT) AS sum_chars,
       | CAST(SUM(rx) AS DOUBLE)/COUNT(*) AS avg_rx_tokens
       |FROM (SELECT lang,
       |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws,

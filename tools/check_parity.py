@@ -34,8 +34,15 @@ def cells_equal(a, b):
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
+    # Type-strict: the driver hashes stringified values, so int 3549 vs
+    # float 3549.0 is a FAILURE there (caught live on q28 in round 2).
+    # bool is an int subclass in Python — keep bool==bool only.
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, int) and isinstance(b, int):
+        return a == b
     if isinstance(a, (int, float)) and isinstance(b, (int, float)):
-        return float(a) == float(b)
+        return False  # int-vs-float type drift — driver hash would differ
     return a == b
 
 
