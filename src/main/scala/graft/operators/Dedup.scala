@@ -154,4 +154,58 @@ object Dedup {
     */
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(split(text, " "))), " "))
+
+  /** Connected components over an undirected edge list — the cluster
+    * step that turns near-dup PAIRS (LSH candidates that survived
+    * verification) into duplicate GROUPS, so a corpus can keep one
+    * canonical document per group. Component id = min node id in the
+    * component.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the minimum label among itself and its neighbors; fixpoint
+    * is reached in O(diameter) rounds. Each round is one shuffle-join
+    * plus one aggregation — no driver-side graph, no collect — and
+    * label frames are localCheckpoint()ed so the lineage (and plan
+    * size) stays constant across rounds. Near-dup components are
+    * almost always tiny stars (diameter ≤ 2-3), so at 100 TB this
+    * converges in a handful of rounds over an edge set that is itself
+    * a vanishing fraction of the corpus.
+    *
+    * @param edges two-column DataFrame of undirected edges (any names)
+    * @return (node: long, component: long)
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val Array(srcName, dstName) = edges.columns
+    val e = edges.select(col(srcName).cast("long").as("src"), col(dstName).cast("long").as("dst"))
+    // Undirected: propagate both ways.
+    val ud = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .persist()
+    var labels = ud
+      .select(col("src").as("node"))
+      .distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = ud
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("component"))
+      val next = labels
+        .unionByName(viaNeighbor)
+        .groupBy("node")
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("component", "old"), Seq("node"))
+        .filter(col("component") =!= col("old"))
+        .limit(1)
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    ud.unpersist()
+    labels
+  }
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Connected-components semantics (the pair→group step of the dedup
+  * pipeline, q51).
+  */
+class ConnCompSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def comps(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup
+      .connectedComponents(edges.toDF("a", "b"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+  }
+
+  test("chain with diameter > 2 converges to the min label") {
+    // 5—4—3—2—1 plus isolated pair 10—11: needs >2 propagation rounds.
+    val m = comps(Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (10L, 11L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("edge direction and duplicates are irrelevant (undirected, distinct)") {
+    val m = comps(Seq((7L, 2L), (2L, 7L), (7L, 2L), (2L, 9L)))
+    assert(m == Map(2L -> 2L, 7L -> 2L, 9L -> 2L))
+  }
+
+  test("two stars merged by a bridge collapse to one component") {
+    val star1 = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val star2 = Seq((8L, 9L), (8L, 10L))
+    val m1 = comps(star1 ++ star2)
+    assert(m1.values.toSet == Set(1L, 8L))
+    val m2 = comps(star1 ++ star2 ++ Seq((4L, 10L)))
+    assert(m2.values.toSet == Set(1L))
+    assert(m2(9L) == 1L && m2(8L) == 1L)
+  }
+
+  test("self-loops are harmless") {
+    val m = comps(Seq((3L, 3L), (3L, 5L)))
+    assert(m == Map(3L -> 3L, 5L -> 3L))
+  }
+}
