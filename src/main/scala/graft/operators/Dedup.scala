@@ -161,15 +161,19 @@ object Dedup {
     * canonical document per group. Component id = min node id in the
     * component.
     *
-    * Algorithm: iterative min-label propagation. Each round every node
-    * takes the minimum label among itself and its neighbors; fixpoint
-    * is reached in O(diameter) rounds. Each round is one shuffle-join
-    * plus one aggregation — no driver-side graph, no collect — and
-    * label frames are localCheckpoint()ed so the lineage (and plan
-    * size) stays constant across rounds. Near-dup components are
-    * almost always tiny stars (diameter ≤ 2-3), so at 100 TB this
-    * converges in a handful of rounds over an edge set that is itself
-    * a vanishing fraction of the corpus.
+    * Algorithm: iterative min-label propagation. Labels are seeded at
+    * `min(self, neighbors)` (one aggregation — already the fixpoint for
+    * star components, the overwhelmingly common near-dup shape), then
+    * each round every node takes the minimum label among itself and its
+    * neighbors until fixpoint, reached in O(diameter) rounds. Each
+    * round is one shuffle-join plus one aggregation — no driver-side
+    * graph, no collect — and label frames are localCheckpoint()ed so
+    * the lineage (and plan size) stays constant across rounds.
+    * Convergence is detected from the SUM of labels (monotonically
+    * non-increasing; unchanged ⇔ fixpoint) — one cheap scan of the
+    * checkpointed frame instead of a join against the previous round.
+    * At 100 TB the edge set is a vanishing fraction of the corpus and
+    * components are tiny, so this converges in a handful of rounds.
     *
     * @param edges two-column DataFrame of undirected edges (any names)
     * @return (node: long, component: long)
@@ -177,14 +181,18 @@ object Dedup {
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val Array(srcName, dstName) = edges.columns
     val e = edges.select(col(srcName).cast("long").as("src"), col(dstName).cast("long").as("dst"))
-    // Undirected: propagate both ways.
+    // Undirected: propagate both ways (self-loops fall out of least()).
     val ud = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .persist()
+    // Decimal sum: label sums can exceed Long at planetary node counts,
+    // and Spark 4 ANSI mode would throw on long-sum overflow.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
     var labels = ud
-      .select(col("src").as("node"))
-      .distinct()
-      .withColumn("component", col("node"))
+      .groupBy(col("src").as("node"))
+      .agg(min(least(col("src"), col("dst"))).as("component"))
       .localCheckpoint()
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -196,13 +204,10 @@ object Dedup {
         .groupBy("node")
         .agg(min(col("component")).as("component"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("component", "old"), Seq("node"))
-        .filter(col("component") =!= col("old"))
-        .limit(1)
-        .count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     ud.unpersist()
