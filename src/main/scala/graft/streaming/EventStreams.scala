@@ -73,6 +73,62 @@ object EventStreams {
       lastUs: Long,
       nEvents: Long)
 
+  /** Streaming exact deduplication (the streaming twin of q19): drop
+    * re-deliveries of the same id arriving within the watermark delay.
+    * `dropDuplicatesWithinWatermark` keeps one row per id and evicts
+    * its dedup state once the watermark passes — state is bounded by
+    * the id-arrival rate × delay, not by history, which is what makes
+    * exactly-once ingest dedup feasible on an unbounded stream. (Plain
+    * `dropDuplicates` on a stream never evicts — unbounded state.)
+    * Works identically on a batch frame (falls back to dropDuplicates).
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String], watermarkDelay: String): DataFrame =
+    if (events.isStreaming)
+      events
+        .withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark(idCols)
+    else events.dropDuplicates(idCols)
+
+  /** Stream-stream interval join (click attribution): each click joins
+    * the view by the same user that happened at most `windowUs` before
+    * it. Both sides are watermarked so the engine can bound the join
+    * state: a buffered view is evicted once the click-side watermark
+    * passes `view ts + window` — the state bound that makes
+    * stream-stream joins run forever. Inner equi-join on user plus an
+    * event-time range predicate — exactly the shape Structured
+    * Streaming supports natively; the same expression joins two batch
+    * frames for parity testing.
+    */
+  def attributeClicks(
+      views: DataFrame,
+      clicks: DataFrame,
+      windowUs: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val v0 = views.select(
+      col("user_id").as("v_user"),
+      col("event_id").as("view_id"),
+      col("ts").as("view_ts"))
+    val c0 = clicks.select(
+      col("user_id").as("c_user"),
+      col("event_id").as("click_id"),
+      col("ts").as("click_ts"))
+    val (v, c) =
+      if (views.isStreaming)
+        (v0.withWatermark("view_ts", watermarkDelay), c0.withWatermark("click_ts", watermarkDelay))
+      else (v0, c0)
+    c.join(
+        v,
+        col("c_user") === col("v_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowUs MICROSECOND"))
+      .select(
+        col("c_user").as("user_id"),
+        col("click_id"),
+        col("view_id"),
+        col("view_ts"),
+        col("click_ts"))
+  }
+
   /** Stateful sessionizer (streaming twin of q16): a gap of more than
     * `gapUs` between consecutive events of a user starts a new session.
     * Arbitrary state via `flatMapGroupsWithState` — the engine hash-

@@ -14,6 +14,11 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // saveAsTable targets (bucketed-join specs) land in a temp
+      // warehouse, never the repo working directory
+      .config(
+        "spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

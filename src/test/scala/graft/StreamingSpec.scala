@@ -105,6 +105,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("dedupStream: re-deliveries within the watermark are dropped; state evicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = EventStreams.dedupStream(
+      in.toDF.toDF("ts", "event_id", "payload"),
+      Seq("event_id"),
+      "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2026-01-01 10:00:00"), 1L, "first"),
+        (ts("2026-01-01 10:01:00"), 1L, "dup"),
+        (ts("2026-01-01 10:02:00"), 2L, "other"))
+      q.processAllAvailable()
+      in.addData((ts("2026-01-01 10:03:00"), 1L, "dup-again"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup").select("event_id", "payload").as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "first"), (2L, "other")))
+      // advance the watermark far past id 1's state; a much later redelivery
+      // of id 1 is then a NEW row by contract (state was evicted)
+      in.addData((ts("2026-01-01 12:00:00"), 99L, "advance"))
+      q.processAllAvailable()
+      in.addData((ts("2026-01-01 11:55:00"), 1L, "post-eviction"))
+      q.processAllAvailable()
+      val after = spark.table("dedup").filter(col("event_id") === 1).count()
+      assert(after == 2)
+    } finally q.stop()
+  }
+
+  test("attributeClicks: stream-stream interval join attributes within the window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val joined = EventStreams.attributeClicks(
+      views.toDF.toDF("ts", "event_id", "user_id"),
+      clicks.toDF.toDF("ts", "event_id", "user_id"),
+      windowUs = 5L * 60L * 1000000L)
+    val q = joined.writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      views.addData((ts("2026-01-01 10:00:00"), 100L, 1L), (ts("2026-01-01 10:00:00"), 101L, 2L))
+      clicks.addData(
+        (ts("2026-01-01 10:03:00"), 200L, 1L), // within 5 min of view 100
+        (ts("2026-01-01 10:09:00"), 201L, 2L)) // 9 min after view 101: outside
+      q.processAllAvailable()
+      // advance both watermarks so results flush
+      views.addData((ts("2026-01-01 11:00:00"), 900L, 9L))
+      clicks.addData((ts("2026-01-01 11:00:00"), 901L, 9L))
+      q.processAllAvailable()
+      val rows = spark
+        .table("attr")
+        .select("user_id", "click_id", "view_id")
+        .as[(Long, Long, Long)]
+        .collect()
+        .toSet
+      assert(rows.contains((1L, 200L, 100L)))
+      assert(!rows.exists(_._2 == 201L))
+    } finally q.stop()
+  }
+
+  test("attributeClicks (batch): same expression runs on batch frames") {
+    import spark.implicits._
+    val views = Seq((ts("2026-01-01 10:00:00"), 100L, 1L)).toDF("ts", "event_id", "user_id")
+    val clicks = Seq(
+      (ts("2026-01-01 10:03:00"), 200L, 1L),
+      (ts("2026-01-01 10:30:00"), 201L, 1L)).toDF("ts", "event_id", "user_id")
+    val out = EventStreams.attributeClicks(views, clicks, windowUs = 5L * 60L * 1000000L)
+    assert(out.select("click_id").as[Long].collect().toSeq == Seq(200L))
+  }
+
   test("sessionize (batch, flushOpen): parity with the q16 window formulation") {
     import spark.implicits._
     val gapUs = 30L * 60L * 1000000L
