@@ -348,6 +348,88 @@ object QualityQueries {
       |FROM c FULL OUTER JOIN o USING (k)
       |ORDER BY k NULLS FIRST""".stripMargin
 
+  /** q71 — multiple DISTINCT aggregates in one pass: Catalyst plans
+    * n distinct aggregates as ONE Expand (n-fold row replication
+    * map-side) + two aggregations — not n self-joins. The plain
+    * aggregates ride along free.
+    */
+  val q71MultiDistinct: Q = (s, d) =>
+    Tables
+      .events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("nd_users"),
+        countDistinct(pmod(col("event_id"), lit(97L))).as("nd_idmod"),
+        count(lit(1)).as("n"),
+        sum(dec4(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+
+  val q71Sql: String =
+    """SELECT event_type,
+      | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_users,
+      | CAST(COUNT(DISTINCT event_id % 97) AS BIGINT) AS nd_idmod,
+      | CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin
+
+  /** q72 — schema-evolution union: a new batch missing a column unions
+    * with the old batch, nulls filling the gap
+    * (`unionByName(allowMissingColumns)` — position-blind, the only
+    * union safe under column reordering across file generations).
+    */
+  val q72UnionByName: Q = (s, d) => {
+    val withPrice = Tables
+      .orders(s, d)
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"), col("o_orderstatus"))
+    val without = Tables
+      .orders(s, d)
+      .filter(col("o_orderkey").between(2000, 5000))
+      .select(col("o_orderkey").as("k"), col("o_orderstatus"))
+    withPrice
+      .unionByName(without, allowMissingColumns = true)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("p")).as("n_with_price"),
+        sum(dec4(col("p"))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q72Sql: String =
+    """WITH u AS (
+      | SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus FROM orders WHERE o_orderkey < 2000
+      | UNION ALL BY NAME
+      | SELECT o_orderkey AS k, o_orderstatus FROM orders WHERE o_orderkey BETWEEN 2000 AND 5000)
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      | CAST(COUNT(p) AS BIGINT) AS n_with_price,
+      | CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST""".stripMargin
+
+  /** q73 — inline literal dimension decode: a tiny VALUES table joined
+    * (broadcast, trivially) to classify priorities, left join + default
+    * for unmapped values. The lookup-table pattern that at scale stays
+    * a broadcast, never a shuffle.
+    */
+  val q73InlineDim: Q = (s, d) => {
+    import s.implicits._
+    val cls = Seq(("1-URGENT", "fast"), ("2-HIGH", "fast"), ("3-MEDIUM", "mid"))
+      .toDF("pri", "cls")
+    Tables
+      .orders(s, d)
+      .join(broadcast(cls), col("o_orderpriority") === col("pri"), "left")
+      .groupBy(coalesce(col("cls"), lit("slow")).as("priority_class"))
+      .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("revenue"))
+      .orderBy(col("priority_class"))
+  }
+
+  val q73Sql: String =
+    """SELECT COALESCE(t.cls, 'slow') AS priority_class, CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders o LEFT JOIN (VALUES ('1-URGENT','fast'),('2-HIGH','fast'),('3-MEDIUM','mid')) t(pri, cls)
+      |  ON o.o_orderpriority = t.pri
+      |GROUP BY 1 ORDER BY priority_class NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q61_cond_agg" -> q61CondAgg,
     "q62_string_agg" -> q62StringAgg,
@@ -358,7 +440,10 @@ object QualityQueries {
     "q67_star_join" -> q67StarJoin,
     "q68_repetition" -> q68Repetition,
     "q69_bit_ops" -> q69BitOps,
-    "q70_full_outer" -> q70FullOuter
+    "q70_full_outer" -> q70FullOuter,
+    "q71_multi_distinct" -> q71MultiDistinct,
+    "q72_union_by_name" -> q72UnionByName,
+    "q73_inline_dim" -> q73InlineDim
   )
 
   val oracles: Map[String, String] = Map(
@@ -371,6 +456,9 @@ object QualityQueries {
     "q67_star_join" -> q67Sql,
     "q68_repetition" -> q68Sql,
     "q69_bit_ops" -> q69Sql,
-    "q70_full_outer" -> q70Sql
+    "q70_full_outer" -> q70Sql,
+    "q71_multi_distinct" -> q71Sql,
+    "q72_union_by_name" -> q72Sql,
+    "q73_inline_dim" -> q73Sql
   )
 }
