@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that make the declared plans
+  * scale are asserted, not assumed — filter/column pushdown into the
+  * parquet scan, broadcast joins for dims, TakeOrderedAndProject for
+  * top-k, whole-stage codegen on the hot paths, Expand (not shuffle)
+  * for unpivot/multi-distinct.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: predicate and projection reach the parquet scan") {
+    val p = plan("q02_scan_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    // pushed-down filters must not be empty
+    assert(!p.contains("PushedFilters: []"), p)
+    // projection pruning: the scan must not read every lineitem column
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_comment"), p)
+  }
+
+  test("q03: top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("q03_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q04/q05: dimension joins broadcast") {
+    assert(plan("q04_denorm_view").contains("BroadcastHashJoin"), "q04")
+    val p5 = plan("q05_nation_revenue")
+    assert(p5.contains("BroadcastHashJoin"), p5)
+  }
+
+  test("q67: star join broadcasts the filtered dims and takes top-k") {
+    val p = plan("q67_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01: aggregation runs inside whole-stage codegen with partial aggregation") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    val codegen = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen"), codegen.take(500))
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum"), p)
+    // partial (map-side) aggregation before the final exchange
+    assert(p.indexOf("HashAggregate") != p.lastIndexOf("HashAggregate"), p)
+  }
+
+  test("q45: unpivot plans as Expand (row replication, no join/shuffle for the melt)") {
+    val p = plan("q45_unpivot")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Union"), p)
+  }
+
+  test("q71: two DISTINCT aggregates plan as one Expand, not self-joins") {
+    val p = plan("q71_multi_distinct")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q25: SRP signatures stay codegen'd — no Generate (explode) in the signature path") {
+    val p = plan("q25_ann_lsh")
+    assert(!p.contains("Generate"), p)
+  }
+}
