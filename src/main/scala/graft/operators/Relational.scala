@@ -237,4 +237,29 @@ object Relational {
         keys :+ "__salt",
         joinType)
       .drop("__salt")
+
+  /** CDC merge: apply a change batch (insert / update / delete ops) to
+    * a snapshot, producing the next snapshot — the batch equivalent of
+    * MERGE INTO, and the compaction step every CDC-fed table needs.
+    *
+    * `changes` carries the snapshot's columns plus `opCol` ∈
+    * {"I","U","D"} and at most one row per key (run keep-latest — q39 —
+    * first if the batch has multiple changes per key). Deletes and
+    * updates remove the old row via ONE left-anti join on the key;
+    * inserts and updates append their new image. Two shuffles total
+    * (anti-join + union is shuffle-free), independent of snapshot
+    * width; at 100 TB the change batch is the small side and the
+    * anti-join broadcasts it.
+    */
+  def applyChanges(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    val kept = snapshot.join(changes.select(keys.map(col): _*), keys, "left_anti")
+    val upserts = changes
+      .filter(col(opCol).isin("I", "U"))
+      .drop(opCol)
+    kept.unionByName(upserts)
+  }
 }

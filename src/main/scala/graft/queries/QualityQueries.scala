@@ -430,6 +430,43 @@ object QualityQueries {
       |  ON o.o_orderpriority = t.pri
       |GROUP BY 1 ORDER BY priority_class NULLS FIRST""".stripMargin
 
+  /** q74 — CDC merge ([[graft.operators.Relational.applyChanges]]):
+    * apply a deterministic change batch (deletes for doc_id≡0 (mod 7),
+    * updates uppercasing lang for ≡1, inserts at doc_id+1000000 for ≡3)
+    * to the documents snapshot. The oracle replays the same batch with
+    * NOT IN + UNION ALL — the gate proves the anti-join+union rewrite
+    * is MERGE-identical.
+    */
+  val q74CdcApply: Q = (s, d) => {
+    val snap = Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("nc"))
+    val changes = snap
+      .filter(pmod(col("doc_id"), lit(7L)) === 0)
+      .select(col("doc_id"), lit(null).cast("string").as("lang"), lit(null).cast("long").as("nc"), lit("D").as("op"))
+      .unionByName(
+        snap
+          .filter(pmod(col("doc_id"), lit(7L)) === 1)
+          .select(col("doc_id"), upper(col("lang")).as("lang"), col("nc"), lit("U").as("op")))
+      .unionByName(
+        snap
+          .filter(pmod(col("doc_id"), lit(7L)) === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("nc"), lit("I").as("op")))
+    graft.operators.Relational
+      .applyChanges(snap, changes, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q74Sql: String =
+    """WITH s AS (SELECT doc_id, lang, CAST(len(text) AS BIGINT) AS nc FROM documents),
+      |c AS (
+      | SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS nc, 'D' AS op FROM s WHERE doc_id % 7 = 0
+      | UNION ALL SELECT doc_id, upper(lang), nc, 'U' FROM s WHERE doc_id % 7 = 1
+      | UNION ALL SELECT doc_id + 1000000, lang, nc, 'I' FROM s WHERE doc_id % 7 = 3)
+      |SELECT doc_id, lang, nc FROM s WHERE doc_id NOT IN (SELECT doc_id FROM c)
+      |UNION ALL SELECT doc_id, lang, nc FROM c WHERE op IN ('I','U')
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q61_cond_agg" -> q61CondAgg,
     "q62_string_agg" -> q62StringAgg,
@@ -443,7 +480,8 @@ object QualityQueries {
     "q70_full_outer" -> q70FullOuter,
     "q71_multi_distinct" -> q71MultiDistinct,
     "q72_union_by_name" -> q72UnionByName,
-    "q73_inline_dim" -> q73InlineDim
+    "q73_inline_dim" -> q73InlineDim,
+    "q74_cdc_apply" -> q74CdcApply
   )
 
   val oracles: Map[String, String] = Map(
@@ -459,6 +497,7 @@ object QualityQueries {
     "q70_full_outer" -> q70Sql,
     "q71_multi_distinct" -> q71Sql,
     "q72_union_by_name" -> q72Sql,
-    "q73_inline_dim" -> q73Sql
+    "q73_inline_dim" -> q73Sql,
+    "q74_cdc_apply" -> q74Sql
   )
 }

@@ -8,6 +8,32 @@ import graft.operators.Relational
 class RelationalOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("applyChanges: delete removes, update replaces, insert appends, untouched rows survive") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val changes = Seq(
+      (1L, null.asInstanceOf[String], "D"),
+      (2L, "B2", "U"),
+      (9L, "new", "I")).toDF("k", "v", "op")
+    val out = Relational
+      .applyChanges(snap, changes, Seq("k"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(out == Map(2L -> "B2", 3L -> "c", 4L -> "d", 9L -> "new"))
+  }
+
+  test("applyChanges: idempotent when the batch is re-applied") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val changes = Seq((1L, "A1", "U"), (5L, "e", "I")).toDF("k", "v", "op")
+    val once = Relational.applyChanges(snap, changes, Seq("k"))
+    val twice = Relational.applyChanges(once, changes, Seq("k"))
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
   test("asOfJoinBackward: latest preceding match, equal-time tie matches, no-match is NULL") {
     import spark.implicits._
     val left = Seq((1L, 100L, "l1"), (1L, 50L, "l2"), (2L, 10L, "l3"))
