@@ -10,11 +10,15 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.tail.toSet else Set.empty[String]
+    // argv > env > GRAFT_CONF file (S5); positional args keep working.
+    val cfg = Config(args)
+    val positional = args.filterNot(_.startsWith("--"))
+    val sfDir = positional.headOption.getOrElse(cfg.get("sf-dir", "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val names = positional.drop(1).toSet
+    val cpus = cfg.get("cpus", "SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

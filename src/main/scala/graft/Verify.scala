@@ -5,8 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Positional <sfDir> <outDir> stay the driver contract; --key=value
+    // argv overrides env overrides GRAFT_CONF file for the rest (S5).
+    val cfg = Config(args)
+    val positional = args.filterNot(_.startsWith("--"))
+    val sfDir = positional.lift(0).getOrElse(cfg.get("sf-dir", "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val outDir = positional.lift(1).getOrElse(cfg.get("out-dir", "SPARK_GRAFT_OUT_DIR", "/tmp/graft_verify"))
+    val cpus = cfg.get("cpus", "SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -30,25 +30,37 @@ object Dedup {
     * shingle space is large (≈ alphabet^w), so unrelated documents
     * share few shingles — the precondition for LSH banding to have low
     * false-positive rates.
+    *
+    * Texts shorter than `w` yield an EMPTY array (Spark's `sequence`
+    * turns descending when end < start, which would otherwise emit
+    * phantom sub-width shingles). Downstream, an empty shingle set
+    * means a null MinHash signature and Jaccard 0/0 = null — such rows
+    * never survive a similarity threshold, which is the policy: too
+    * little content to judge similarity.
     */
-  def charShingles(text: Column, w: Int): Column =
+  def charShingles(text: Column, w: Int): Column = {
+    val n = length(text) - (w - 1)
     array_distinct(
-      transform(
-        sequence(lit(1), length(text) - (w - 1)),
-        i => lower(text).substr(i, lit(w))))
+      when(n >= 1, transform(sequence(lit(1), n), i => lower(text).substr(i, lit(w))))
+        .otherwise(typedLit(Seq.empty[String])))
+  }
 
   /** Distinct whitespace tokens (the word-set view of a document). */
   def tokenSet(text: Column): Column = array_distinct(split(text, " "))
 
   /** Word `n`-grams (sequence-sensitive, distinct): shingle i is the
-    * space-join of tokens i..i+n-1.
+    * space-join of tokens i..i+n-1. Texts with fewer than `n` tokens
+    * yield an empty array (same descending-`sequence` guard as
+    * [[charShingles]]).
     */
   def wordNGrams(text: Column, n: Int): Column = {
     val toks = split(text, " ")
+    val m = size(toks) - (n - 1)
     array_distinct(
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
+      when(m >= 1, transform(
+        sequence(lit(1), m),
         i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+        .otherwise(typedLit(Seq.empty[String])))
   }
 
   /** Exact dedup bookkeeping: group by full content hash, keep the
@@ -135,12 +147,48 @@ object Dedup {
           .as("simhash"))
   }
 
-  /** All pairs within `maxHamming` of each other by SimHash. The
-    * self-join is O(n²) in candidate generation; at true scale the
-    * banding trick applies here too (join on simhash chunks) — kept
-    * direct here because callers bound the input set.
+  /** All pairs within `maxHamming` of each other by SimHash, via CHUNK
+    * BANDING — the scale path. The `bits`-bit fingerprint is split into
+    * `maxHamming + 1` equal chunks; by pigeonhole, two fingerprints
+    * within Hamming distance `maxHamming` must agree EXACTLY on at
+    * least one chunk, so candidate generation is an equi-join on
+    * (chunk index, chunk value) — hash-partitioned, never the O(n²)
+    * pair space — followed by the exact `bit_count` Hamming filter.
+    * Result set is IDENTICAL to the all-pairs scan (the banding is
+    * lossless for ≤ maxHamming), at the cost of a `maxHamming+1`-way
+    * row replication instead of an n² join.
     */
-  def simHashPairs(sh: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+  def simHashPairs(sh: DataFrame, idCol: String, maxHamming: Int, bits: Int = 48): DataFrame = {
+    val nChunks = maxHamming + 1
+    val width = bits / nChunks
+    require(width * nChunks == bits, s"bits ($bits) must be divisible by maxHamming+1 ($nChunks)")
+    val mask = (1L << width) - 1
+    val chunked = sh
+      .select(col(idCol), col("simhash"), explode(sequence(lit(0), lit(nChunks - 1))).as("c"))
+      .select(
+        col(idCol),
+        col("simhash"),
+        col("c"),
+        expr(s"shiftright(simhash, CAST(c * $width AS INT)) & $mask").as("cv"))
+    val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("c"), col("cv"))
+    val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("c"), col("cv"))
+    a.join(b, Seq("c", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact all-pairs Hamming scan — the O(n²) baseline [[simHashPairs]]
+    * is verified against. Refuses unbounded input: the count-gate keeps
+    * the exact path from ever being pointed at a full corpus by
+    * accident (use [[simHashPairs]] there).
+    */
+  def simHashPairsExact(sh: DataFrame, idCol: String, maxHamming: Int, maxRows: Long = 10000): DataFrame = {
+    val n = sh.count()
+    require(
+      n <= maxRows,
+      s"simHashPairsExact is O(n²); input has $n rows > maxRows=$maxRows — use simHashPairs (banded)")
     val a = sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val b = sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b"))
     a.join(b, col("id_a") < col("id_b"))
@@ -167,31 +215,57 @@ object Dedup {
     * each round every node takes the minimum label among itself and its
     * neighbors until fixpoint, reached in O(diameter) rounds. Each
     * round is one shuffle-join plus one aggregation — no driver-side
-    * graph, no collect — and label frames are localCheckpoint()ed so
-    * the lineage (and plan size) stays constant across rounds.
+    * graph, no collect — and each round's label frame is materialized
+    * as a persisted row RDD rewrapped in a fresh frame, so the Catalyst
+    * plan (and analysis cost) stays constant across rounds while the
+    * RDD lineage is KEPT — an executor loss recomputes lost blocks
+    * instead of failing the run (the durability gap of
+    * `localCheckpoint`, which truncates lineage without replication).
+    * The previous round's blocks are unpersisted as soon as the next
+    * round is materialized, so executor storage holds at most two label
+    * sets at any time.
     * Convergence is detected from the SUM of labels (monotonically
     * non-increasing; unchanged ⇔ fixpoint) — one cheap scan of the
-    * checkpointed frame instead of a join against the previous round.
+    * materialized frame instead of a join against the previous round.
     * At 100 TB the edge set is a vanishing fraction of the corpus and
     * components are tiny, so this converges in a handful of rounds.
+    * If the fixpoint is NOT reached within `maxIter` rounds (a
+    * component of diameter > maxIter), the function THROWS rather than
+    * silently returning partially-propagated labels.
     *
     * @param edges two-column DataFrame of undirected edges (any names)
     * @return (node: long, component: long)
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
     val Array(srcName, dstName) = edges.columns
     val e = edges.select(col(srcName).cast("long").as("src"), col(dstName).cast("long").as("dst"))
     // Undirected: propagate both ways (self-loops fall out of least()).
     val ud = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .persist()
+    // Empty edge set (no candidate pairs survived upstream thresholds —
+    // a legitimate production input): no nodes, empty result. Without
+    // the short-circuit the label-sum aggregate below returns SQL NULL
+    // and the convergence compare would NPE.
+    if (ud.isEmpty) {
+      ud.unpersist()
+      return ud.select(col("src").as("node"), col("src").as("component"))
+    }
     // Decimal sum: label sums can exceed Long at planetary node counts,
     // and Spark 4 ANSI mode would throw on long-sum overflow.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
-    var labels = ud
-      .groupBy(col("src").as("node"))
-      .agg(min(least(col("src"), col("dst"))).as("component"))
-      .localCheckpoint()
+    // Materialize a label frame: persist its row RDD (computed by the
+    // labelSum scan right after) and rewrap in a fresh two-column frame
+    // so the next round's plan starts from a leaf, not the whole
+    // iteration history.
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    var (labels, labelsRdd) = materialize(
+      ud.groupBy(col("src").as("node"))
+        .agg(min(least(col("src"), col("dst"))).as("component")))
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
@@ -199,18 +273,24 @@ object Dedup {
       val viaNeighbor = ud
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("component"))
-      val next = labels
-        .unionByName(viaNeighbor)
-        .groupBy("node")
-        .agg(min(col("component")).as("component"))
-        .localCheckpoint()
+      val (next, nextRdd) = materialize(
+        labels
+          .unionByName(viaNeighbor)
+          .groupBy("node")
+          .agg(min(col("component")).as("component")))
       val nextSum = labelSum(next)
+      labelsRdd.unpersist()
       labels = next
+      labelsRdd = nextRdd
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
     ud.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+          "a component has diameter > maxIter; raise maxIter (rounds needed ≈ graph diameter)")
     labels
   }
 }

@@ -108,10 +108,22 @@ object Similarity {
   }
 
   /** All pairs with cosine ≥ threshold (embedding near-duplicate
-    * detection). Direct pair join — callers bound the input; the
-    * LSH-bucketed path below is the unbounded-scale variant.
+    * detection). Direct pair join — the EXACT baseline, O(n²) by
+    * construction, so it refuses unbounded input: a count-gate throws
+    * above `maxRows` (one cheap count job — the price of making the
+    * quadratic path impossible to point at a full corpus by accident).
+    * The SRP-LSH bucketed path below is the unbounded-scale variant.
     */
-  def nearDupPairs(df: DataFrame, idCol: String, embCol: String, threshold: Double): DataFrame = {
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      maxRows: Long = 10000): DataFrame = {
+    val nRows = df.count()
+    require(
+      nRows <= maxRows,
+      s"nearDupPairs is O(n²); input has $nRows rows > maxRows=$maxRows — use srpAnnTopK/LSH for unbounded corpora")
     val n = withSqNorm(df, embCol)
       .select(col(idCol), col(embCol), col("sq_norm"))
     val a = n.select(col(idCol).as("vec_a"), col(embCol).as("emb_a"), col("sq_norm").as("sq_a"))

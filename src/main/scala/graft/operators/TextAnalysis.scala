@@ -84,12 +84,19 @@ object TextAnalysis {
     * shuffle, embarrassingly parallel, and the per-row output size is
     * bounded by `len/stride`, so the operator streams at any scale.
     *
+    * EMPTY documents yield ZERO chunk rows (there is nothing to pack;
+    * this also matches DuckDB's `range(0, 0)`). Without the guard,
+    * Spark's descending `sequence(0, -1)` would emit two bogus chunks
+    * (ids 0 and −1) per empty document.
+    *
     * Returns (all input columns, chunk_id, chunk) — one row per chunk.
     */
   def chunk(df: org.apache.spark.sql.DataFrame, textCol: String, window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
     require(stride > 0 && window >= stride, "need window >= stride > 0")
     val nChunks = floor((length(col(textCol)) - 1).cast("double") / lit(stride.toDouble)).cast("long")
-    df.withColumn("chunk_id", explode(sequence(lit(0L), nChunks)))
+    df.withColumn(
+        "chunk_id",
+        explode(when(nChunks >= 0, sequence(lit(0L), nChunks)).otherwise(typedLit(Seq.empty[Long]))))
       .withColumn("chunk", col(textCol).substr((col("chunk_id") * stride + 1).cast("int"), lit(window)))
   }
 }

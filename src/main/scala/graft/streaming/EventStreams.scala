@@ -81,11 +81,17 @@ object EventStreams {
     * exactly-once ingest dedup feasible on an unbounded stream. (Plain
     * `dropDuplicates` on a stream never evicts — unbounded state.)
     * Works identically on a batch frame (falls back to dropDuplicates).
+    *
+    * @param tsCol the event-time column the watermark rides on
     */
-  def dedupStream(events: DataFrame, idCols: Seq[String], watermarkDelay: String): DataFrame =
+  def dedupStream(
+      events: DataFrame,
+      idCols: Seq[String],
+      watermarkDelay: String,
+      tsCol: String = "ts"): DataFrame =
     if (events.isStreaming)
       events
-        .withWatermark("ts", watermarkDelay)
+        .withWatermark(tsCol, watermarkDelay)
         .dropDuplicatesWithinWatermark(idCols)
     else events.dropDuplicates(idCols)
 
@@ -98,20 +104,24 @@ object EventStreams {
     * event-time range predicate — exactly the shape Structured
     * Streaming supports natively; the same expression joins two batch
     * frames for parity testing.
+    *
+    * Column contract: both inputs need `user_id`, `event_id`, and the
+    * event-time column named by `tsCol` (default `ts`).
     */
   def attributeClicks(
       views: DataFrame,
       clicks: DataFrame,
       windowUs: Long,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      tsCol: String = "ts"): DataFrame = {
     val v0 = views.select(
       col("user_id").as("v_user"),
       col("event_id").as("view_id"),
-      col("ts").as("view_ts"))
+      col(tsCol).as("view_ts"))
     val c0 = clicks.select(
       col("user_id").as("c_user"),
       col("event_id").as("click_id"),
-      col("ts").as("click_ts"))
+      col(tsCol).as("click_ts"))
     val (v, c) =
       if (views.isStreaming)
         (v0.withWatermark("view_ts", watermarkDelay), c0.withWatermark("click_ts", watermarkDelay))

@@ -44,4 +44,28 @@ class ConnCompSpec extends AnyFunSuite {
     val m = comps(Seq((3L, 3L), (3L, 5L)))
     assert(m == Map(3L -> 3L, 5L -> 3L))
   }
+
+  test("empty edge set returns an empty (node, component) frame, no NPE") {
+    import spark.implicits._
+    val out = Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(out.columns.toSeq == Seq("node", "component"))
+    assert(out.count() == 0)
+  }
+
+  test("non-convergence at maxIter throws instead of returning wrong labels") {
+    import spark.implicits._
+    // Path graph 0—1—…—25: diameter 25 > default maxIter 20.
+    val path = (0L until 25L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(path.toDF("a", "b"), maxIter = 10).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // With enough rounds the same graph converges to component 0.
+    val m = Dedup
+      .connectedComponents(path.toDF("a", "b"), maxIter = 40)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(m.size == 26 && m.values.forall(_ == 0L))
+  }
 }

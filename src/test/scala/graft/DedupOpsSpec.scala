@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup operator semantics: banded SimHash candidate generation must
+  * be lossless vs the exact all-pairs scan, and the exact O(n²)
+  * baselines must refuse unbounded input.
+  */
+class DedupOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("banded simHashPairs is lossless: identical pair set to the exact all-pairs scan") {
+    import spark.implicits._
+    // Deterministic pseudo-fingerprints spanning near and far Hamming
+    // distances: base patterns plus 1-, 3-, and 5-bit perturbations.
+    val base = 0x0000a5a5a5a5L
+    val rows = Seq(
+      1L -> base,
+      2L -> (base ^ 1L),                  // hamming 1 from base
+      3L -> (base ^ ((1L << 13) | (1L << 29) | (1L << 47))), // hamming 3
+      4L -> (base ^ 0x1fL),               // hamming 5 — beyond threshold
+      5L -> 0x0000ffff0000L,
+      6L -> (0x0000ffff0000L ^ (1L << 20) ^ (1L << 21)),     // hamming 2 from 5
+      7L -> 0x000000000000L
+    ).toDF("doc_id", "simhash")
+    val banded = pairs(Dedup.simHashPairs(rows, "doc_id", maxHamming = 3))
+    val exact = pairs(Dedup.simHashPairsExact(rows, "doc_id", maxHamming = 3))
+    assert(banded == exact)
+    assert(exact.contains((1L, 2L, 1L)) && exact.contains((1L, 3L, 3L)) && exact.contains((5L, 6L, 2L)))
+    assert(!exact.exists { case (a, b, _) => (a, b) == ((1L, 4L)) })
+  }
+
+  test("banded simHashPairs plans an equi-join, not a nested-loop pair scan") {
+    import spark.implicits._
+    val rows = (1L to 50L).map(i => i -> (i * 2654435761L % (1L << 48))).toDF("doc_id", "simhash")
+    val p = Dedup.simHashPairs(rows, "doc_id", 3).queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("exact all-pairs baselines refuse input larger than maxRows") {
+    import spark.implicits._
+    val sh = (1L to 30L).map(i => i -> i).toDF("doc_id", "simhash")
+    val exGuard = intercept[IllegalArgumentException] {
+      Dedup.simHashPairsExact(sh, "doc_id", 3, maxRows = 10)
+    }
+    assert(exGuard.getMessage.contains("O(n²)"))
+    val emb = (1L to 30L).map(i => i -> Array(1.0f, 0.0f)).toDF("vec_id", "embedding")
+    val exNd = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.9, maxRows = 10)
+    }
+    assert(exNd.getMessage.contains("O(n²)"))
+  }
+}

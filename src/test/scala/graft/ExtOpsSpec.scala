@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.KMinValues
-import graft.operators.{Relational, TextAnalysis}
+import graft.operators.{Dedup, Relational, TextAnalysis}
 
 /** Edge semantics of the round-2 extension operators (salted join,
   * chunking, KMV sketch).
@@ -51,6 +51,33 @@ class ExtOpsSpec extends AnyFunSuite {
     // overlap: consecutive chunks share window-stride chars
     val c4 = chunks.filter(col("id") === 4).orderBy("chunk_id").select("chunk").as[String].collect()
     assert(c4(0).takeRight(50) == c4(1).take(50))
+  }
+
+  test("chunk: empty document yields ZERO chunk rows (descending-sequence guard)") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "a"), (3L, "ab")).toDF("id", "text")
+    val chunks = TextAnalysis.chunk(docs, "text", window = 3, stride = 2)
+    val byId = chunks.groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!byId.contains(1L)) // empty doc: no chunks, no phantom chunk_id -1
+    assert(byId(2L) == 1)      // len 1 -> one chunk "a"
+    assert(byId(3L) == 1)      // len 2 (== stride) -> one chunk "ab"
+    assert(chunks.filter(col("chunk_id") < 0).count() == 0)
+  }
+
+  test("charShingles/wordNGrams: texts shorter than the width yield EMPTY arrays") {
+    import spark.implicits._
+    val df = Seq((0L, ""), (1L, "a"), (2L, "ab"), (3L, "abc"), (4L, "one two"))
+      .toDF("id", "t")
+      .select(
+        col("id"),
+        Dedup.charShingles(col("t"), 3).as("sh"),
+        Dedup.wordNGrams(col("t"), 2).as("ng"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getSeq[String](1).length).toSeq == Seq(0, 0, 0, 1, 5)) // "one two": 7 chars -> 5 shingles
+    // "one two" has 2 tokens -> one 2-gram; others have <2 tokens -> none
+    assert(rows.map(_.getSeq[String](2).length).toSeq == Seq(0, 0, 0, 0, 1))
+    assert(rows(3).getSeq[String](1) == Seq("abc"))
+    assert(rows(4).getSeq[String](2) == Seq("one two"))
   }
 
   test("KMinValues: kth smallest distinct hash, None below k, merge-order invariant") {

@@ -69,4 +69,10 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q25_ann_lsh")
     assert(!p.contains("Generate"), p)
   }
+
+  test("q21: banded SimHash candidates — equi-join, no nested-loop pair scan") {
+    val p = plan("q21_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
