@@ -1,0 +1,326 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector modeling the reference's one true table
+  * scan: the JIRA search endpoint with a SERVER-SIDE JQL predicate,
+  * `maxResults` cap, and `fields=` projection (reference etl.js:92-195,
+  * etl.js:103-105, config.json:4 — SURVEY.md §2.1 S1/S2). The fixture
+  * "server" is a JSON-lines file; the three pushdowns map exactly:
+  *
+  *  - `SupportsPushDownFilters`  → the JQL WHERE: supported predicates
+  *    are evaluated INSIDE the reader against the raw JSON, so filtered
+  *    rows never reach Spark (what a real REST source saves in network
+  *    I/O). Unsupported predicates are returned as residuals and Spark
+  *    evaluates them post-scan — never dropped.
+  *  - `SupportsPushDownLimit`    → `maxResults`: the reader stops
+  *    consuming the source once the cap is hit.
+  *  - `SupportsPushDownRequiredColumns` → `fields=`: only requested
+  *    (nested-pruned) fields are materialized into rows.
+  *
+  * Usage: `spark.read.format("graft.sources.JiraSearchSource")
+  * .option("path", file).load()` — schema defaults to the JIRA issue
+  * shape ([[JiraSearchSource.issueSchema]]); any pinned schema may be
+  * supplied via `.schema(...)` (the converter is schema-driven), which
+  * makes this the engine's general pushdown JSON table.
+  *
+  * Scale design: `pages=N` splits the scan into N input partitions
+  * (line-index modulo — the fixture analog of the reference's
+  * startAt/maxResults paging loop, helpers.js:41-88); each partition is
+  * an independent "page fetch", so a real HTTP backend would fan out
+  * across executors exactly like this.
+  */
+class JiraSearchSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    JiraSearchSource.issueSchema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new JiraTable(schema)
+}
+
+object JiraSearchSource {
+
+  private def nameStruct = StructType(Seq(StructField("name", StringType)))
+
+  /** Linked-issue payload as the search API returns it inside
+    * `issuelinks[*].outwardIssue/inwardIssue` (reference etl.js:160-174).
+    */
+  private def linkedIssue = StructType(Seq(
+    StructField("key", StringType),
+    StructField("fields", StructType(Seq(
+      StructField("summary", StringType),
+      StructField("status", nameStruct),
+      StructField("issuetype", nameStruct))))))
+
+  /** The pinned JIRA issue schema — the 13 projected fields of
+    * etl.js:127-148 plus the issuelinks array (P1/P2).
+    */
+  val issueSchema: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("fields", StructType(Seq(
+      StructField("summary", StringType),
+      StructField("customfield_12501", nameStruct),
+      StructField("reporter", nameStruct),
+      StructField("project", StructType(Seq(StructField("key", StringType)))),
+      StructField("created", StringType),
+      StructField("resolutiondate", StringType),
+      StructField("customfield_14604", DoubleType),
+      StructField("customfield_14600", DoubleType),
+      StructField("customfield_14607", DoubleType),
+      StructField("customfield_14603", DoubleType),
+      StructField("customfield_14602", DoubleType),
+      StructField("customfield_14601", DoubleType),
+      StructField("issuelinks", ArrayType(StructType(Seq(
+        StructField("type", StructType(Seq(StructField("id", StringType)))),
+        StructField("outwardIssue", linkedIssue),
+        StructField("inwardIssue", linkedIssue))))))))))
+
+  /** Resolve a (possibly dotted, nested) column path on a JSON node. */
+  private[sources] def resolve(node: JsonNode, path: String): JsonNode = {
+    var n = node
+    path.split('.').foreach { p =>
+      if (n == null || n.isNull) return null
+      n = n.get(p)
+    }
+    n
+  }
+
+  /** Can this predicate run server-side? Conservative allow-list; a
+    * predicate rejected here comes back to Spark as a residual.
+    */
+  private[sources] def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: In | _: IsNull | _: IsNotNull => true
+    case _: GreaterThan | _: GreaterThanOrEqual | _: LessThan | _: LessThanOrEqual => true
+    case _: StringStartsWith | _: StringEndsWith | _: StringContains => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case Not(c) => supported(c)
+    case _ => false
+  }
+
+  /** SQL-semantics comparison on the raw JSON value: null never
+    * matches; numbers compare as doubles, everything else as strings.
+    * Returns None for SQL NULL (unknown).
+    */
+  private def cmp(node: JsonNode, v: Any): Option[Int] = {
+    if (node == null || node.isNull) return None
+    v match {
+      case n: Number => if (node.isNumber) Some(java.lang.Double.compare(node.asDouble, n.doubleValue)) else None
+      case s: String => if (node.isTextual) Some(node.asText.compareTo(s)) else None
+      case b: java.lang.Boolean => if (node.isBoolean) Some(java.lang.Boolean.compare(node.asBoolean, b)) else None
+      case u: UTF8String => cmp(node, u.toString)
+      case _ => None
+    }
+  }
+
+  /** Evaluate a pushed predicate against a raw issue row (three-valued
+    * logic; NULL collapses to false at the top, as a WHERE does).
+    */
+  private[sources] def eval(node: JsonNode, f: Filter): Option[Boolean] = f match {
+    case EqualTo(a, v) => cmp(resolve(node, a), v).map(_ == 0)
+    case GreaterThan(a, v) => cmp(resolve(node, a), v).map(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(resolve(node, a), v).map(_ >= 0)
+    case LessThan(a, v) => cmp(resolve(node, a), v).map(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(resolve(node, a), v).map(_ <= 0)
+    case In(a, vs) =>
+      val n = resolve(node, a)
+      if (n == null || n.isNull) None else Some(vs.exists(v => cmp(n, v).contains(0)))
+    case IsNull(a) => Some { val n = resolve(node, a); n == null || n.isNull }
+    case IsNotNull(a) => Some { val n = resolve(node, a); n != null && !n.isNull }
+    case StringStartsWith(a, v) =>
+      val n = resolve(node, a); if (n == null || !n.isTextual) None else Some(n.asText.startsWith(v))
+    case StringEndsWith(a, v) =>
+      val n = resolve(node, a); if (n == null || !n.isTextual) None else Some(n.asText.endsWith(v))
+    case StringContains(a, v) =>
+      val n = resolve(node, a); if (n == null || !n.isTextual) None else Some(n.asText.contains(v))
+    case And(l, r) =>
+      (eval(node, l), eval(node, r)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+    case Or(l, r) =>
+      (eval(node, l), eval(node, r)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+    case Not(c) => eval(node, c).map(!_)
+    case _ => None
+  }
+
+  /** Schema-driven JSON → InternalRow conversion (nulls for missing or
+    * mistyped leaves — the lenient read a pinned-schema JSON source
+    * does; the schema, not the data, is the contract).
+    */
+  private[sources] def convert(node: JsonNode, dt: DataType): Any = {
+    if (node == null || node.isNull) return null
+    dt match {
+      case st: StructType =>
+        new GenericInternalRow(st.fields.map(f => convert(node.get(f.name), f.dataType)))
+      case ArrayType(et, _) =>
+        new GenericArrayData(node.elements.asScala.map(convert(_, et)).toArray)
+      case StringType =>
+        UTF8String.fromString(if (node.isTextual) node.asText else node.toString)
+      case DoubleType => if (node.isNumber) java.lang.Double.valueOf(node.asDouble) else null
+      case FloatType => if (node.isNumber) java.lang.Float.valueOf(node.asDouble.toFloat) else null
+      case LongType => if (node.isNumber) java.lang.Long.valueOf(node.asLong) else null
+      case IntegerType => if (node.isNumber) java.lang.Integer.valueOf(node.asInt) else null
+      case BooleanType => if (node.isBoolean) java.lang.Boolean.valueOf(node.asBoolean) else null
+      case _ => null
+    }
+  }
+
+  /** JQL-ish rendering of the pushed predicates for plan display. */
+  private[sources] def jql(f: Filter): String = f match {
+    case EqualTo(a, v) => s"$a = '$v'"
+    case GreaterThan(a, v) => s"$a > $v"
+    case GreaterThanOrEqual(a, v) => s"$a >= $v"
+    case LessThan(a, v) => s"$a < $v"
+    case LessThanOrEqual(a, v) => s"$a <= $v"
+    case In(a, vs) => s"$a in (${vs.mkString(", ")})"
+    case IsNull(a) => s"$a is empty"
+    case IsNotNull(a) => s"$a is not empty"
+    case StringStartsWith(a, v) => s"$a ~ '$v*'"
+    case StringEndsWith(a, v) => s"$a ~ '*$v'"
+    case StringContains(a, v) => s"$a ~ '*$v*'"
+    case And(l, r) => s"(${jql(l)} AND ${jql(r)})"
+    case Or(l, r) => s"(${jql(l)} OR ${jql(r)})"
+    case Not(c) => s"NOT ${jql(c)}"
+    case other => other.toString
+  }
+}
+
+private[sources] class JiraTable(tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = "jira_search"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JiraScanBuilder(tableSchema, options)
+}
+
+private[sources] class JiraScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownLimit
+    with SupportsPushDownRequiredColumns {
+
+  private val path = {
+    val p = options.get("path")
+    require(p != null, "jira source requires option(\"path\", <json-lines file>)")
+    p
+  }
+  private val pages = math.max(1, options.getInt("pages", 1))
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition(JiraSearchSource.supported)
+    pushed = ok
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def pruneColumns(s: StructType): Unit = { required = s }
+  override def build(): Scan = new JiraScan(path, pages, required, pushed, limit)
+}
+
+private[sources] class JiraScan(
+    path: String,
+    pages: Int,
+    required: StructType,
+    filters: Array[Filter],
+    limit: Int)
+    extends Scan
+    with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val jql = filters.map(JiraSearchSource.jql).mkString(" AND ")
+    val fields = required.fieldNames.mkString(",")
+    s"JiraSearchScan jql=[$jql] maxResults=${if (limit >= 0) limit else "all"} fields=[$fields] pages=$pages"
+  }
+  override def toString: String = description()
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until pages).map(p => JiraPage(p, pages): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JiraReaderFactory(path, required, filters, limit)
+}
+
+private[sources] case class JiraPage(page: Int, pages: Int) extends InputPartition
+
+private[sources] class JiraReaderFactory(
+    path: String,
+    required: StructType,
+    filters: Array[Filter],
+    limit: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val JiraPage(page, pages) = partition.asInstanceOf[JiraPage]
+    new JiraPartitionReader(path, page, pages, required, filters, limit)
+  }
+}
+
+/** Reads one "page" of the fixture server: line i belongs to page
+  * i % pages. The pushed JQL runs here — BEFORE a row is ever
+  * materialized for Spark — and the maxResults cap stops the read
+  * early, which is the whole point of limit pushdown on a remote
+  * source.
+  */
+private[sources] class JiraPartitionReader(
+    path: String,
+    page: Int,
+    pages: Int,
+    required: StructType,
+    filters: Array[Filter],
+    limit: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(path))
+  private val it = lines.iterator()
+  private var lineIdx = -1L
+  private var emitted = 0
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    while (it.hasNext) {
+      val line = it.next()
+      lineIdx += 1
+      if (lineIdx % pages == page && line.nonEmpty) {
+        val node = mapper.readTree(line)
+        if (filters.forall(f => JiraSearchSource.eval(node, f).contains(true))) {
+          current = JiraSearchSource.convert(node, required).asInstanceOf[GenericInternalRow]
+          emitted += 1
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+}

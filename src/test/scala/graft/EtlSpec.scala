@@ -20,58 +20,11 @@ class EtlSpec extends AnyFunSuite {
     spark.read.json(rows.toDS)
   }
 
-  private def issue(
-      key: String,
-      reviewer: String,
-      estimates: String,
-      links: String,
-      reporter: String = "rep1",
-      project: String = "PROJ1"): String = {
-    val rev = if (reviewer == null) "null" else s"""{"name": "$reviewer"}"""
-    s"""{"key": "$key", "fields": {"summary": "sum-$key", "customfield_12501": $rev,
-       |"reporter": {"name": "$reporter"}, "project": {"key": "$project"},
-       |"created": "2019-01-01T10:00:00.000+0000", "resolutiondate": "2019-02-01T10:00:00.000+0000",
-       |$estimates, "issuelinks": [$links]}}""".stripMargin.replace("\n", " ")
-  }
+  private def raw = jsonDf(JiraFixture.rawRows)
 
-  private def link(linkKey: String, typeId: String = "10211", inward: Boolean = false): String = {
-    val side = if (inward) "inwardIssue" else "outwardIssue"
-    s"""{"type": {"id": "$typeId"}, "$side": {"key": "$linkKey", "fields": {"summary": "ls-$linkKey",
-       |"status": {"name": "Done"}, "issuetype": {"name": "Development"}}}}""".stripMargin
-      .replace("\n", " ")
-  }
+  private def worklogs = jsonDf(JiraFixture.worklogRows)
 
-  private val allEst =
-    """"customfield_14604": 1.2, "customfield_14600": 2, "customfield_14607": null,
-      |"customfield_14603": 1, "customfield_14602": 0.5, "customfield_14601": 1""".stripMargin
-      .replace("\n", " ")
-
-  private def raw = jsonDf(Seq(
-    issue("F-1", "rev1", allEst, s"${link("L-1")}, ${link("L-2", inward = true)}"),
-    issue("F-2", "rev1", """"customfield_14600": 2""", link("X-9", typeId = "999")),
-    issue("F-3", "rev2", """"customfield_14603": 1""", link("L-3")),
-    issue("F-4", null, """"customfield_14600": 1""", ""),
-    issue("F-5", "rev2", """"customfield_14600": 0""", link("L-5"), project = "PROJ2")))
-
-  private def worklogs = jsonDf(Seq(
-    """{"key": "F-1", "worklogs": [{"author": {"name": "alice"}, "timeSpentSeconds": 600, "id": "1"},
-      |{"author": {"name": "bob"}, "timeSpentSeconds": 300, "id": "2"}]}""".stripMargin.replace("\n", " "),
-    """{"key": "F-2", "worklogs": []}""",
-    """{"key": "F-3", "worklogs": []}""",
-    """{"key": "F-4", "worklogs": [{"author": {"name": "carol"}, "timeSpentSeconds": 1200, "id": "3"}]}""",
-    """{"key": "F-5", "worklogs": []}""",
-    """{"key": "L-1", "worklogs": [{"author": {"name": "dev1"}, "timeSpentSeconds": 3600, "id": "4"},
-      |{"author": {"name": "dev2"}, "timeSpentSeconds": 1800, "id": "5"}]}""".stripMargin.replace("\n", " "),
-    """{"key": "L-2", "worklogs": [{"author": {"name": "dev1"}, "timeSpentSeconds": 7200, "id": "6"}]}""",
-    """{"key": "L-3", "worklogs": []}""",
-    """{"key": "L-5", "worklogs": [{"author": {"name": "dev3"}, "timeSpentSeconds": 500, "id": "7"}]}"""))
-
-  private def details = jsonDf(Seq("L-1", "L-2", "L-3", "L-5").map { k =>
-    s"""{"key": "$k", "fields": {"customfield_12501": {"name": "ldev"}, "reporter": {"name": "lrep"},
-       |"project": {"key": "LPROJ"}, "created": "2019-01-05T10:00:00.000+0000",
-       |"resolution": {"name": "Done"}, "resolutiondate": "2019-01-20T10:00:00.000+0000"}}""".stripMargin
-      .replace("\n", " ")
-  })
+  private def details = jsonDf(JiraFixture.detailRows)
 
   private def emptyErrored = {
     import spark.implicits._
@@ -136,6 +89,33 @@ class EtlSpec extends AnyFunSuite {
     assert(linksJson.contains(""""L-1""""))
     assert(linksJson.contains(""""resolution":"Done""""))
     assert(linksJson.contains(""""reviewer":"ldev""""))
+  }
+
+  test("pipeline runs end-to-end through the DSv2 connector with identical results") {
+    val path = JiraFixture.writeLines(JiraFixture.rawRows, "issues.jsonl")
+    val rawV2 = spark.read
+      .format("graft.sources.JiraSearchSource")
+      .option("path", path)
+      .load()
+    val outV2 = Etl
+      .run(rawV2, worklogs, details, emptyErrored)
+      .collect()
+      .map(r => r.getString(r.fieldIndex("key")) -> r)
+      .toMap
+    assert(outV2.keySet == out.keySet)
+    // Every flat column must match the inferred-schema pipeline run.
+    val cols = Seq("summary", "reviewer", "project", "delta", "delta_percentage",
+      "feasibility_timespent", "linked_timespent", "feasibility_estimate_total",
+      "issue_links", "worklog")
+    outV2.keySet.foreach { k =>
+      val (a, b) = (out(k), outV2(k))
+      cols.foreach { c =>
+        val (ia, ib) = (a.fieldIndex(c), b.fieldIndex(c))
+        assert(
+          (a.isNullAt(ia) && b.isNullAt(ib)) || a.get(ia) == b.get(ib),
+          s"$k.$c: ${a.get(ia)} != ${b.get(ib)}")
+      }
+    }
   }
 
   test("quality gate prunes errored parents and aborts past threshold (etl.js:249-278)") {
