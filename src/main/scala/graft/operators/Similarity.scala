@@ -166,9 +166,20 @@ object Similarity {
 
   /** Bucketed ANN: top-k by exact cosine among same-bucket candidates.
     * Recall is tunable via `bits` (fewer bits → bigger buckets → higher
-    * recall, more compute). Queries with empty buckets return fewer
-    * than k rows — the caller decides whether to fall back to brute
-    * force (multi-probe is the usual production extension).
+    * recall, more compute) and `probeBitFlips`:
+    *
+    *  - 0 (default): each query probes only its own bucket; empty or
+    *    sparse buckets may return fewer than k rows.
+    *  - 1: MULTI-PROBE — each query additionally probes every bucket
+    *    one bit-flip away (the buckets a near-miss hyperplane vote
+    *    lands in), i.e. `bits + 1` probes per query. Recall degrades
+    *    gracefully instead of falling off a bucket-boundary cliff, at
+    *    `bits + 1`× the candidate volume.
+    *
+    * The probe fan-out EXPLODES ONLY THE QUERY SIDE (the small,
+    * broadcast side); the corpus keeps exactly one bucket per vector,
+    * so the join stays a bucket-partitioned equi-join and each
+    * (query, neighbor) candidate appears at most once — no dedup pass.
     */
   def srpAnnTopK(
       queries: DataFrame,
@@ -177,16 +188,25 @@ object Similarity {
       embCol: String,
       bits: Int,
       dim: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      probeBitFlips: Int = 0): DataFrame = {
+    require(probeBitFlips <= 1, "only 1-bit-flip multi-probe is implemented")
     val buckets = srpSignature(corpus, idCol, embCol, bits, dim)
     val n = withSqNorm(corpus, embCol).join(buckets, idCol)
-    val q = n
+    val q0 = n
       .join(queries.select(col(idCol)), idCol)
       .select(
         col(idCol).as("query_id"),
         col(embCol).as("q_emb"),
         col("sq_norm").as("q_sq"),
         col("bucket"))
+    val q =
+      if (probeBitFlips == 0) q0
+      else
+        q0.withColumn(
+          "bucket",
+          explode(array(col("bucket") +:
+            (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)))
     val c = n.select(
       col(idCol).as("neighbor_id"),
       col(embCol).as("c_emb"),

@@ -104,11 +104,13 @@ object Sinks {
     * partition, so `repartition(numPartitions)` is the concurrency
     * knob the reference's unbounded async.parallel lacked. Per-row
     * error tolerance (helpers.js:100-104 swallows failures) is
-    * deliberately NOT replicated: a failed partition fails the job —
-    * all-or-nothing beats silently missing rows in a 100 TB load.
+    * deliberately NOT the default: a failed partition fails the job —
+    * all-or-nothing beats silently missing rows in a 100 TB load. The
+    * reference's row-tolerant behavior is available opt-in via
+    * [[writeJdbcTolerant]].
     *
-    * Untested in this container (no database); exercised through the
-    * same `DataFrameWriter` surface `writeParquet` covers.
+    * Exercised end-to-end against embedded Derby in SinksSpec (the
+    * container has no server database).
     */
   def writeJdbc(
       df: DataFrame,
@@ -123,4 +125,128 @@ object Sinks {
       .mode(mode)
       .option("batchsize", batchSize.toLong)
       .jdbc(url, table, props)
+
+  private def jdbcNullType(dt: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => java.sql.Types.VARCHAR
+      case DoubleType => java.sql.Types.DOUBLE
+      case FloatType => java.sql.Types.FLOAT
+      case LongType => java.sql.Types.BIGINT
+      case IntegerType => java.sql.Types.INTEGER
+      case BooleanType => java.sql.Types.BOOLEAN
+      case _: DecimalType => java.sql.Types.DECIMAL
+      case TimestampType => java.sql.Types.TIMESTAMP
+      case DateType => java.sql.Types.DATE
+      case _ => java.sql.Types.VARCHAR
+    }
+  }
+
+  /** Opt-in per-ROW-tolerant JDBC load — the reference's exact loading
+    * semantics (helpers.js:100-104: each row's insert failure is
+    * swallowed and logged; the batch continues). One connection per
+    * partition, autocommit per row so a poisoned row rolls back only
+    * itself; failures are counted on an accumulator and returned —
+    * the caller decides whether the loss rate is acceptable (the same
+    * contract as the quality gate).
+    *
+    * Column names are quoted verbatim, matching Spark's own JDBC
+    * writer, so reference-named columns like `key` work.
+    *
+    * @return number of rows that failed to insert
+    */
+  def writeJdbcTolerant(
+      df: DataFrame,
+      url: String,
+      table: String,
+      props: Properties,
+      numPartitions: Int = 8): Long = {
+    val failures = df.sparkSession.sparkContext.longAccumulator("jdbc_row_failures")
+    val schema = df.schema
+    val insertSql =
+      s"""INSERT INTO $table (${schema.fieldNames.map(c => "\"" + c + "\"").mkString(", ")})
+         | VALUES (${schema.fieldNames.map(_ => "?").mkString(", ")})""".stripMargin
+    val info = new Properties()
+    info.putAll(props)
+    df.repartition(numPartitions).rdd.foreachPartition { rows =>
+      val conn = java.sql.DriverManager.getConnection(url, info)
+      try {
+        conn.setAutoCommit(true)
+        val ps = conn.prepareStatement(insertSql)
+        rows.foreach { row =>
+          try {
+            schema.fields.zipWithIndex.foreach { case (f, i) =>
+              if (row.isNullAt(i)) ps.setNull(i + 1, jdbcNullType(f.dataType))
+              else ps.setObject(i + 1, row.get(i))
+            }
+            ps.executeUpdate()
+          } catch {
+            case _: java.sql.SQLException => failures.add(1)
+          }
+        }
+        ps.close()
+      } finally conn.close()
+    }
+    failures.value
+  }
+
+  /** G6 — the star-schema DDL bootstrap (reference schema.sql:22-59):
+    * `project` and `jira_user` dims plus the `feasibility` fact with
+    * its PK/FK constraints, issued over plain JDBC. Identifiers are
+    * quoted lowercase so they match Spark's quoted JDBC inserts
+    * (`key` is a reserved word; Derby/Postgres would otherwise
+    * case-fold unquoted names in opposite directions).
+    *
+    * Type mapping for embedded Derby: SERIAL → ids come from
+    * [[Relational.dimGetOrCreate]] Spark-side (the trigger rewrite owns
+    * id assignment, so the column is a plain BIGINT), JSON and
+    * TIMESTAMP WITH TIME ZONE → string columns (Derby has neither; the
+    * engine stores the serialized forms it produces). NULLABLE string
+    * columns must be CLOB: Spark's Derby dialect maps StringType to
+    * CLOB, and its setNull(Types.CLOB) is rejected by a VARCHAR
+    * column. NOT NULL strings (and the PK, which cannot be CLOB) stay
+    * VARCHAR — they never take a null.
+    */
+  def bootstrapStarSchema(url: String, props: Properties): Unit = {
+    val ddl = Seq(
+      """CREATE TABLE "project" (
+        | "id" BIGINT NOT NULL UNIQUE,
+        | "name" VARCHAR(255) NOT NULL,
+        | CONSTRAINT "project_pk" PRIMARY KEY ("id", "name"))""".stripMargin,
+      """CREATE TABLE "jira_user" (
+        | "id" BIGINT NOT NULL UNIQUE,
+        | "username" VARCHAR(255) NOT NULL,
+        | CONSTRAINT "user_pk" PRIMARY KEY ("id", "username"))""".stripMargin,
+      """CREATE TABLE "feasibility" (
+        | "key" VARCHAR(64) NOT NULL,
+        | "summary" VARCHAR(4000) NOT NULL,
+        | "created" VARCHAR(64) NOT NULL,
+        | "resolution_date" CLOB,
+        | "design_estimate" DOUBLE,
+        | "development_estimate" DOUBLE NOT NULL,
+        | "development_pad_estimate" DOUBLE,
+        | "pe_estimate" DOUBLE,
+        | "pm_estimate" DOUBLE,
+        | "qa_estimate" DOUBLE,
+        | "issue_links" CLOB,
+        | "worklog" CLOB,
+        | "feasibility_timespent" DOUBLE,
+        | "issue_links_timespent" DOUBLE,
+        | "feasibility_estimate_total" DOUBLE,
+        | "delta_percentage" DOUBLE,
+        | "delta" DOUBLE,
+        | "fk_reviewer" BIGINT NOT NULL,
+        | "fk_reporter" BIGINT NOT NULL,
+        | "fk_project" BIGINT NOT NULL,
+        | CONSTRAINT "feas_pk" PRIMARY KEY ("key"),
+        | CONSTRAINT "reviewer_fk" FOREIGN KEY ("fk_reviewer") REFERENCES "jira_user" ("id"),
+        | CONSTRAINT "reporter_fk" FOREIGN KEY ("fk_reporter") REFERENCES "jira_user" ("id"),
+        | CONSTRAINT "project_fk" FOREIGN KEY ("fk_project") REFERENCES "project" ("id"))""".stripMargin)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      ddl.foreach(st.executeUpdate)
+      st.close()
+    } finally conn.close()
+  }
 }

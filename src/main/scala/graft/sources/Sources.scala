@@ -51,7 +51,8 @@ object Sources {
   /** Partitioned JDBC scan — the read twin of [[Sinks.writeJdbc]].
     * `partitionColumn` + bounds split the table into `numPartitions`
     * range predicates, one connection each: the only way a JDBC scan
-    * parallelizes. Untested in this container (no database).
+    * parallelizes. Exercised (unpartitioned form) against embedded
+    * Derby in JdbcSinkSpec's write-read-back round trip.
     */
   def jdbc(
       spark: SparkSession,
