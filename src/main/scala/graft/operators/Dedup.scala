@@ -63,6 +63,59 @@ object Dedup {
         .otherwise(typedLit(Seq.empty[String])))
   }
 
+  /** Word `n`-grams WITH multiplicity and order (the counting twin of
+    * [[wordNGrams]]) — the unit of corpus-frequency statistics
+    * (vocabulary induction, boilerplate mining), where a repeated
+    * bigram must count every occurrence.
+    */
+  def wordNGramsAll(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    val m = size(toks) - (n - 1)
+    when(m >= 1, transform(
+      sequence(lit(1), m),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(typedLit(Seq.empty[String]))
+  }
+
+  /** Winnowing fingerprints (the MOSS local document fingerprint): hash
+    * every character `k`-gram, then keep the MINIMUM hash of each
+    * sliding window of `w` consecutive k-gram hashes; adds `outCol`
+    * with the sorted distinct minima. Any shared substring of length
+    * ≥ k+w−1 between two documents is guaranteed to contribute at
+    * least one common fingerprint — the substring-robust dedup signal
+    * that order-insensitive [[fingerprint]] cannot give. Per-row array
+    * expressions over the shared md5-derived [[Hashing.h32]], so the
+    * DuckDB oracle reproduces fingerprints bit-for-bit. Documents
+    * shorter than k+w−1 characters yield an empty fingerprint set
+    * (same descending-`sequence` guard as [[charShingles]]).
+    *
+    * DataFrame-staged (not a single Column) ON PURPOSE: the hash array
+    * must be a MATERIALIZED attribute before the window pass. Inlined
+    * as one expression, the per-window lambda would re-evaluate the
+    * whole O(len) md5 array for every window — O(len²) md5 calls per
+    * row (measured: hung the sf0.001 verify). The window projection
+    * references the hash column twice (size + slice), which is exactly
+    * the guard Catalyst's CollapseProject honors for non-cheap
+    * aliases — same trick as [[minHashSignature]].
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String, k: Int, w: Int, outCol: String): DataFrame = {
+    val nGrams = length(col(textCol)) - (k - 1)
+    val grams = when(
+      nGrams >= 1,
+      transform(sequence(lit(1), nGrams), i => lower(col(textCol)).substr(i, lit(k))))
+      .otherwise(typedLit(Seq.empty[String]))
+    val nWins = size(col("__wf_hs")) - (w - 1)
+    df.withColumn("__wf_hs", transform(grams, g => h32(g)))
+      .withColumn(
+        "__wf_mins",
+        when(
+          nWins >= 1,
+          transform(sequence(lit(1), nWins), j => array_min(slice(col("__wf_hs"), j, lit(w)))))
+          .otherwise(typedLit(Seq.empty[Long])))
+      .withColumn(outCol, array_sort(array_distinct(col("__wf_mins"))))
+      .drop("__wf_hs", "__wf_mins")
+  }
+
   /** Exact dedup bookkeeping: group by full content hash, keep the
     * minimum id as the canonical row ("keep first"), count copies.
     * One shuffle on the 128-bit hash — uniform by construction, so no

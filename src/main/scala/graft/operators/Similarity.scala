@@ -224,4 +224,71 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
+
+  /** IVF (inverted-file) ANN — the OTHER production scale path next to
+    * SRP-LSH: partition the corpus into cells by nearest centroid, then
+    * search only the `nProbe` cells nearest each query.
+    *
+    *  - Cell assignment is a broadcast of the tiny centroid set against
+    *    the streaming corpus (one pass, nCentroids× expansion, then a
+    *    shuffle-agg `max(struct(cos, -cell))` argmax — deterministic,
+    *    ties to the smaller cell id, no window over the corpus).
+    *  - Each corpus vector lives in EXACTLY one cell, so the probe join
+    *    is an equi-join on cell and a (query, neighbor) candidate
+    *    appears at most once — no dedup pass.
+    *  - Exact decimal cosine everywhere (assignment, probing, scoring):
+    *    bit-identical to the DuckDB oracle and across partitionings.
+    *
+    * Centroids are caller-provided (e.g. a deterministic sample or a
+    * k-means fit done upstream); `centroidIdCol` must not collide with
+    * the corpus id space semantics — it is only a cell label.
+    */
+  def ivfAnnTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: DataFrame,
+      centroidIdCol: String,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    val cen = withSqNorm(centroids, embCol)
+      .select(col(centroidIdCol).as("cell"), col(embCol).as("c_emb"), col("sq_norm").as("c_sq"))
+    def cellScore(emb: Column, sq: Column): Column =
+      cosine(dot(emb, col("c_emb")), sq, col("c_sq"))
+    val n = withSqNorm(corpus, embCol).select(col(idCol), col(embCol), col("sq_norm"))
+    // argmax over centroids: max of (cos, -cell) picks highest cosine,
+    // then the smaller cell id on ties
+    val cells = n
+      .crossJoin(broadcast(cen))
+      .groupBy(col(idCol))
+      .agg(max(struct(cellScore(col(embCol), col("sq_norm")).as("cos"), (-col("cell")).as("neg"))).as("best"))
+      .select(col(idCol), (-col("best.neg")).as("cell"))
+    val c = n
+      .join(cells, Seq(idCol.toString))
+      .select(
+        col(idCol).as("neighbor_id"),
+        col(embCol).as("c_emb2"),
+        col("sq_norm").as("c_sq2"),
+        col("cell"))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cell"))
+    val probes = withSqNorm(queries, embCol)
+      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"), col("sq_norm").as("q_sq"))
+      .crossJoin(broadcast(cen))
+      .select(col("query_id"), col("q_emb"), col("q_sq"), col("cell"), cellScore(col("q_emb"), col("q_sq")).as("cos"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "q_emb", "q_sq", "cell")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes)
+      .join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosine(dot(col("q_emb"), col("c_emb2")), col("q_sq"), col("c_sq2")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
 }

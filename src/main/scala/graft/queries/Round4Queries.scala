@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.queries.CoreQueries.Q
 
 /** Round-4 surface: edge-semantics gates for the text operators
@@ -62,11 +62,154 @@ object Round4Queries {
       |FROM sh JOIN c ON sh.doc_id = c.doc_id
       |ORDER BY sh.doc_id NULLS FIRST""".stripMargin
 
+  /** q76 — IVF ANN: cells from 16 deterministic centroids (the 16
+    * lowest vec_ids), queries 100–109 probe their 2 nearest cells,
+    * exact-cosine top-3 within probed cells. The inverted-file twin of
+    * q25's SRP-LSH — both turn ANN into a bucket equi-join; IVF buys
+    * data-adaptive cells for the cost of the centroid pass.
+    */
+  val q76IvfAnn: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity
+      .ivfAnnTopK(
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 110),
+        emb,
+        "vec_id",
+        "embedding",
+        emb.filter(col("vec_id") < 16),
+        "vec_id",
+        nProbe = 2,
+        k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q76Sql: String =
+    """WITH x AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding,1) AS pos FROM embeddings),
+      |n AS (SELECT vec_id, CAST(SUM(CAST(CAST(v AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS sq
+      |      FROM x GROUP BY vec_id),
+      |cx AS (SELECT * FROM x WHERE vec_id < 16),
+      |dc AS (SELECT a.vec_id AS vid, b.vec_id AS cell,
+      |        CAST(SUM(CAST(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS dot
+      |       FROM x a JOIN cx b ON a.pos = b.pos GROUP BY 1,2),
+      |sc AS (SELECT vid, cell, dot/(sqrt(na.sq)*sqrt(nc.sq)) AS cos
+      |       FROM dc JOIN n na ON dc.vid = na.vec_id JOIN n nc ON dc.cell = nc.vec_id),
+      |cells AS (SELECT vid, cell FROM
+      |  (SELECT vid, cell, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cell) AS rn FROM sc)
+      |  WHERE rn = 1),
+      |probes AS (SELECT vid AS query_id, cell FROM
+      |  (SELECT vid, cell, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cell) AS rn
+      |   FROM sc WHERE vid BETWEEN 100 AND 109)
+      |  WHERE rn <= 2),
+      |cand AS (SELECT p.query_id, c.vid AS neighbor_id
+      |         FROM probes p JOIN cells c ON p.cell = c.cell WHERE c.vid <> p.query_id),
+      |dp AS (SELECT cand.query_id, cand.neighbor_id,
+      |        CAST(SUM(CAST(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS dot
+      |       FROM cand
+      |       JOIN x a ON a.vec_id = cand.query_id
+      |       JOIN x b ON b.vec_id = cand.neighbor_id AND b.pos = a.pos
+      |       GROUP BY 1,2),
+      |scored AS (SELECT dp.query_id, dp.neighbor_id, dot/(sqrt(nq.sq)*sqrt(nn.sq)) AS cos
+      |           FROM dp JOIN n nq ON dp.query_id = nq.vec_id JOIN n nn ON dp.neighbor_id = nn.vec_id)
+      |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos FROM
+      |  (SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |   FROM scored)
+      |WHERE rank <= 3
+      |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+
+  /** q77 — PII redaction: emails and phone numbers (synthesized
+    * deterministically per doc, since the fixture corpus carries none)
+    * detected and replaced with placeholder tags; gate hashes the
+    * redacted text. The scrub pass every training-data pipeline runs
+    * before tokenization; pure per-row regex — shuffle-free.
+    */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  val q77PiiRedact: Q = (s, d) => {
+    val aug = concat(
+      col("text"),
+      lit(" contact user"),
+      col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"),
+      lpad(col("doc_id").cast("string"), 4, "0"))
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(aug, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(aug, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(aug, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")).as("red_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q77Sql: String =
+    """WITH a AS (SELECT doc_id,
+      |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS aug
+      | FROM documents)
+      |SELECT doc_id,
+      | CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      | CAST(len(regexp_extract_all(aug, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+      | md5(regexp_replace(regexp_replace(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'), '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS red_md5
+      |FROM a ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** q78 — corpus bigram heavy hitters (vocabulary-induction merge
+    * candidates): count every word-bigram occurrence across the corpus,
+    * top 20. One explode + one count shuffle + TakeOrdered — the
+    * canonical frequency-statistics shape at any corpus size.
+    */
+  val q78BigramTop: Q = (s, d) =>
+    Tables
+      .documents(s, d)
+      .select(explode(Dedup.wordNGramsAll(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+
+  val q78Sql: String =
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT unnest([ws[i]||' '||ws[i+1] for i in range(1, CAST(len(ws) AS BIGINT))]) AS bigram FROM w)
+      |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM g GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
+
+  /** q79 — winnowing fingerprints (k=5 char-grams, window w=4): the
+    * substring-robust local fingerprint set per document, surfaced as
+    * count + md5 of the sorted fingerprint list so the gate pins every
+    * fingerprint value without megabyte rows.
+    */
+  val q79Winnow: Q = (s, d) =>
+    Dedup
+      .winnowFingerprints(Tables.documents(s, d), "text", 5, 4, "fps")
+      .select(
+        col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        md5(array_join(transform(col("fps"), _.cast("string")), ",")).as("fp_md5"))
+      .orderBy(col("doc_id"))
+
+  val q79Sql: String =
+    """WITH g AS (SELECT doc_id,
+      |  [substr(lower(text), i, 5) for i in range(1, CAST(length(text)-3 AS BIGINT))] AS gs
+      | FROM documents),
+      |h AS (SELECT doc_id, list_transform(gs, t -> CAST('0x'||substr(md5(t),1,8) AS BIGINT)) AS hs FROM g),
+      |m AS (SELECT doc_id, [list_min(hs[j:j+3]) for j in range(1, CAST(len(hs)-2 AS BIGINT))] AS mins FROM h),
+      |f AS (SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m)
+      |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, md5(array_to_string(fps, ',')) AS fp_md5
+      |FROM f ORDER BY doc_id NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
-    "q75_edge_text" -> q75EdgeText
+    "q75_edge_text" -> q75EdgeText,
+    "q76_ivf_ann" -> q76IvfAnn,
+    "q77_pii_redact" -> q77PiiRedact,
+    "q78_bigram_top" -> q78BigramTop,
+    "q79_winnow" -> q79Winnow
   )
 
   val oracles: Map[String, String] = Map(
-    "q75_edge_text" -> q75Sql
+    "q75_edge_text" -> q75Sql,
+    "q76_ivf_ann" -> q76Sql,
+    "q77_pii_redact" -> q77Sql,
+    "q78_bigram_top" -> q78Sql,
+    "q79_winnow" -> q79Sql
   )
 }

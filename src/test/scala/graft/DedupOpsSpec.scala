@@ -43,6 +43,45 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("winnowing: shared substrings share fingerprints; short/empty docs get empty sets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "xxxx hello world yyyy"),
+      (2L, "zzzz hello world wwww"),
+      (3L, "totally unrelated words here"),
+      (4L, ""),
+      (5L, "abcdefg")) // 7 chars < k+w-1 = 8 -> grams exist but no full window
+      .toDF("id", "text")
+    val fp = Dedup
+      .winnowFingerprints(docs, "text", k = 5, w = 4, outCol = "fps")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](r.fieldIndex("fps")).toSet)
+      .toMap
+    // guarantee: shared substring of length >= k+w-1 shares >= 1 fingerprint
+    assert(fp(1L).intersect(fp(2L)).nonEmpty)
+    assert(fp(1L).intersect(fp(3L)).isEmpty)
+    assert(fp(4L).isEmpty && fp(5L).isEmpty)
+  }
+
+  test("winnowing: hash array is materialized once per row (no quadratic re-evaluation)") {
+    import spark.implicits._
+    // 200 docs x 600 chars: O(len) per row finishes instantly; the
+    // inlined-lambda O(len^2) md5 blowup this guards against took
+    // minutes on the same shape.
+    val docs = (1L to 200L)
+      .map(i => (i, (s"doc$i " * 100).take(600)))
+      .toDF("id", "text")
+    val t0 = System.nanoTime()
+    val n = Dedup
+      .winnowFingerprints(docs, "text", 5, 4, "fps")
+      .agg(sum(size(col("fps"))))
+      .collect()(0)
+      .getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n > 0)
+    assert(secs < 60.0, s"winnowing took ${secs}s — hash array is being re-evaluated per window")
+  }
+
   test("exact all-pairs baselines refuse input larger than maxRows") {
     import spark.implicits._
     val sh = (1L to 30L).map(i => i -> i).toDF("doc_id", "simhash")
