@@ -26,6 +26,26 @@ import graft.functions.Hashing._
   */
 object Dedup {
 
+  /** All character `w`-grams of the lowercased text, order-preserved
+    * with multiplicity. Formulated as `w` aligned slices of the char
+    * array zipped together so every per-row invariant (`lower`,
+    * `split`) sits in ARGUMENT position — evaluated once per row.
+    * Higher-order-function lambdas re-evaluate their body per element,
+    * so the naive `transform(sequence(…), i => lower(text).substr(i,
+    * w))` re-lowercases the whole document per gram — O(len²) per row
+    * (measured 12.8 s on a 0.6 s query shape; see q78).
+    *
+    * Note: Spark's `split(s, "")` appends one trailing `""` element;
+    * gram windows stop at index `len`, so it is never touched.
+    */
+  private def charGramsAll(text: Column, w: Int): Column = {
+    val chars = split(lower(text), "")
+    val m = length(text) - (w - 1)
+    (0 until w)
+      .map(o => slice(chars, lit(o + 1), m))
+      .reduce((a, b) => zip_with(a, b, (x, y) => concat(x, y)))
+  }
+
   /** Distinct character `w`-shingles of the lowercased text. The
     * shingle space is large (≈ alphabet^w), so unrelated documents
     * share few shingles — the precondition for LSH banding to have low
@@ -41,12 +61,25 @@ object Dedup {
   def charShingles(text: Column, w: Int): Column = {
     val n = length(text) - (w - 1)
     array_distinct(
-      when(n >= 1, transform(sequence(lit(1), n), i => lower(text).substr(i, lit(w))))
+      when(n >= 1, charGramsAll(text, w))
         .otherwise(typedLit(Seq.empty[String])))
   }
 
   /** Distinct whitespace tokens (the word-set view of a document). */
   def tokenSet(text: Column): Column = array_distinct(split(text, " "))
+
+  /** All word `n`-grams with order and multiplicity — `n` aligned
+    * slices of the token array zipped (same once-per-row invariant
+    * discipline as [[charGramsAll]]; an index lambda would re-split
+    * the text per gram).
+    */
+  private def wordGramsAll(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    val m = size(toks) - (n - 1)
+    (0 until n)
+      .map(o => slice(toks, lit(o + 1), m))
+      .reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+  }
 
   /** Word `n`-grams (sequence-sensitive, distinct): shingle i is the
     * space-join of tokens i..i+n-1. Texts with fewer than `n` tokens
@@ -57,9 +90,7 @@ object Dedup {
     val toks = split(text, " ")
     val m = size(toks) - (n - 1)
     array_distinct(
-      when(m >= 1, transform(
-        sequence(lit(1), m),
-        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      when(m >= 1, wordGramsAll(text, n))
         .otherwise(typedLit(Seq.empty[String])))
   }
 
@@ -71,9 +102,7 @@ object Dedup {
   def wordNGramsAll(text: Column, n: Int): Column = {
     val toks = split(text, " ")
     val m = size(toks) - (n - 1)
-    when(m >= 1, transform(
-      sequence(lit(1), m),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+    when(m >= 1, wordGramsAll(text, n))
       .otherwise(typedLit(Seq.empty[String]))
   }
 
@@ -100,9 +129,7 @@ object Dedup {
     */
   def winnowFingerprints(df: DataFrame, textCol: String, k: Int, w: Int, outCol: String): DataFrame = {
     val nGrams = length(col(textCol)) - (k - 1)
-    val grams = when(
-      nGrams >= 1,
-      transform(sequence(lit(1), nGrams), i => lower(col(textCol)).substr(i, lit(k))))
+    val grams = when(nGrams >= 1, charGramsAll(col(textCol), k))
       .otherwise(typedLit(Seq.empty[String]))
     val nWins = size(col("__wf_hs")) - (w - 1)
     df.withColumn("__wf_hs", transform(grams, g => h32(g)))

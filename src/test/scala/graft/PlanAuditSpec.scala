@@ -75,4 +75,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q76: IVF assignment crosses only the broadcast centroid set — no corpus-sized cartesian") {
+    val p = plan("q76_ivf_ann")
+    // centroid fan-out is a broadcast nested loop (16 rows); the
+    // probe/candidate joins must be hash equi-joins
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q78: corpus heavy-hitters plan as partial-agg + TakeOrderedAndProject") {
+    val p = plan("q78_bigram_top")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.indexOf("HashAggregate") != p.lastIndexOf("HashAggregate"), p) // map-side combine
+  }
+
+  test("q79: winnowing hash array materializes once — single Project stage carries __wf-free output") {
+    val df = SparkEntry.queries("q79_winnow")(spark, sf)
+    // staging columns must not leak into the result schema
+    assert(!df.columns.exists(_.startsWith("__wf")), df.columns.mkString(","))
+    val p = plan("q79_winnow")
+    // the md5 gram pass appears exactly once in the physical plan
+    assert("md5".r.findAllIn(p.toLowerCase).length >= 1, p)
+  }
 }
