@@ -143,6 +143,40 @@ object Dedup {
       .drop("__wf_hs", "__wf_mins")
   }
 
+  /** Winnowing candidate pairs: documents sharing at least one RARE
+    * fingerprint (document frequency ≤ `maxDocFreq`), with the shared
+    * count. The pair generation is an equi-join on fingerprint value —
+    * the LSH shape again — and the doc-frequency filter is the
+    * standard winnowing "drop overly-common fingerprints" step (MOSS
+    * does the same): it bounds every join bucket at `maxDocFreq` docs,
+    * so pair mass per fingerprint is ≤ maxDocFreq², independent of
+    * corpus size. Without it, boilerplate fingerprints shared by the
+    * whole corpus would make the join quadratic.
+    *
+    * @return (doc_a, doc_b, n_shared) for doc_a < doc_b
+    */
+  def winnowCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      maxDocFreq: Long): DataFrame = {
+    val fps = winnowFingerprints(df.select(col(idCol), col(textCol)), textCol, k, w, "__wf_fps")
+      .select(col(idCol), explode(col("__wf_fps")).as("fp"))
+    val rare = fps
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("fp")
+    val rf = fps.join(rare, "fp")
+    rf.select(col(idCol).as("doc_a"), col("fp"))
+      .join(rf.select(col(idCol).as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Exact dedup bookkeeping: group by full content hash, keep the
     * minimum id as the canonical row ("keep first"), count copies.
     * One shuffle on the 128-bit hash — uniform by construction, so no

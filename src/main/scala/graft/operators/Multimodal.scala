@@ -15,11 +15,18 @@ import org.apache.spark.sql.functions._
   * across the whole batch, and partition sizing
   * (`spark.sql.files.maxPartitionBytes`) bounds peak decode memory.
   *
-  * The actual codec calls are STUBS (this container has no image/audio
-  * libraries): `decodeStub` derives deterministic fake features from
-  * the bytes. The Spark-side plumbing — schemas, encoders, partition
-  * iteration, batch shape — is real and tested; swapping the stub body
-  * for JNI/javacpp codec calls changes nothing structural.
+  * Two decode tiers:
+  *
+  *  - REAL image decode/resize via the JDK's built-in `javax.imageio`
+  *    codecs (PNG/BMP/JPEG/GIF — no external libraries):
+  *    [[decodeImagesJdk]] reads actual pixels, [[resizePayloads]]
+  *    resamples and re-encodes. Deterministic (software rasterizer,
+  *    nearest-neighbor interpolation), headless-safe.
+  *  - STUBS where the JDK has no codec (audio/video):
+  *    [[sampleFrames]] derives deterministic fake features from the
+  *    bytes, keeping the explode shape real. [[decodeImages]] is the
+  *    byte-stat twin whose output the DuckDB oracle can verify (q30) —
+  *    DuckDB cannot decode PNGs, so the pixel path is spec-gated.
   */
 object Multimodal {
 
@@ -90,6 +97,127 @@ object Multimodal {
   def decodeImages(records: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[DecodedImage] = {
     import spark.implicits._
     records.mapPartitions(_.map(decodeStub))
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(bytes)
+      .map("%02x".format(_))
+      .mkString
+
+  /** Deterministic grayscale PNG from a text row — the fixture
+    * generator for the REAL codec path: dims derive from the text
+    * length, pixel (x,y) is the char at `(x + y·w) mod len`. Real
+    * PNG bytes, so [[decodeImagesJdk]] exercises an actual codec.
+    */
+  def encodeGrayPng(docId: Long, text: String): MediaRecord = {
+    val len = text.length
+    val w = 16 + (len % 32)
+    val h = 16 + ((len / 32) % 32)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = if (len == 0) 0 else text.charAt((x + y * w) % len).toInt & 0xff
+        raster.setSample(x, y, 0, v)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val bytes = baos.toByteArray
+    MediaRecord(docId, bytes, MediaMeta("image/png", bytes.length.toLong, md5Hex(bytes), w, h, 1))
+  }
+
+  /** Real-PNG fixture corpus: one generated payload per document row.
+    * `mapPartitions` so the (class-loaded, warmed) ImageIO plugin
+    * registry is shared across the partition's rows.
+    */
+  def generatePngRecords(docs: DataFrame, idCol: String, textCol: String)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("_id"), col(textCol).cast("string").as("_t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => encodeGrayPng(id, t) })
+  }
+
+  /** REAL image decode — the JDK codec path (`javax.imageio`, PNG/BMP/
+    * JPEG/GIF): reads actual pixels, Rec.601 luma mean and a 16-bin
+    * luma histogram. `mapPartitions`: codec registry init amortizes
+    * across each partition; the iterator keeps peak memory at one
+    * decoded image per step. Undecodable payloads fail loudly with the
+    * doc id (a silent null would poison downstream dedup).
+    */
+  def decodeImagesJdk(records: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[DecodedImage] = {
+    import spark.implicits._
+    records.mapPartitions(_.map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"undecodable image payload for doc ${r.docId}")
+      val w = img.getWidth
+      val h = img.getHeight
+      // Single-band (gray) images: read raster samples directly —
+      // getRGB would route them through color management (gamma) and
+      // come back non-identity. Multi-band: Rec.601 luma from RGB.
+      val gray = img.getRaster.getNumBands == 1
+      val hist = new Array[Long](16)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val luma =
+            if (gray) img.getRaster.getSample(x, y, 0).toDouble
+            else {
+              val rgb = img.getRGB(x, y)
+              0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            }
+          sum += luma
+          hist(math.min((luma / 16).toInt, 15)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(r.docId, w, h, sum / (w.toLong * h), hist)
+    })
+  }
+
+  /** REAL resize: decode → nearest-neighbor resample (deterministic —
+    * no float filtering kernels) → re-encode PNG → fresh payload +
+    * metadata. Images already within `maxSide` pass through untouched
+    * (byte-identical payload, same contentHash).
+    */
+  def resizePayloads(records: Dataset[MediaRecord], maxSide: Int)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    records.mapPartitions(_.map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"undecodable image payload for doc ${r.docId}")
+      val scale = maxSide.toDouble / math.max(img.getWidth, img.getHeight)
+      if (scale >= 1.0) r
+      else {
+        val nw = math.max(1, math.round(img.getWidth * scale).toInt)
+        val nh = math.max(1, math.round(img.getHeight * scale).toInt)
+        val out = new java.awt.image.BufferedImage(nw, nh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = out.createGraphics()
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g.drawImage(img, 0, 0, nw, nh, null)
+        g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        val bytes = baos.toByteArray
+        MediaRecord(
+          r.docId,
+          bytes,
+          r.meta.copy(byteLen = bytes.length.toLong, contentHash = md5Hex(bytes), width = nw, height = nh))
+      }
+    })
   }
 
   /** STUB resize: recomputes target dims preserving aspect; a real

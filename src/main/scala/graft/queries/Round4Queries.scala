@@ -197,12 +197,37 @@ object Round4Queries {
       |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, md5(array_to_string(fps, ',')) AS fp_md5
       |FROM f ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** q80 — winnowing near-dup candidates: pairs of documents sharing
+    * rare winnowing fingerprints (df ≤ 10), with shared counts — the
+    * substring-level candidate generator that complements MinHash
+    * (set-level, q20) and SimHash (token-vote, q21). Equi-join on
+    * fingerprint, bucket size bounded by the rarity filter.
+    */
+  val q80WinnowPairs: Q = (s, d) =>
+    Dedup
+      .winnowCandidatePairs(Tables.documents(s, d), "doc_id", "text", k = 5, w = 4, maxDocFreq = 10)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val q80Sql: String =
+    """WITH g AS (SELECT doc_id,
+      |  [substr(lower(text), i, 5) for i in range(1, CAST(length(text)-3 AS BIGINT))] AS gs
+      | FROM documents),
+      |h AS (SELECT doc_id, list_transform(gs, t -> CAST('0x'||substr(md5(t),1,8) AS BIGINT)) AS hs FROM g),
+      |m AS (SELECT doc_id, [list_min(hs[j:j+3]) for j in range(1, CAST(len(hs)-2 AS BIGINT))] AS mins FROM h),
+      |f AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m),
+      |rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 10),
+      |rf AS (SELECT doc_id, fp FROM f JOIN rare USING (fp))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM rf a JOIN rf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q75_edge_text" -> q75EdgeText,
     "q76_ivf_ann" -> q76IvfAnn,
     "q77_pii_redact" -> q77PiiRedact,
     "q78_bigram_top" -> q78BigramTop,
-    "q79_winnow" -> q79Winnow
+    "q79_winnow" -> q79Winnow,
+    "q80_winnow_pairs" -> q80WinnowPairs
   )
 
   val oracles: Map[String, String] = Map(
@@ -210,6 +235,7 @@ object Round4Queries {
     "q76_ivf_ann" -> q76Sql,
     "q77_pii_redact" -> q77Sql,
     "q78_bigram_top" -> q78Sql,
-    "q79_winnow" -> q79Sql
+    "q79_winnow" -> q79Sql,
+    "q80_winnow_pairs" -> q80Sql
   )
 }

@@ -65,6 +65,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(small.width == 20 && small.height == 10)
   }
 
+  test("JDK codec path: real PNG payloads decode to the generated pixels") {
+    implicit val s = spark
+    val recs = Multimodal.generatePngRecords(
+      Tables.documents(spark, sf).filter(col("doc_id") < 10), "doc_id", "text")
+    val rows = recs.collect()
+    rows.foreach { r =>
+      // PNG magic bytes — these are real encoded images
+      assert((r.payload(0) & 0xff) == 0x89 && r.payload(1) == 'P'.toByte)
+      assert(r.meta.mediaType == "image/png")
+    }
+    val decoded = Multimodal.decodeImagesJdk(recs).collect().map(d => d.docId -> d).toMap
+    val texts = Tables.documents(spark, sf).filter(col("doc_id") < 10)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    decoded.foreach { case (id, im) =>
+      val len = texts(id).length
+      assert(im.width == 16 + (len % 32) && im.height == 16 + ((len / 32) % 32))
+      // gray pixel v decodes to luma v (0.299+0.587+0.114 = 1)
+      val expectedMean = {
+        val t = texts(id)
+        val n = im.width * im.height
+        (0 until n).map(i => (t.charAt(i % len).toInt & 0xff).toDouble).sum / n
+      }
+      assert(math.abs(im.meanLuma - expectedMean) < 1e-6, s"doc $id")
+      assert(im.histogram.sum == im.width.toLong * im.height)
+    }
+  }
+
+  test("JDK codec path: resize resamples, re-encodes, and passes through small images") {
+    implicit val s = spark
+    val recs = Multimodal.generatePngRecords(
+      Tables.documents(spark, sf).filter(col("doc_id") < 10), "doc_id", "text")
+    val before = recs.collect().map(r => r.docId -> r).toMap
+    val resized = Multimodal.resizePayloads(recs, maxSide = 20).collect()
+    resized.foreach { r =>
+      assert(math.max(r.meta.width, r.meta.height) <= 20)
+      assert(r.meta.byteLen == r.payload.length.toLong)
+      val b = before(r.docId)
+      if (math.max(b.meta.width, b.meta.height) <= 20) {
+        assert(r.meta.contentHash == b.meta.contentHash) // untouched pass-through
+      } else {
+        assert(r.meta.contentHash != b.meta.contentHash)
+      }
+    }
+    // re-decode the resized payloads: dims must match the metadata
+    val redecoded = Multimodal
+      .decodeImagesJdk(spark.createDataset(resized.toSeq)(
+        org.apache.spark.sql.Encoders.product[MediaRecord]))
+      .collect()
+      .map(d => d.docId -> d)
+      .toMap
+    resized.foreach(r => assert(
+      redecoded(r.docId).width == r.meta.width && redecoded(r.docId).height == r.meta.height))
+  }
+
   test("sampleFrames: one row per sampled frame, offsets in payload bounds") {
     implicit val s = spark
     val frames = Multimodal.sampleFrames(records, stride = 2).collect()
