@@ -221,13 +221,88 @@ object Round4Queries {
       |FROM rf a JOIN rf b ON a.fp = b.fp AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
 
+  /** q81 — cohort retention: users grouped by the week of their first
+    * event; n distinct active users per (cohort week, age-in-weeks).
+    * Day/week math on integer epoch microseconds (`ts_us div …`) —
+    * never raw timestamps, whose binary forms differ across engines.
+    * Two shuffles (per-user min, then the matrix aggregation) — the
+    * canonical retention-matrix shape at any event volume.
+    */
+  val q81CohortRetention: Q = (s, d) => {
+    val usPerDay = 86400000000L
+    val ev = Tables
+      .events(s, d)
+      .select(col("user_id"), expr(s"ts_us div $usPerDay").as("day"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cd"))
+    ev.join(cohort, Seq("user_id"))
+      .select(
+        col("user_id"),
+        expr("cd div 7").as("cohort_week"),
+        (expr("day div 7") - expr("cd div 7")).as("age_week"))
+      .groupBy(col("cohort_week"), col("age_week"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("age_week"))
+  }
+
+  val q81Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cd FROM e GROUP BY 1)
+      |SELECT (cd // 7) AS cohort_week, (day // 7) - (cd // 7) AS age_week,
+      | CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM e JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week NULLS FIRST, age_week NULLS FIRST""".stripMargin
+
+  /** q82 — ordered funnel (signup → view → purchase): stage k counts
+    * users whose k-th step happened at-or-after their (k−1)-th. Each
+    * stage is a per-user min over a filtered event set joined to the
+    * previous stage — per-user aggregates are tiny, so the stage joins
+    * broadcast; event scans stay filter-pushed.
+    */
+  val q82Funnel: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
+    val t1 = ev
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("t1"))
+    val t2 = ev
+      .filter(col("event_type") === "view")
+      .join(t1, Seq("user_id"))
+      .filter(col("ts_us") >= col("t1"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("t2"))
+    val t3 = ev
+      .filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id"))
+      .filter(col("ts_us") >= col("t2"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("t3"))
+    def stageCount(df: org.apache.spark.sql.DataFrame, stage: Int) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(stage.toLong).as("stage"), col("n_users"))
+    stageCount(t1, 1).unionByName(stageCount(t2, 2)).unionByName(stageCount(t3, 3)).orderBy(col("stage"))
+  }
+
+  val q82Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+      |t1 AS (SELECT user_id, MIN(tu) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+      |t2 AS (SELECT e.user_id, MIN(tu) AS t2 FROM e JOIN t1 USING (user_id)
+      |       WHERE event_type = 'view' AND tu >= t1 GROUP BY 1),
+      |t3 AS (SELECT e.user_id, MIN(tu) AS t3 FROM e JOIN t2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND tu >= t2 GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS stage, CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_users
+      |  UNION ALL SELECT CAST(2 AS BIGINT), CAST((SELECT COUNT(*) FROM t2) AS BIGINT)
+      |  UNION ALL SELECT CAST(3 AS BIGINT), CAST((SELECT COUNT(*) FROM t3) AS BIGINT))
+      |ORDER BY stage NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q75_edge_text" -> q75EdgeText,
     "q76_ivf_ann" -> q76IvfAnn,
     "q77_pii_redact" -> q77PiiRedact,
     "q78_bigram_top" -> q78BigramTop,
     "q79_winnow" -> q79Winnow,
-    "q80_winnow_pairs" -> q80WinnowPairs
+    "q80_winnow_pairs" -> q80WinnowPairs,
+    "q81_cohort_retention" -> q81CohortRetention,
+    "q82_funnel" -> q82Funnel
   )
 
   val oracles: Map[String, String] = Map(
@@ -236,6 +311,8 @@ object Round4Queries {
     "q77_pii_redact" -> q77Sql,
     "q78_bigram_top" -> q78Sql,
     "q79_winnow" -> q79Sql,
-    "q80_winnow_pairs" -> q80Sql
+    "q80_winnow_pairs" -> q80Sql,
+    "q81_cohort_retention" -> q81Sql,
+    "q82_funnel" -> q82Sql
   )
 }
