@@ -262,4 +262,28 @@ object Relational {
       .drop(opCol)
     kept.unionByName(upserts)
   }
+
+  /** SCD Type 2 — version a dimension from its CHANGE LOG: every
+    * change row becomes one version with `valid_from` = its own
+    * timestamp and `valid_to` = the key's next change (NULL ⇒ current,
+    * also flagged `is_current`). The warehouse pattern for as-of
+    * lookups: join facts with `valid_from ≤ ts < valid_to` (or use
+    * [[asOfJoinBackward]]).
+    *
+    * One window per key (single shuffle on the key); `tieBreakCol`
+    * orders simultaneous changes deterministically — without it,
+    * equal-timestamp changes would make valid_to nondeterministic
+    * across runs, which a versioned dimension cannot tolerate.
+    */
+  def scd2FromChangeLog(
+      changes: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieBreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieBreakCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
 import graft.queries.CoreQueries.Q
 
 /** Round-4 surface: edge-semantics gates for the text operators
@@ -294,6 +294,36 @@ object Round4Queries {
       |  UNION ALL SELECT CAST(3 AS BIGINT), CAST((SELECT COUNT(*) FROM t3) AS BIGINT))
       |ORDER BY stage NULLS FIRST""".stripMargin
 
+  /** q83 — SCD Type 2 versioning: the events stream treated as a
+    * change log of each user's `value`; every change becomes a
+    * [valid_from, valid_to) version, latest flagged current. Ties on
+    * the timestamp break by event_id so version boundaries are
+    * deterministic.
+    */
+  val q83Scd2: Q = (s, d) =>
+    Relational
+      .scd2FromChangeLog(
+        Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts_us"), col("value")),
+        keyCol = "user_id",
+        tsCol = "ts_us",
+        tieBreakCol = "event_id")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("valid_from"),
+        col("valid_to"),
+        col("value"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+
+  val q83Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu, value FROM events)
+      |SELECT user_id, event_id, tu AS valid_from,
+      | LEAD(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS valid_to,
+      | value,
+      | (LEAD(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) IS NULL) AS is_current
+      |FROM e ORDER BY user_id NULLS FIRST, valid_from NULLS FIRST, event_id NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q75_edge_text" -> q75EdgeText,
     "q76_ivf_ann" -> q76IvfAnn,
@@ -302,7 +332,8 @@ object Round4Queries {
     "q79_winnow" -> q79Winnow,
     "q80_winnow_pairs" -> q80WinnowPairs,
     "q81_cohort_retention" -> q81CohortRetention,
-    "q82_funnel" -> q82Funnel
+    "q82_funnel" -> q82Funnel,
+    "q83_scd2" -> q83Scd2
   )
 
   val oracles: Map[String, String] = Map(
@@ -313,6 +344,7 @@ object Round4Queries {
     "q79_winnow" -> q79Sql,
     "q80_winnow_pairs" -> q80Sql,
     "q81_cohort_retention" -> q81Sql,
-    "q82_funnel" -> q82Sql
+    "q82_funnel" -> q82Sql,
+    "q83_scd2" -> q83Sql
   )
 }

@@ -139,6 +139,40 @@ object EventStreams {
         col("click_ts"))
   }
 
+  /** Stream-static enrichment: each micro-batch left-joins the static
+    * dimension, broadcast to every executor — NO stream state, no
+    * watermark needed (the static side is re-resolvable per batch, so
+    * dimension updates between batches are picked up). This is the
+    * streaming twin of the batch FK-resolution joins: the dim is the
+    * small side at any stream rate.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
+    events.join(broadcast(dim), Seq(keyCol), "left")
+
+  /** The per-batch body of [[writeIdempotentBatches]], exposed so the
+    * idempotence contract is directly testable: every micro-batch
+    * OVERWRITES its own `batch_id=<id>` directory. A post-failure
+    * replay of the same batch id rewrites identical files instead of
+    * appending duplicates — exactly-once by idempotence, the standard
+    * `foreachBatch` file-sink recipe.
+    */
+  def writeBatchIdempotent(outDir: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** Exactly-once-by-idempotence parquet sink via `foreachBatch` +
+    * checkpointing: the checkpoint pins batch contents to batch ids
+    * across restarts, and [[writeBatchIdempotent]] makes re-delivery
+    * of a batch id harmless.
+    */
+  def writeIdempotentBatches(
+      stream: DataFrame,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(writeBatchIdempotent(outDir) _)
+      .start()
+
   /** Stateful sessionizer (streaming twin of q16): a gap of more than
     * `gapUs` between consecutive events of a user starts a new session.
     * Arbitrary state via `flatMapGroupsWithState` — the engine hash-

@@ -196,4 +196,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(fromState.except(fromWindows).count() == 0)
     assert(fromWindows.except(fromState).count() == 0)
   }
+
+  test("enrichStream: micro-batches join the broadcast static dim, no stream state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Long)]
+    val enriched = EventStreams.enrichStream(in.toDF.toDF("user_id", "event_id"), dim, "user_id")
+    val q = enriched.writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      in.addData((1L, 100L), (2L, 101L), (9L, 102L))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getString(2))).toSet
+      assert(rows == Set((1L, "gold"), (2L, "silver"), (9L, null))) // left join keeps unmatched
+    } finally q.stop()
+  }
+
+  test("idempotent foreachBatch sink: batch replay overwrites, never duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("idem_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("idem_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.writeIdempotentBatches(in.toDF.toDF("id", "v"), out, ckpt)
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      in.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 3)
+      // simulate a post-failure REPLAY of batch 0: same id, same data
+      EventStreams.writeBatchIdempotent(out)(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+      assert(spark.read.parquet(out).count() == 3) // overwritten, not appended
+      val batches = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("batch_id=")).sorted
+      assert(batches.length == 2)
+    } finally q.stop()
+  }
 }
