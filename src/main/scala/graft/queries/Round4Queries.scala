@@ -324,6 +324,63 @@ object Round4Queries {
       | (LEAD(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) IS NULL) AS is_current
       |FROM e ORDER BY user_id NULLS FIRST, valid_from NULLS FIRST, event_id NULLS FIRST""".stripMargin
 
+  /** q84 — deterministic train/val/test split: md5-hash each doc id
+    * into a split (90/5/5), report per-(split, lang) counts. Hash
+    * splitting is the only assignment that survives re-runs, late
+    * data, and re-partitioning — a random() split changes membership
+    * every run and leaks val into train. Shares the oracle's md5
+    * primitive; shuffle-free until the tiny count aggregation.
+    */
+  val q84HashSplit: Q = (s, d) => {
+    val bucket = graft.functions.Hashing.h60(concat(lit("split:"), col("doc_id"))) % 100
+    Tables
+      .documents(s, d)
+      .select(
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"),
+        col("lang"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val q84Sql: String =
+    """WITH b AS (SELECT lang,
+      |  CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 100 AS bk
+      | FROM documents)
+      |SELECT CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' ELSE 'test' END AS split,
+      | lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM b GROUP BY 1, 2 ORDER BY split NULLS FIRST, lang NULLS FIRST""".stripMargin
+
+  /** q85 — sequence packing (context-window budgeting): documents in
+    * deterministic order are packed into consecutive bins of ≤ 512
+    * whitespace tokens via running-sum div budget — the streaming
+    * variant of greedy packing every pretraining pipeline runs.
+    * Packing needs a total order, so at scale it runs per SHARD
+    * (doc_id div 100 here): each shard packs independently inside one
+    * window partition — embarrassingly parallel, no global sort.
+    */
+  val q85SeqPack: Q = (s, d) =>
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        expr("doc_id div 100").as("shard"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_tok"))
+      .withColumn("pack_id", expr("(sum(n_tok) over (partition by shard order by doc_id rows between unbounded preceding and current row) - n_tok) div 512"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("shard"), col("pack_id"))
+
+  val q85Sql: String =
+    """WITH t AS (SELECT doc_id, doc_id // 100 AS shard,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      | FROM documents),
+      |p AS (SELECT shard, doc_id, n_tok,
+      |  (SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 512 AS pack_id
+      | FROM t)
+      |SELECT shard, pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |FROM p GROUP BY 1, 2 ORDER BY shard NULLS FIRST, pack_id NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q75_edge_text" -> q75EdgeText,
     "q76_ivf_ann" -> q76IvfAnn,
@@ -333,7 +390,9 @@ object Round4Queries {
     "q80_winnow_pairs" -> q80WinnowPairs,
     "q81_cohort_retention" -> q81CohortRetention,
     "q82_funnel" -> q82Funnel,
-    "q83_scd2" -> q83Scd2
+    "q83_scd2" -> q83Scd2,
+    "q84_hash_split" -> q84HashSplit,
+    "q85_seq_pack" -> q85SeqPack
   )
 
   val oracles: Map[String, String] = Map(
@@ -345,6 +404,8 @@ object Round4Queries {
     "q80_winnow_pairs" -> q80Sql,
     "q81_cohort_retention" -> q81Sql,
     "q82_funnel" -> q82Sql,
-    "q83_scd2" -> q83Sql
+    "q83_scd2" -> q83Sql,
+    "q84_hash_split" -> q84Sql,
+    "q85_seq_pack" -> q85Sql
   )
 }

@@ -98,6 +98,31 @@ object Sinks {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Small-file compaction — the table-maintenance job every
+    * landing-zone dataset needs: streaming ingest (one file per
+    * micro-batch) and fine-grained partitioning accumulate thousands
+    * of small files, and at 100 TB the scan-planning + open() overhead
+    * dominates reads. Rewrites `srcDir` into `destDir` with
+    * `ceil(rows / targetRowsPerFile)` near-uniform files via
+    * round-robin `repartition` (uniform file sizes, no skewed
+    * stragglers). Writes to a NEW directory — atomic swap is the
+    * caller's move (rename/retarget), never an in-place rewrite.
+    *
+    * @return (input file count, output file count)
+    */
+  def compactParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String,
+      destDir: String,
+      targetRowsPerFile: Long): (Long, Long) = {
+    val df = spark.read.parquet(srcDir)
+    val inFiles = df.inputFiles.length.toLong
+    val rows = df.count()
+    val nOut = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartition(nOut).write.mode(SaveMode.Overwrite).parquet(destDir)
+    (inFiles, spark.read.parquet(destDir).inputFiles.length.toLong)
+  }
+
   /** JDBC sink — the Spark-native K1 (reference: etl.js:311-370, one
     * prepared INSERT per row under async.parallel). Spark's JDBC writer
     * batches `batchSize` rows per statement and runs one connection per

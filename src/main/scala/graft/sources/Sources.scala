@@ -48,6 +48,36 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
+  /** JSON-lines with an ERROR SIDE-CHANNEL — the source-level analog
+    * of the reference's P6 error routing (etl.js:249-278 prunes rows
+    * whose fetch failed; here rows whose PARSE failed). PERMISSIVE
+    * mode routes each unparseable line into `_corrupt_record` instead
+    * of failing the job; the caller gets (clean rows, corrupt lines)
+    * and applies its loss threshold — the same quality-gate contract
+    * as `Relational.qualityGate`, applied at ingest. At 100 TB a
+    * single bad line must cost one row, not the job.
+    */
+  def jsonLinesWithErrors(
+      spark: SparkSession,
+      path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType))
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      // PERMISSIVE corrupt-record access requires materialization
+      // (SPARK-21610: can't filter on the corrupt column straight off
+      // the scan) — cache the parsed batch once, split it twice.
+      .cache()
+    val clean = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val errors = raw.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record").as("line"))
+    (clean, errors)
+  }
+
   /** Partitioned JDBC scan — the read twin of [[Sinks.writeJdbc]].
     * `partitionColumn` + bounds split the table into `numPartitions`
     * range predicates, one connection each: the only way a JDBC scan

@@ -71,6 +71,21 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("compactParquet: many small files become few uniform ones, data intact") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("compact_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("compact_dst").toString
+    // 40 tiny files of 5 rows each
+    (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v").repartition(40)
+      .write.mode("overwrite").parquet(src)
+    val (inFiles, outFiles) = Sinks.compactParquet(spark, src, dst, targetRowsPerFile = 100)
+    assert(inFiles == 40)
+    assert(outFiles == 2) // ceil(200/100)
+    val back = spark.read.parquet(dst)
+    assert(back.count() == 200)
+    assert(back.agg(org.apache.spark.sql.functions.sum(col("id"))).collect()(0).getLong(0) == 20100L)
+  }
+
   test("writeParquet round-trip with partition pruning layout") {
     import spark.implicits._
     val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)).toDF("id", "part", "v")

@@ -48,4 +48,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.schema == schema)
     assert(back.count() == 1)
   }
+
+  test("jsonLinesWithErrors: bad lines route to the side-channel, one row each, job survives") {
+    import spark.implicits._
+    val dir = tmp("jsonerr")
+    Seq(
+      """{"id": 1, "name": "ok", "score": 1.0}""",
+      """{"id": 2, "name": "also ok"}""",
+      """{not json at all""",
+      """{"id": "wrong type, fine for PERMISSIVE"}""",
+      """{"id": 3, "name": "ok3", "score": 3.0}""")
+      .toDF("value").repartition(1).write.mode("overwrite").text(dir)
+    val (clean, errors) = Sources.jsonLinesWithErrors(spark, dir, schema)
+    // both the unparseable line AND the type-mismatch row carry
+    // _corrupt_record (PERMISSIVE keeps the raw line whenever any
+    // field fails to convert); fully-parsed rows stay clean
+    assert(errors.count() == 2)
+    assert(errors.collect().map(_.getString(0)).exists(_.startsWith("{not json")))
+    assert(clean.count() == 3)
+    assert(clean.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
 }
