@@ -6,12 +6,7 @@ object Bench {
     val cfg = Config(args)
     val sfDir = cfg.get("sf-dir", "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = cfg.get("cpus", "SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = GraftSession.local(cpus.toInt, appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup pass: JIT + codegen-cache + parquet-footer/page-cache
     // warmup otherwise lands entirely on whichever query runs first

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The library's session entry point — one place encoding the configs
+  * this engine is designed to run under, so a user switching from the
+  * reference gets the scale-correct defaults without reading tuning
+  * guides:
+  *
+  *  - `spark.sql.shuffle.partitions` sized by the caller (cores
+  *    locally, 2–3× total executor cores on a cluster) instead of the
+  *    200 default;
+  *  - AQE on, with skew-join splitting and partition coalescing —
+  *    the runtime re-plan that absorbs stats drift at 100 TB;
+  *  - [[graft.functions.GraftExtensions]] installed, so the native
+  *    codegen `graft_dot` is callable from any query;
+  *  - UTC session timezone and nanos-as-long parquet reads — the
+  *    cross-engine determinism contract the oracle gates assume.
+  *
+  * Builder only; the caller owns the session lifecycle.
+  */
+object GraftSession {
+
+  def builder(
+      master: String,
+      shufflePartitions: Int,
+      appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session with `cpus` worker threads — the shape the driver
+    * contract mains (Bench/Verify/PlanAudit) run under.
+    */
+  def local(cpus: Int, appName: String = "graft"): SparkSession =
+    builder(s"local[$cpus]", math.max(1, cpus), appName).getOrCreate()
+}

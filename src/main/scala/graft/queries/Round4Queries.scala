@@ -381,6 +381,33 @@ object Round4Queries {
       |SELECT shard, pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
       |FROM p GROUP BY 1, 2 ORDER BY shard NULLS FIRST, pack_id NULLS FIRST""".stripMargin
 
+  /** q86 — stratified exact-N sampling: the 20 hash-smallest documents
+    * per language (md5 order = deterministic uniform draw, ties by
+    * id). Complements q55's fraction sampling when each stratum needs
+    * an exact quota; one window per stratum, no RNG, rerun-stable.
+    */
+  val q86Stratified: Q = (s, d) => {
+    val h = graft.functions.Hashing.h60(concat(lit("strat:"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("hv"), col("doc_id"))
+    Tables
+      .documents(s, d)
+      .select(col("lang"), col("doc_id"), h.as("hv"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val q86Sql: String =
+    """WITH b AS (SELECT lang, doc_id,
+      |  CAST('0x'||substr(md5('strat:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) AS hv
+      | FROM documents),
+      |r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk FROM b)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+      |FROM r WHERE rk <= 20 ORDER BY lang NULLS FIRST, rk NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q75_edge_text" -> q75EdgeText,
     "q76_ivf_ann" -> q76IvfAnn,
@@ -392,7 +419,8 @@ object Round4Queries {
     "q82_funnel" -> q82Funnel,
     "q83_scd2" -> q83Scd2,
     "q84_hash_split" -> q84HashSplit,
-    "q85_seq_pack" -> q85SeqPack
+    "q85_seq_pack" -> q85SeqPack,
+    "q86_stratified_sample" -> q86Stratified
   )
 
   val oracles: Map[String, String] = Map(
@@ -406,6 +434,7 @@ object Round4Queries {
     "q82_funnel" -> q82Sql,
     "q83_scd2" -> q83Sql,
     "q84_hash_split" -> q84Sql,
-    "q85_seq_pack" -> q85Sql
+    "q85_seq_pack" -> q85Sql,
+    "q86_stratified_sample" -> q86Sql
   )
 }

@@ -7,13 +7,11 @@ import graft.functions.Scalars._
 
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession
-      .builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The library entry point IS the test session: every spec runs
+    // under the same configs (and extensions) a user of GraftSession
+    // gets.
+    val s = GraftSession
+      .builder("local[4]", shufflePartitions = 4)
       // saveAsTable targets (bucketed-join specs) land in a temp
       // warehouse, never the repo working directory
       .config(
