@@ -408,6 +408,41 @@ object Round4Queries {
       |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
       |FROM r WHERE rk <= 20 ORDER BY lang NULLS FIRST, rk NULLS FIRST""".stripMargin
 
+  /** q87 — train/test CONTAMINATION check: distinct word-4-grams
+    * shared between any (test doc, train doc) pair across the q84 hash
+    * split — the n-gram-overlap decontamination pass every evaluation
+    * pipeline runs before trusting its benchmarks. Candidate
+    * generation is the gram equi-join (LSH shape; n-grams long enough
+    * to be rare, so buckets stay tiny at corpus scale).
+    */
+  val q87Contamination: Q = (s, d) => {
+    val bucket = graft.functions.Hashing.h60(concat(lit("split:"), col("doc_id"))) % 100
+    val grams = Tables
+      .documents(s, d)
+      .select(col("doc_id"), bucket.as("bk"), explode(Dedup.wordNGrams(col("text"), 4)).as("gram"))
+    val train = grams.filter(col("bk") < 90).select(col("doc_id").as("train_doc"), col("gram"))
+    val test = grams.filter(col("bk") >= 95).select(col("doc_id").as("test_doc"), col("gram"))
+    test
+      .join(train, "gram")
+      .groupBy(col("test_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("shared"))
+      .orderBy(col("test_doc"), col("train_doc"))
+  }
+
+  val q87Sql: String =
+    """WITH b AS (SELECT doc_id, text,
+      |  CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 100 AS bk
+      | FROM documents),
+      |w AS (SELECT doc_id, bk, string_split(text, ' ') AS ws FROM b),
+      |g AS (SELECT doc_id, bk,
+      |  unnest(list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] for i in range(1, CAST(len(ws)-2 AS BIGINT))])) AS gram
+      | FROM w),
+      |tr AS (SELECT doc_id, gram FROM g WHERE bk < 90),
+      |te AS (SELECT doc_id, gram FROM g WHERE bk >= 95)
+      |SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc, CAST(count(*) AS BIGINT) AS shared
+      |FROM te JOIN tr USING (gram)
+      |GROUP BY 1, 2 ORDER BY test_doc NULLS FIRST, train_doc NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q75_edge_text" -> q75EdgeText,
     "q76_ivf_ann" -> q76IvfAnn,
@@ -420,7 +455,8 @@ object Round4Queries {
     "q83_scd2" -> q83Scd2,
     "q84_hash_split" -> q84HashSplit,
     "q85_seq_pack" -> q85SeqPack,
-    "q86_stratified_sample" -> q86Stratified
+    "q86_stratified_sample" -> q86Stratified,
+    "q87_contamination" -> q87Contamination
   )
 
   val oracles: Map[String, String] = Map(
@@ -435,6 +471,7 @@ object Round4Queries {
     "q83_scd2" -> q83Sql,
     "q84_hash_split" -> q84Sql,
     "q85_seq_pack" -> q85Sql,
-    "q86_stratified_sample" -> q86Sql
+    "q86_stratified_sample" -> q86Sql,
+    "q87_contamination" -> q87Sql
   )
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Property-style cross-check: the Column implementations of the text
+  * operators must agree with straightforward Scala reference
+  * implementations on hundreds of seeded-random strings — empty
+  * strings, runs of spaces, sub-width texts, and everything between.
+  * This pins the edge semantics (q75) over a much wider input space
+  * than the fixtures reach. ASCII alphabet on purpose: the engine's
+  * oracle-parity contract is ASCII-stable (`lower`/regex differ across
+  * engines outside it).
+  */
+class TextPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // Seeded generator: reproducible failures. Alphabet weighted toward
+  // spaces to exercise empty tokens and space runs.
+  private val cases: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc x yz "
+    (0L until 300L).map { i =>
+      val len = rnd.nextInt(41)
+      i -> (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+  }
+
+  private def refShingles(s: String, w: Int): Seq[String] =
+    s.toLowerCase.sliding(w).filter(_.length == w).toSeq.distinct
+
+  private def refNGrams(s: String, n: Int): Seq[String] =
+    s.split(" ", -1).toSeq.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq.distinct
+
+  private def refChunkCount(s: String, stride: Int): Long =
+    if (s.isEmpty) 0L else (s.length - 1) / stride + 1L
+
+  private def h32Ref(s: String): Long = {
+    val hex = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  private def refWinnow(s: String, k: Int, w: Int): Seq[Long] =
+    s.toLowerCase.sliding(k).filter(_.length == k).map(h32Ref).toSeq
+      .sliding(w).filter(_.length == w).map(_.min).toSeq.distinct.sorted
+
+  test("charShingles / wordNGrams / chunk / winnow agree with reference implementations on 300 random strings") {
+    import spark.implicits._
+    val df = cases.toDF("id", "t")
+    val got = df
+      .select(
+        col("id"),
+        Dedup.charShingles(col("t"), 3).as("sh"),
+        Dedup.wordNGrams(col("t"), 2).as("ng"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getSeq[String](1), r.getSeq[String](2)))
+      .toMap
+    val chunkCounts = TextAnalysis
+      .chunk(df, "t", window = 5, stride = 3)
+      .groupBy("id")
+      .count()
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val winnow = Dedup
+      .winnowFingerprints(df, "t", k = 3, w = 2, outCol = "fps")
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("id")) -> r.getSeq[Long](r.fieldIndex("fps")))
+      .toMap
+    cases.foreach { case (id, s) =>
+      assert(got(id)._1 == refShingles(s, 3), s"shingles id=$id text='$s'")
+      assert(got(id)._2 == refNGrams(s, 2), s"ngrams id=$id text='$s'")
+      assert(chunkCounts.getOrElse(id, 0L) == refChunkCount(s, 3), s"chunks id=$id text='$s'")
+      assert(winnow(id) == refWinnow(s, 3, 2), s"winnow id=$id text='$s'")
+    }
+  }
+
+  test("token counts and normalize agree with reference implementations") {
+    import spark.implicits._
+    val df = cases.toDF("id", "t")
+    val got = df
+      .select(
+        col("id"),
+        TextAnalysis.wsTokenCount(col("t")).as("ws"),
+        TextAnalysis.regexTokenCount(col("t")).as("rx"),
+        TextAnalysis.normalize(col("t")).as("nm"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val tokRe = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")
+    cases.foreach { case (id, s) =>
+      assert(got(id)._1 == s.split(" ", -1).length.toLong, s"ws id=$id '$s'")
+      val m = tokRe.matcher(s)
+      var n = 0L
+      while (m.find()) n += 1
+      assert(got(id)._2 == n, s"rx id=$id '$s'")
+      assert(got(id)._3 == s.toLowerCase.replaceAll("\\s+", " ").trim, s"nm id=$id '$s'")
+    }
+  }
+}
