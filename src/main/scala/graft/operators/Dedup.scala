@@ -118,29 +118,33 @@ object Dedup {
     * shorter than k+w−1 characters yield an empty fingerprint set
     * (same descending-`sequence` guard as [[charShingles]]).
     *
-    * DataFrame-staged (not a single Column) ON PURPOSE: the hash array
-    * must be a MATERIALIZED attribute before the window pass. Inlined
-    * as one expression, the per-window lambda would re-evaluate the
-    * whole O(len) md5 array for every window — O(len²) md5 calls per
-    * row (measured: hung the sf0.001 verify). The window projection
-    * references the hash column twice (size + slice), which is exactly
-    * the guard Catalyst's CollapseProject honors for non-cheap
-    * aliases — same trick as [[minHashSignature]].
+    * The window minima are computed as `w` aligned slices of the hash
+    * array zipped with `least` — the same argument-position discipline
+    * as [[charGramsAll]]. An index-lambda formulation
+    * (`transform(sequence(…), j => array_min(slice(hs, j, w)))`) is
+    * NOT safe even with the hash array staged as its own column:
+    * in multi-consumer plans (q80's explode→join) the optimizer
+    * inlines the alias back into the lambda and the per-window body
+    * re-evaluates the whole O(len) md5 array — O(len²) per row
+    * (measured: one task burned 28 CPU-minutes at sf0.1). With
+    * slices, every hash-array reference sits in argument position, so
+    * the worst case under ANY plan rewrite is w+1 linear evaluations
+    * per row.
     */
   def winnowFingerprints(df: DataFrame, textCol: String, k: Int, w: Int, outCol: String): DataFrame = {
     val nGrams = length(col(textCol)) - (k - 1)
     val grams = when(nGrams >= 1, charGramsAll(col(textCol), k))
       .otherwise(typedLit(Seq.empty[String]))
     val nWins = size(col("__wf_hs")) - (w - 1)
+    val mins = when(
+      nWins >= 1,
+      (0 until w)
+        .map(o => slice(col("__wf_hs"), lit(o + 1), nWins))
+        .reduce((a, b) => zip_with(a, b, (x, y) => least(x, y))))
+      .otherwise(typedLit(Seq.empty[Long]))
     df.withColumn("__wf_hs", transform(grams, g => h32(g)))
-      .withColumn(
-        "__wf_mins",
-        when(
-          nWins >= 1,
-          transform(sequence(lit(1), nWins), j => array_min(slice(col("__wf_hs"), j, lit(w)))))
-          .otherwise(typedLit(Seq.empty[Long])))
-      .withColumn(outCol, array_sort(array_distinct(col("__wf_mins"))))
-      .drop("__wf_hs", "__wf_mins")
+      .withColumn(outCol, array_sort(array_distinct(mins)))
+      .drop("__wf_hs")
   }
 
   /** Winnowing candidate pairs: documents sharing at least one RARE
@@ -153,6 +157,13 @@ object Dedup {
     * corpus size. Without it, boilerplate fingerprints shared by the
     * whole corpus would make the join quadratic.
     *
+    * The exploded (doc, fingerprint) frame feeds THREE consumers (the
+    * doc-frequency aggregate and both join sides), so it is
+    * persist()ed — without it each consumer re-runs the whole
+    * winnowing pass (measured 3× ≈ 90 s vs ≈ 10 s at sf0.1). The
+    * cached frame is two narrow columns; Spark LRU-evicts it under
+    * pressure.
+    *
     * @return (doc_a, doc_b, n_shared) for doc_a < doc_b
     */
   def winnowCandidatePairs(
@@ -164,6 +175,7 @@ object Dedup {
       maxDocFreq: Long): DataFrame = {
     val fps = winnowFingerprints(df.select(col(idCol), col(textCol)), textCol, k, w, "__wf_fps")
       .select(col(idCol), explode(col("__wf_fps")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = fps
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))

@@ -63,23 +63,29 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(fp(4L).isEmpty && fp(5L).isEmpty)
   }
 
-  test("winnowing: hash array is materialized once per row (no quadratic re-evaluation)") {
+  test("winnowing: linear per row under BOTH the simple and the multi-consumer plan shape") {
     import spark.implicits._
-    // 200 docs x 600 chars: O(len) per row finishes instantly; the
-    // inlined-lambda O(len^2) md5 blowup this guards against took
-    // minutes on the same shape.
-    val docs = (1L to 200L)
-      .map(i => (i, (s"doc$i " * 100).take(600)))
-      .toDF("id", "text")
+    // The quadratic regression this guards against only fired in the
+    // multi-consumer plan (explode feeding an aggregation and a
+    // self-join, q80's shape) — the optimizer inlined the hash-array
+    // alias into a per-window lambda there. 1000 docs x 600 chars:
+    // linear finishes in seconds; quadratic is O(minutes) (one sf0.1
+    // task burned 28 CPU-minutes before the slices+least rewrite).
+    val docs = (1L to 1000L)
+      .map(i => (i, (s"doc$i word$i common text here " * 25).take(600)))
+      .toDF("doc_id", "text")
     val t0 = System.nanoTime()
-    val n = Dedup
+    val nSimple = Dedup
       .winnowFingerprints(docs, "text", 5, 4, "fps")
       .agg(sum(size(col("fps"))))
       .collect()(0)
       .getLong(0)
+    val nPairs = Dedup
+      .winnowCandidatePairs(docs, "doc_id", "text", k = 5, w = 4, maxDocFreq = 10)
+      .count()
     val secs = (System.nanoTime() - t0) / 1e9
-    assert(n > 0)
-    assert(secs < 60.0, s"winnowing took ${secs}s — hash array is being re-evaluated per window")
+    assert(nSimple > 0 && nPairs >= 0)
+    assert(secs < 90.0, s"winnowing took ${secs}s — hash array is being re-evaluated per window")
   }
 
   test("exact all-pairs baselines refuse input larger than maxRows") {
