@@ -20,11 +20,12 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // ms precision keeps the whole line under the driver's ~2 KiB
-    // stdout tail window (round 3's full-precision line overflowed it
-    // and truncated the JSON head).
+    // The whole line must stay under the driver's ~2 KiB stdout tail
+    // window (round 3's full-precision/full-name line overflowed it and
+    // truncated the JSON head): ms precision + short qNN keys (the
+    // driver-contract example's own key shape), unique by construction.
     def ms(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+    val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
