@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes the forked Bench/Verify stdout tail for a raw JSON
+// line; sbt's default BufferedOutput prepends "[info] " to every forked
+// line, which breaks that parse (BENCH_r04.json: parsed=null). Pass the
+// child process output straight through instead.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

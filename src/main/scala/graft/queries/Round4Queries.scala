@@ -378,7 +378,7 @@ object Round4Queries {
       |p AS (SELECT shard, doc_id, n_tok,
       |  (SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 512 AS pack_id
       | FROM t)
-      |SELECT shard, pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |SELECT shard, CAST(pack_id AS BIGINT) AS pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
       |FROM p GROUP BY 1, 2 ORDER BY shard NULLS FIRST, pack_id NULLS FIRST""".stripMargin
 
   /** q86 — stratified exact-N sampling: the 20 hash-smallest documents
