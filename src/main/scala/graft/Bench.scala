@@ -14,11 +14,18 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
+      GraftSession.releaseAllCaches(spark)
     }
+    // Sweep caches between queries (outside the timed region) so each
+    // timing covers the query's FULL own work — not a reuse of a
+    // sibling's leftover persisted frame — and so accumulated cache
+    // entries can't tax later queries' planning.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      GraftSession.releaseAllCaches(spark)
+      name -> dt
     }
     // The whole line must stay under the driver's ~2 KiB stdout tail
     // window (round 3's full-precision/full-name line overflowed it and

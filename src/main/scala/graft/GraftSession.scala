@@ -43,4 +43,23 @@ object GraftSession {
     */
   def local(cpus: Int, appName: String = "graft"): SparkSession =
     builder(s"local[$cpus]", math.max(1, cpus), appName).getOrCreate()
+
+  /** Release every cached DataFrame and persisted RDD in the session.
+    *
+    * Operators that feed one expensive frame to several consumers
+    * (MinHash signatures, winnowing fingerprints, the connected-
+    * components label frame) persist it mid-plan; the frames they
+    * RETURN stay backed by those blocks, so a long-lived session that
+    * runs many such queries accumulates cache entries it no longer
+    * needs. Beyond storage, every live cache entry taxes the PLANNING
+    * of every subsequent query — Catalyst compares each new plan
+    * against each cached canonical plan for subtree reuse — so a
+    * query-per-job harness (Bench/Verify) sweeps between queries to
+    * keep runs independent. Driver-side bookkeeping only; the block
+    * drops are asynchronous.
+    */
+  def releaseAllCaches(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
 }

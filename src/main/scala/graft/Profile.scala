@@ -34,6 +34,7 @@ object Profile {
           val t0 = System.nanoTime()
           val n = fn(spark, sfDir).count()
           val dt = (System.nanoTime() - t0) / 1e9
+          GraftSession.releaseAllCaches(spark)
           println(f"[profile] $name rep$i: $dt%.3f s ($n rows)")
         }
       }

@@ -21,6 +21,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Per-query cache sweep: keeps each dump independent of sibling
+      // queries' persisted frames (see GraftSession.releaseAllCaches).
+      GraftSession.releaseAllCaches(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -106,6 +106,21 @@ object Dedup {
       .otherwise(typedLit(Seq.empty[String]))
   }
 
+  /** Position-ordered h32 hashes of every character `k`-gram of the
+    * lowercased text — the rolling-hash stream under winnowing and
+    * content-defined segmentation. Element `i` (1-based) is the hash
+    * of the gram starting at character `i`; texts shorter than `k`
+    * yield an empty array (descending-`sequence` guard as above).
+    * Callers staging this in a multi-consumer plan should materialize
+    * it as a column referenced ≥ 2× (see [[winnowFingerprints]]'s
+    * inlining note).
+    */
+  def charGramHashes(text: Column, k: Int): Column = {
+    val n = length(text) - (k - 1)
+    when(n >= 1, transform(charGramsAll(text, k), g => h32(g)))
+      .otherwise(typedLit(Seq.empty[Long]))
+  }
+
   /** Winnowing fingerprints (the MOSS local document fingerprint): hash
     * every character `k`-gram, then keep the MINIMUM hash of each
     * sliding window of `w` consecutive k-gram hashes; adds `outCol`
@@ -173,9 +188,24 @@ object Dedup {
       k: Int,
       w: Int,
       maxDocFreq: Long): DataFrame = {
-    val fps = winnowFingerprints(df.select(col(idCol), col(textCol)), textCol, k, w, "__wf_fps")
-      .select(col(idCol), explode(col("__wf_fps")).as("fp"))
+    // Persist the ARRAY-form fingerprint frame and explode AFTER the
+    // cache boundary. Exploding before persisting looks equivalent but
+    // is catastrophically slower to build: InferFiltersFromGenerate
+    // adds `size(fps) > 0 AND isnotnull(fps)` under the Generate, and
+    // predicate pushdown then substitutes the FULL fingerprint
+    // expression into that filter condition (twice), below the
+    // projections — the whole winnow pass re-evaluated per row,
+    // interpreted, in the cache-build plan (measured: 28 s vs 0.5 s at
+    // sf0.1). With the cache boundary first, the inferred filter lands
+    // on the cached array column — a cheap size() probe.
+    // Spread the md5-heavy signature pass across the cluster even when
+    // the input arrives in few splits (one small parquet file = ONE
+    // task). The shuffle moves only (id, text).
+    val spread = Relational.spreadFewSplits(df.select(col(idCol), col(textCol)), idCol)
+    val fpArrays = winnowFingerprints(spread, textCol, k, w, "__wf_fps")
+      .select(col(idCol), col("__wf_fps"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fps = fpArrays.select(col(idCol), explode(col("__wf_fps")).as("fp"))
     val rare = fps
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
@@ -362,7 +392,19 @@ object Dedup {
     * @param edges two-column DataFrame of undirected edges (any names)
     * @return (node: long, component: long)
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsReleasable(edges, maxIter)._1
+
+  /** [[connectedComponents]] plus a RELEASE HANDLE for the persisted
+    * label blocks backing the returned frame. The labels stay cached
+    * (correct for the common consume-immediately case — dropping them
+    * eagerly would force a full recompute of the whole iteration), so
+    * a long-lived session should call the handle once the result is
+    * materialized, or sweep with [[graft.GraftSession.releaseAllCaches]].
+    */
+  def connectedComponentsReleasable(
+      edges: DataFrame,
+      maxIter: Int = 20): (DataFrame, () => Unit) = {
     val spark = edges.sparkSession
     val Array(srcName, dstName) = edges.columns
     val e = edges.select(col(srcName).cast("long").as("src"), col(dstName).cast("long").as("dst"))
@@ -375,7 +417,7 @@ object Dedup {
     // and the convergence compare would NPE.
     if (ud.isEmpty) {
       ud.unpersist()
-      return ud.select(col("src").as("node"), col("src").as("component"))
+      return (ud.select(col("src").as("node"), col("src").as("component")), () => ())
     }
     // Decimal sum: label sums can exceed Long at planetary node counts,
     // and Spark 4 ANSI mode would throw on long-sum overflow.
@@ -417,6 +459,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds — " +
           "a component has diameter > maxIter; raise maxIter (rounds needed ≈ graph diameter)")
-    labels
+    val finalRdd = labelsRdd
+    (labels, () => finalRdd.unpersist(blocking = false))
   }
 }

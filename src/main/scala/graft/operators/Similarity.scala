@@ -22,23 +22,24 @@ object Similarity {
   private val decT = DecimalType(28, 10)
   private def dec(c: Column): Column = c.cast(decT)
 
-  /** Exact squared L2 norm of a float-array column (decimal fold). */
-  def sqNorm(emb: Column): Column =
-    aggregate(
-      emb,
-      lit(0).cast(decT),
-      (acc, x) => dec(acc + dec(x.cast("double") * x.cast("double"))))
-      .cast("double")
+  /** Exact squared L2 norm of a float-array column — the native
+    * codegen'd [[graft.functions.DotProductDecimal]] of the array with
+    * itself (bit-identical to the original interpreted decimal fold;
+    * see that expression's parity contract).
+    */
+  def sqNorm(emb: Column): Column = dot(emb, emb)
 
-  /** Exact dot product of two float-array columns via zip_with + fold —
-    * stays inside whole-stage codegen, no explode, no shuffle.
+  /** Exact dot product of two float-array columns via the native
+    * [[graft.functions.DotProductDecimal]] expression (registered by
+    * [[graft.GraftSession]] / GraftExtensions): per-product rounding
+    * and exact accumulation identical to the interpreted
+    * `aggregate(zip_with(...))` decimal fold it replaces, but ~10×
+    * faster — higher-order functions evaluate interpreted with
+    * per-element Decimal boxing, while this is one static call fused
+    * into whole-stage codegen. No explode, no shuffle.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => dec(x.cast("double") * y.cast("double"))),
-      lit(0).cast(decT),
-      (acc, x) => dec(acc + x))
-      .cast("double")
+    call_function("graft_dot_dec", a, b)
 
   /** Cosine from a precomputed exact dot and squared norms. */
   def cosine(dotV: Column, sqA: Column, sqB: Column): Column =
@@ -64,7 +65,9 @@ object Similarity {
       k: Int): DataFrame = {
     val q = withSqNorm(queries, embCol)
       .select(col(idCol).as("query_id"), col(embCol).as("q_emb"), col("sq_norm").as("q_sq"))
-    val c = withSqNorm(corpus, embCol)
+    // The corpus side carries |Q| dot products per row — spread it if
+    // it arrived in fewer splits than there are cores.
+    val c = withSqNorm(Relational.spreadFewSplits(corpus, idCol), embCol)
       .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"), col("sq_norm").as("c_sq"))
     val scored = broadcast(q)
       .join(c, col("query_id") =!= col("neighbor_id"))
@@ -93,7 +96,8 @@ object Similarity {
       k: Int): DataFrame = {
     def sq(c: Column): Column = call_function("graft_dot", c, c)
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"), sq(col(embCol)).as("q_sq"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"), sq(col(embCol)).as("c_sq"))
+    val c = Relational.spreadFewSplits(corpus, idCol)
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"), sq(col(embCol)).as("c_sq"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(q)
       .join(c, col("query_id") =!= col("neighbor_id"))
@@ -124,7 +128,7 @@ object Similarity {
     require(
       nRows <= maxRows,
       s"nearDupPairs is O(n²); input has $nRows rows > maxRows=$maxRows — use srpAnnTopK/LSH for unbounded corpora")
-    val n = withSqNorm(df, embCol)
+    val n = withSqNorm(Relational.spreadFewSplits(df, idCol), embCol)
       .select(col(idCol), col(embCol), col("sq_norm"))
     val a = n.select(col(idCol).as("vec_a"), col(embCol).as("emb_a"), col("sq_norm").as("sq_a"))
     val b = n.select(col(idCol).as("vec_b"), col(embCol).as("emb_b"), col("sq_norm").as("sq_b"))
@@ -256,7 +260,10 @@ object Similarity {
       .select(col(centroidIdCol).as("cell"), col(embCol).as("c_emb"), col("sq_norm").as("c_sq"))
     def cellScore(emb: Column, sq: Column): Column =
       cosine(dot(emb, col("c_emb")), sq, col("c_sq"))
-    val n = withSqNorm(corpus, embCol).select(col(idCol), col(embCol), col("sq_norm"))
+    // Corpus-to-centroid assignment does |centroids| dots per corpus
+    // row — spread a few-splits corpus across the cores first.
+    val n = withSqNorm(Relational.spreadFewSplits(corpus, idCol), embCol)
+      .select(col(idCol), col(embCol), col("sq_norm"))
     // argmax over centroids: max of (cos, -cell) picks highest cosine,
     // then the smaller cell id on ties
     val cells = n

@@ -123,7 +123,15 @@ object JiraSearchSource {
     if (node == null || node.isNull) return None
     v match {
       case n: Number => if (node.isNumber) Some(java.lang.Double.compare(node.asDouble, n.doubleValue)) else None
-      case s: String => if (node.isTextual) Some(node.asText.compareTo(s)) else None
+      // Compare as UTF8String (byte order = code-point order), not
+      // java.lang.String (UTF-16 code-unit order): the two disagree on
+      // supplementary-plane characters, and a pushed (accepted, not
+      // residual) range predicate is never re-checked by Spark — a
+      // mismatch here silently mis-filters rows.
+      case s: String =>
+        if (node.isTextual)
+          Some(UTF8String.fromString(node.asText).compareTo(UTF8String.fromString(s)))
+        else None
       case b: java.lang.Boolean => if (node.isBoolean) Some(java.lang.Boolean.compare(node.asBoolean, b)) else None
       case u: UTF8String => cmp(node, u.toString)
       case _ => None

@@ -178,7 +178,21 @@ object Sinks {
     * Column names are quoted verbatim, matching Spark's own JDBC
     * writer, so reference-named columns like `key` work.
     *
-    * @return number of rows that failed to insert
+    * DELIVERY CONTRACT — at-least-once, NOT exactly-once: a task retry
+    * or speculative duplicate re-runs its whole partition with per-row
+    * autocommit, re-inserting rows the failed attempt already
+    * committed. Point this writer only at tables whose PRIMARY KEY (or
+    * unique constraint) makes the re-insert a constraint violation —
+    * the duplicate row then lands in the failure count instead of the
+    * table (the reference's fact table keys on the natural ticket key,
+    * schema.sql:35, which is exactly such a constraint). Without a
+    * key, retries DUPLICATE rows silently. The returned count is
+    * likewise an at-least-once accumulator: Spark re-counts failures
+    * across retried (non-result) task attempts, so treat it as an
+    * upper bound suited to loss-rate gating, not exact bookkeeping.
+    *
+    * @return number of rows that failed to insert (upper bound under
+    *         task retries; see delivery contract above)
     */
   def writeJdbcTolerant(
       df: DataFrame,

@@ -56,11 +56,16 @@ object Sources {
     * and applies its loss threshold — the same quality-gate contract
     * as `Relational.qualityGate`, applied at ingest. At 100 TB a
     * single bad line must cost one row, not the job.
+    *
+    * The parsed batch is cached (both splits read it; see SPARK-21610
+    * note below) — the third element RELEASES that cache; call it once
+    * both splits are materialized, or sweep the session with
+    * [[graft.GraftSession.releaseAllCaches]].
     */
   def jsonLinesWithErrors(
       spark: SparkSession,
       path: String,
-      schema: StructType): (DataFrame, DataFrame) = {
+      schema: StructType): (DataFrame, DataFrame, () => Unit) = {
     import org.apache.spark.sql.functions.col
     val withCorrupt = StructType(
       schema.fields :+ org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType))
@@ -75,7 +80,7 @@ object Sources {
       .cache()
     val clean = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
     val errors = raw.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record").as("line"))
-    (clean, errors)
+    (clean, errors, () => { raw.unpersist(blocking = false); () })
   }
 
   /** Partitioned JDBC scan — the read twin of [[Sinks.writeJdbc]].

@@ -68,4 +68,20 @@ class ConnCompSpec extends AnyFunSuite {
       .toMap
     assert(m.size == 26 && m.values.forall(_ == 0L))
   }
+
+  test("releasable variant: labels stay correct and release drops the backing blocks") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (labels, release) =
+      Dedup.connectedComponentsReleasable(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"))
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // the returned frame is backed by exactly one persisted RDD…
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size == 1)
+    release()
+    // …which the handle releases (unpersist deregisters synchronously;
+    // only the block deletion is async)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
 }

@@ -59,7 +59,7 @@ class SourcesSpec extends AnyFunSuite {
       """{"id": "wrong type, fine for PERMISSIVE"}""",
       """{"id": 3, "name": "ok3", "score": 3.0}""")
       .toDF("value").repartition(1).write.mode("overwrite").text(dir)
-    val (clean, errors) = Sources.jsonLinesWithErrors(spark, dir, schema)
+    val (clean, errors, release) = Sources.jsonLinesWithErrors(spark, dir, schema)
     // both the unparseable line AND the type-mismatch row carry
     // _corrupt_record (PERMISSIVE keeps the raw line whenever any
     // field fails to convert); fully-parsed rows stay clean
@@ -67,5 +67,9 @@ class SourcesSpec extends AnyFunSuite {
     assert(errors.collect().map(_.getString(0)).exists(_.startsWith("{not json")))
     assert(clean.count() == 3)
     assert(clean.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // release drops the shared parsed-batch cache entry (async block
+    // deletion; the CacheManager entry itself is removed synchronously)
+    release()
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 }
