@@ -286,4 +286,66 @@ object Relational {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Guard for compute-heavy per-row passes (md5 signatures, decimal
+    * dot products) whose input may arrive in FEWER splits than the
+    * cluster has cores — a single small parquet file is one row group,
+    * hence ONE task, and the whole pass serializes onto one core
+    * regardless of cluster size. If the input already has at least
+    * `defaultParallelism` partitions (any real 100 TB table does) this
+    * is the identity; otherwise one cheap shuffle of the narrow input
+    * spreads the expensive work.
+    */
+  def spreadFewSplits(df: DataFrame, keyCol: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col(keyCol))
+  }
+
+  /** Dense GLOBAL row numbers in `keyCol` order WITHOUT a
+    * single-reducer window. `row_number() OVER (ORDER BY k)` funnels
+    * every row through one partition — the classic 100 TB cliff (the
+    * WindowExec warning in any unpartitioned-window plan). Here the
+    * frame is range-partitioned and sorted on the key, a first pass
+    * collects only the PER-PARTITION COUNTS to the driver (`P` longs —
+    * bookkeeping, not data), and a second pass assigns
+    * `offset(partition) + local index`. Same total order as the
+    * window, but the work stays spread across all partitions.
+    *
+    * The sorted rows are persisted between the two passes (the count
+    * pass must not recompute the shuffle); the returned frame is
+    * backed by that cache — release it with
+    * [[graft.GraftSession.releaseAllCaches]] once consumed, or keep it
+    * hot for repeated reads.
+    *
+    * Keys need not be unique: ties get distinct numbers ordered by the
+    * partition-internal sort, which is deterministic for a
+    * deterministic input order. Row numbers start at 1.
+    */
+  def globalRowNumber(
+      df: DataFrame,
+      keyCol: String,
+      numPartitions: Int,
+      outCol: String = "rn"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(numPartitions, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted
+      .mapPartitionsWithIndex { case (i, it) => Iterator(i -> it.size.toLong) }
+      .collect()
+      .toMap
+    val offsets = (0 until sorted.getNumPartitions)
+      .scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L))
+    val numbered = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var n = offsets(i)
+      it.map { r => n += 1; Row.fromSeq(r.toSeq :+ n) }
+    }
+    val schema = StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    spark.createDataFrame(numbered, schema)
+  }
 }

@@ -99,4 +99,57 @@ object TextAnalysis {
         explode(when(nChunks >= 0, sequence(lit(0L), nChunks)).otherwise(typedLit(Seq.empty[Long]))))
       .withColumn("chunk", col(textCol).substr((col("chunk_id") * stride + 1).cast("int"), lit(window)))
   }
+
+  /** CONTENT-DEFINED segmentation stats (the rolling-hash chunking of
+    * dedup-friendly storage: FastCDC/rsync's boundary rule): a segment
+    * boundary falls wherever the h32 of the character `k`-gram starting
+    * at that position ≡ 0 (mod `mod`), so boundaries depend only on
+    * LOCAL content — insert one word at the head of a 100 TB shard and
+    * every downstream segment hash survives, where [[chunk]]'s fixed
+    * windows would all shift. Adds `n_seg` (boundary count + 1) and
+    * `max_seg` (longest segment, in characters). Pure per-row array
+    * expressions — no shuffle, no UDF; expected segment length ≈ `mod`
+    * chars + gram width.
+    *
+    * Texts shorter than `k` have no grams, hence one segment spanning
+    * the whole (possibly empty) text: `n_seg=1, max_seg=len`.
+    */
+  def cdcSegmentStats(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      k: Int,
+      mod: Int): org.apache.spark.sql.DataFrame = {
+    // Hash array and boundary list staged as columns (each referenced
+    // ≥2× downstream) so the optimizer cannot inline the O(len) md5
+    // stream into a per-element lambda body — see the winnowing
+    // inlining note in Dedup.winnowFingerprints.
+    val hs = col("__cdc_hs")
+    val bnd = col("__cdc_bnd")
+    val allB = col("__cdc_allb")
+    val out = df
+      .withColumn("__cdc_hs", Dedup.charGramHashes(col(textCol), k))
+      .withColumn(
+        "__cdc_bnd",
+        when(
+          size(hs) >= 1,
+          filter(
+            zip_with(
+              hs,
+              sequence(lit(1L), size(hs).cast("long")),
+              (h, i) => when(h % mod === 0, i)),
+            x => x.isNotNull))
+          .otherwise(typedLit(Seq.empty[Long])))
+      .withColumn(
+        "__cdc_allb",
+        concat(array(lit(0L)), bnd, array(length(col(textCol)).cast("long"))))
+      .withColumn(
+        "__cdc_lens",
+        zip_with(
+          slice(allB, lit(2), size(allB) - 1),
+          slice(allB, lit(1), size(allB) - 1),
+          (hi, lo) => hi - lo))
+      .withColumn("n_seg", size(col("__cdc_lens")).cast("long"))
+      .withColumn("max_seg", array_max(col("__cdc_lens")))
+    out.drop("__cdc_hs", "__cdc_bnd", "__cdc_allb", "__cdc_lens")
+  }
 }

@@ -98,4 +98,30 @@ class PlanAuditSpec extends AnyFunSuite {
     // the md5 gram pass appears exactly once in the physical plan
     assert("md5".r.findAllIn(p.toLowerCase).length >= 1, p)
   }
+
+  test("q89: global row numbering plans with NO Window operator (no single-reducer funnel)") {
+    val p = plan("q89_global_rn")
+    assert(!p.contains("Window"), p)
+    // the numbering frame is the pre-computed RDD, scanned in parallel
+    assert(p.contains("Scan ExistingRDD") || p.contains("ExistingRDD"), p)
+  }
+
+  test("q80: the winnow cache boundary keeps the inferred explode filter off the md5 pass") {
+    val df = SparkEntry.queries("q80_winnow_pairs")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the expensive fingerprint expression must live only inside the
+    // InMemoryRelation build plan — the Generate's inferred size>0
+    // filter must probe the cached array column, not recompute md5
+    val aboveCache = p.split("InMemoryRelation")(0)
+    assert(!aboveCache.toLowerCase.contains("md5"), aboveCache.take(2000))
+  }
+
+  test("q24/q76: similarity corpus side fans out beyond a single input split") {
+    for (q <- Seq("q24_ann_topk", "q76_ivf_ann")) {
+      val p = plan(q)
+      // spreadFewSplits inserts a round-robin/hash repartition of the
+      // single-file corpus before the dot-product pass
+      assert(p.contains("Exchange hashpartitioning"), s"$q: ${p.take(1500)}")
+    }
+  }
 }

@@ -68,4 +68,31 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(salted.except(direct).count() == 0)
     assert(direct.except(salted).count() == 0)
   }
+
+  test("globalRowNumber matches the single-reducer window on shuffled input") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val keys = rnd.shuffle((1L to 500L).toList)
+    val df = keys.map(k => (k, s"v$k")).toDF("k", "v").repartition(3)
+    val got = Relational
+      .globalRowNumber(df, "k", numPartitions = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._3)
+    // rank i holds key i: the same total order row_number() OVER
+    // (ORDER BY k) produces, with every original column carried along
+    assert(got.map(_._3).toSeq == (1L to 500L))
+    assert(got.map(_._1).toSeq == (1L to 500L))
+    assert(got.forall { case (k, v, _) => v == s"v$k" })
+  }
+
+  test("globalRowNumber: empty partitions and empty input are safe") {
+    import spark.implicits._
+    val out = Relational.globalRowNumber(
+      Seq((10L, "a"), (20L, "b")).toDF("k", "v"), "k", numPartitions = 8)
+    assert(out.select("rn").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val empty = Relational.globalRowNumber(
+      Seq.empty[(Long, String)].toDF("k", "v"), "k", numPartitions = 4)
+    assert(empty.count() == 0)
+  }
 }

@@ -102,4 +102,56 @@ class TextPropertySpec extends AnyFunSuite {
       assert(got(id)._3 == s.toLowerCase.replaceAll("\\s+", " ").trim, s"nm id=$id '$s'")
     }
   }
+
+  // Reference h32: first 8 md5 hex digits as a long (Hashing.h32 twin).
+  private def refH32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  /** Reference content-defined segmentation: boundary at 1-based gram
+    * position i where h32(lower k-gram at i) % mod == 0; segment
+    * lengths are diffs over 0 ++ boundaries ++ len.
+    */
+  private def refCdc(s: String, k: Int, mod: Int): (Long, Long) = {
+    val low = s.toLowerCase
+    val bnd =
+      if (low.length < k) Seq.empty[Long]
+      else (1 to (low.length - k + 1))
+        .filter(i => refH32(low.substring(i - 1, i - 1 + k)) % mod == 0)
+        .map(_.toLong)
+    val cuts = 0L +: bnd :+ s.length.toLong
+    val lens = cuts.sliding(2).map(p => p(1) - p(0)).toSeq
+    (lens.length.toLong, lens.max)
+  }
+
+  test("cdcSegmentStats agrees with the reference implementation (incl. empty/short texts)") {
+    import spark.implicits._
+    // Small mod so boundaries actually occur at these lengths.
+    val got = TextAnalysis
+      .cdcSegmentStats(cases.toDF("id", "t"), "t", k = 3, mod = 4)
+      .select(col("id"), col("n_seg"), col("max_seg"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    cases.foreach { case (id, s) =>
+      assert(got(id) == refCdc(s, 3, 4), s"cdc id=$id text='$s'")
+    }
+  }
+
+  test("cdcSegmentStats: an edit changes only local segments (the content-defined property)") {
+    import spark.implicits._
+    // Flip one char in the middle of a long text: segment boundaries
+    // more than k-1 chars away must be unchanged positions.
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val edit = base.updated(5, 'x')
+    def bounds(s: String): Seq[Long] = {
+      val low = s.toLowerCase
+      (1 to (low.length - 2)).filter(i => refH32(low.substring(i - 1, i + 2)) % 4 == 0).map(_.toLong)
+    }
+    val (b0, b1) = (bounds(base), bounds(edit))
+    // boundaries untouched by the edit window [6-2, 6+2] coincide
+    assert(b0.filter(i => i < 4 || i > 8) == b1.filter(i => i < 4 || i > 8))
+  }
 }
