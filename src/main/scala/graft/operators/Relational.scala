@@ -287,6 +287,66 @@ object Relational {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** BLOOM-FILTER JOIN PREFILTER — the runtime-filter pattern (Spark's
+    * own InjectRuntimeFilter, Trino's dynamic filtering) as an explicit,
+    * deterministic operator: build a `bits`-wide Bloom bitmap over the
+    * small side's join keys (one aggregation to a single row of
+    * bits/64 longs), broadcast it, and drop big-side rows whose `k`
+    * probe bits are not all set — BEFORE the join's shuffle. At 100 TB
+    * this is the difference between shuffling the full fact table and
+    * shuffling the ~selectivity fraction that can possibly match;
+    * false positives only mean a few extra rows reach the exact join,
+    * NEVER a wrong result, so any downstream gate stays exact.
+    *
+    * All hashing is the engine's md5-derived [[Hashing.h32]] + affine
+    * family — bit-reproducible across engines, partitionings and
+    * reruns (Spark's built-in bloom uses xxhash64 and is not
+    * oracle-replicable; this one is pure integer arithmetic).
+    *
+    * Returns the filtered BIG side; the caller joins it exactly as
+    * before.
+    */
+  def bloomPrefilter(
+      big: DataFrame,
+      bigKey: String,
+      small: DataFrame,
+      smallKey: String,
+      bits: Int = 4096,
+      k: Int = 3): DataFrame = {
+    require(bits % 64 == 0 && bits > 0, "bits must be a positive multiple of 64")
+    val words = bits / 64
+    import graft.functions.Hashing
+    def positions(key: Column): Seq[Column] = {
+      val h = Hashing.h32(concat(lit("bloom:"), key))
+      (0 until k).map(j => Hashing.affine(h, j) % bits)
+    }
+    // integer word index (Column./ is double division)
+    def wordIdx(p: Column): Column = floor(p / 64).cast("int")
+    // Small side -> ONE row holding the bitmap as array<long>: for each
+    // word w, OR together the in-word bits of every (row, probe).
+    def wordExpr(w: Int): Column = {
+      val perRow = positions(col(smallKey))
+        .map(p =>
+          when(wordIdx(p) === w, call_function("shiftleft", lit(1L), (p % 64).cast("int")))
+            .otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b))
+      coalesce(bit_or(perRow), lit(0L)).as(s"w$w")
+    }
+    val bitmap = small
+      .agg(wordExpr(0), (1 until words).map(wordExpr): _*)
+      .select(array((0 until words).map(w => col(s"w$w")): _*).as("__bloom"))
+    // Broadcast the 1-row bitmap; keep big rows whose k probes all hit.
+    val probesHit = positions(col(bigKey))
+      .map(p =>
+        element_at(col("__bloom"), wordIdx(p) + 1)
+          .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast("int"))) =!= 0L)
+      .reduce(_ && _)
+    big
+      .crossJoin(broadcast(bitmap))
+      .filter(probesHit)
+      .drop("__bloom")
+  }
+
   /** Guard for compute-heavy per-row passes (md5 signatures, decimal
     * dot products) whose input may arrive in FEWER splits than the
     * cluster has cores — a single small parquet file is one row group,

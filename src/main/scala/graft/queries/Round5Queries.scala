@@ -174,17 +174,233 @@ object Round5Queries {
       |  (f_min_len AND f_max_len AND f_stopword AND f_word_len) AS keep
       |FROM f ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** q93 — BLOOM-PRUNED join ([[Relational.bloomPrefilter]]): the
+    * explicit runtime-filter: a 4096-bit md5-derived Bloom bitmap over
+    * the filtered customer keys prunes orders BEFORE the join shuffle.
+    * The oracle is the PLAIN join — Bloom false positives can only add
+    * rows to the exact join's input, never change its output, which is
+    * the whole safety argument for runtime filters.
+    */
+  val q93BloomJoin: Q = (s, d) => {
+    val cust = Tables.customer(s, d).filter(col("c_nationkey") === 5)
+    val pruned = Relational.bloomPrefilter(
+      Tables.orders(s, d), "o_custkey", cust.select(col("c_custkey")), "c_custkey")
+    pruned
+      .join(cust, pruned("o_custkey") === cust("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), graft.functions.Scalars.sumDec(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q93Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_nationkey = 5
+      |GROUP BY 1 ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+
+  /** q94 — EQUI-DEPTH histogram: exact quartile boundaries (one tiny
+    * aggregate, broadcast back as a 1-row frame) bucket the full
+    * column; counts per bucket. The shape of every optimizer's
+    * equi-height statistics build. Exact `percentile` matches DuckDB's
+    * `quantile_cont` bit-for-bit (pinned by q52).
+    */
+  val q94EquiDepth: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+    val bounds = li.agg(
+      expr("percentile(v, 0.25)").as("b1"),
+      expr("percentile(v, 0.50)").as("b2"),
+      expr("percentile(v, 0.75)").as("b3"))
+    li.crossJoin(broadcast(bounds))
+      .select(
+        when(col("v") <= col("b1"), 0L)
+          .when(col("v") <= col("b2"), 1L)
+          .when(col("v") <= col("b3"), 2L)
+          .otherwise(3L)
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  val q94Sql: String =
+    """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.25) AS b1,
+      |                  quantile_cont(l_extendedprice, 0.50) AS b2,
+      |                  quantile_cont(l_extendedprice, 0.75) AS b3 FROM lineitem)
+      |SELECT CASE WHEN l_extendedprice <= b1 THEN 0
+      |            WHEN l_extendedprice <= b2 THEN 1
+      |            WHEN l_extendedprice <= b3 THEN 2 ELSE 3 END AS bucket,
+      |  COUNT(*) AS n
+      |FROM lineitem, b
+      |GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin
+
+  /** q95 — OOV (out-of-vocabulary) rate against a corpus-derived
+    * vocabulary: top-20 tokens by frequency (ties by token — the
+    * deterministic heavy-hitters draw), broadcast back, per-document
+    * in/out token counts. The tokenizer-coverage audit run before
+    * committing to a vocab; at scale the vocab is the tiny broadcast
+    * side and the token stream never re-shuffles.
+    */
+  val q95OovRate: Q = (s, d) => {
+    val toks = Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(20)
+      .select(col("tok"), lit(1).as("__in"))
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        count(when(col("__in").isNull, 1)).as("n_oov"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q95Sql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |v AS (SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY 1
+      |                       ORDER BY cnt DESC, tok LIMIT 20)),
+      |m AS (SELECT t.doc_id, t.tok, v.tok IS NOT NULL AS hit
+      |      FROM t LEFT JOIN v ON t.tok = v.tok)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |  CAST(COUNT(*) FILTER (WHERE NOT hit) AS BIGINT) AS n_oov
+      |FROM m GROUP BY 1 ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** q96 — Z-ORDER clustering audit ([[graft.functions.ZOrder]]):
+    * z-value over (o_custkey mod 1024, o_orderkey mod 1024), bucketed
+    * into 64 z-tiles; per tile the row count and the min/max of BOTH
+    * source dimensions. The min/max spans are what a file-skipping
+    * reader consults: z-tiles keep both spans narrow (≈ 128 of 1024
+    * here), where a single-column sort leaves the other dimension's
+    * span at full width — the measurable reason to ZORDER a 100 TB
+    * table queried on two axes.
+    */
+  val q96ZOrder: Q = (s, d) => {
+    import graft.functions.ZOrder
+    Tables
+      .orders(s, d)
+      .select(
+        (col("o_custkey") % 1024).as("a"),
+        (col("o_orderkey") % 1024).as("b"))
+      .withColumn("tile", (ZOrder.zValue(col("a"), col("b"), 10) / lit(16384)).cast("long"))
+      .groupBy(col("tile"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("a")).as("min_a"),
+        max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"),
+        max(col("b")).as("max_b"))
+      .orderBy(col("tile"))
+  }
+
+  val q96Sql: String = {
+    val z = graft.functions.ZOrder.zValueSql("o_custkey % 1024", "o_orderkey % 1024", 10)
+    s"""WITH zt AS (SELECT o_custkey % 1024 AS a, o_orderkey % 1024 AS b, ($z) AS z FROM orders)
+       |SELECT z // 16384 AS tile, CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b
+       |FROM zt GROUP BY 1 ORDER BY tile NULLS FIRST""".stripMargin
+  }
+
+  /** q97 — the END-TO-END near-dup removal pipeline as ONE lazy plan:
+    * shingle → MinHash(12) → LSH(3 bands) candidates → exact-Jaccard
+    * verify (≥ 0.6) → connected components → drop non-canonical
+    * members → surviving-corpus counts per language. Every stage is
+    * the scale-shaped variant proven individually (q20/q22/q51/q58);
+    * this query pins their COMPOSITION — the actual dedup job a
+    * 100 TB corpus runs nightly, where only the candidate fraction
+    * ever pays a pairwise cost and the pair space never materializes.
+    */
+  val q97DedupPipeline: Q = (s, d) => {
+    val docs = Tables
+      .documents(s, d)
+      .filter(col("doc_id") < 1000)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val shingled = docs.select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("shingles"))
+    val sig = Dedup
+      .minHashSignature(shingled, "doc_id", "shingles", 12)
+      .drop("shingles")
+    val cands = Dedup.lshCandidates(sig, "doc_id", 12, 3)
+    val verified = cands
+      .join(shingled.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(shingled.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.6)
+      .select(col("id_a"), col("id_b"))
+    val dupes = Dedup
+      .connectedComponents(verified)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    docs
+      .join(dupes, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val q97Sql: String = {
+    val K = 12
+    val bands = 3
+    val rpb = K / bands
+    val mhDefs = (0 until K)
+      .map(j =>
+        s" list_min(list_transform(hs, h -> (h * ${2L * j + 3} + ${5L * j + 7}) % ${graft.functions.Hashing.AffineP})) AS mh$j")
+      .mkString(",\n")
+    val bandCase = "CASE band " + (0 until bands)
+      .map { b =>
+        val cat = (b * rpb until (b + 1) * rpb).map(j => s"mh$j").mkString("||'_'||")
+        if (b == bands - 1) s"ELSE md5($cat) END" else s"WHEN $b THEN md5($cat) "
+      }
+      .mkString
+    s"""WITH RECURSIVE
+       |d AS (SELECT doc_id, lang, list_distinct([substr(lower(text), i, 5) for i in range(1, len(text)-3)]) AS sh
+       |      FROM documents WHERE doc_id < 1000),
+       |dh AS (SELECT doc_id, sh, list_transform(sh, t -> CAST('0x'||substr(md5(t),1,8) AS BIGINT)) AS hs FROM d),
+       |s AS (SELECT doc_id, sh,
+       |$mhDefs
+       | FROM dh),
+       |b AS (SELECT doc_id, band, $bandCase AS bv
+       |      FROM s CROSS JOIN (SELECT unnest(range($bands)) AS band)),
+       |p AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+       |      FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id),
+       |v AS (SELECT da, db FROM p JOIN s x ON p.da = x.doc_id JOIN s y ON p.db = y.doc_id
+       |      WHERE 1.0*len(list_intersect(x.sh, y.sh))/len(list_distinct(x.sh||y.sh)) >= 0.6),
+       |edges AS (SELECT da AS src, db AS dst FROM v UNION SELECT db, da FROM v),
+       |walk(node, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e2.dst, w.comp FROM walk w JOIN edges e2 ON e2.src = w.node),
+       |lbl AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node),
+       |dup AS (SELECT node AS doc_id FROM lbl WHERE node <> component)
+       |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+       |FROM d LEFT JOIN dup USING (doc_id)
+       |WHERE dup.doc_id IS NULL
+       |GROUP BY 1 ORDER BY lang NULLS FIRST""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q88_block_boilerplate" -> q88BlockBoilerplate,
     "q89_global_rn" -> q89GlobalRn,
     "q90_weighted_sample" -> q90WeightedSample,
     "q91_cdc_segments" -> q91CdcSegments,
-    "q92_quality_filter" -> q92QualityFilter)
+    "q92_quality_filter" -> q92QualityFilter,
+    "q93_bloom_join" -> q93BloomJoin,
+    "q94_equidepth_hist" -> q94EquiDepth,
+    "q95_oov_rate" -> q95OovRate,
+    "q96_zorder" -> q96ZOrder,
+    "q97_dedup_pipeline" -> q97DedupPipeline)
 
   val oracles: Map[String, String] = Map(
     "q88_block_boilerplate" -> q88Sql,
     "q89_global_rn" -> q89Sql,
     "q90_weighted_sample" -> q90Sql,
     "q91_cdc_segments" -> q91Sql,
-    "q92_quality_filter" -> q92Sql)
+    "q92_quality_filter" -> q92Sql,
+    "q93_bloom_join" -> q93Sql,
+    "q94_equidepth_hist" -> q94Sql,
+    "q95_oov_rate" -> q95Sql,
+    "q96_zorder" -> q96Sql,
+    "q97_dedup_pipeline" -> q97Sql)
 }

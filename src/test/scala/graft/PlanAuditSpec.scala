@@ -116,6 +116,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!aboveCache.toLowerCase.contains("md5"), aboveCache.take(2000))
   }
 
+  test("q93: bloom bitmap is a 1-row broadcast probed before the exact join") {
+    val p = plan("q93_bloom_join")
+    // bitmap build: bit_or aggregation on the small side
+    assert(p.contains("bit_or"), p)
+    // probe side: broadcast of the 1-row bitmap (nested-loop cross of
+    // a single row, not a shuffle), then the exact BroadcastHashJoin
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q97: the end-to-end dedup pipeline stays equi-join shaped (no nested-loop pair blowup)") {
+    val p = plan("q97_dedup_pipeline")
+    assert(!p.contains("CartesianProduct"), p)
+    // candidate generation joins on (band, bv); verification and
+    // anti-join are hash joins
+    assert(p.contains("Join"), p)
+  }
+
   test("q24/q76: similarity corpus side fans out beyond a single input split") {
     for (q <- Seq("q24_ann_topk", "q76_ivf_ann")) {
       val p = plan(q)

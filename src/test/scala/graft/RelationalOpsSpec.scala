@@ -69,6 +69,30 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(direct.except(salted).count() == 0)
   }
 
+  test("bloomPrefilter: never drops a true match, prunes most non-matches") {
+    import spark.implicits._
+    val big = (1L to 2000L).map(i => (i, s"r$i")).toDF("k", "v")
+    val small = Seq(10L, 500L, 1500L, 1999L).map(k => Tuple1(k)).toDF("sk")
+    val pruned = Relational.bloomPrefilter(big, "k", small, "sk")
+    val kept = pruned.select("k").as[Long].collect().toSet
+    // no false negatives — every actual key survives
+    assert(Set(10L, 500L, 1500L, 1999L).subsetOf(kept))
+    // and the filter actually prunes (4096 bits, 3 hashes, 4 keys ->
+    // expected FP rate well under 1%)
+    assert(kept.size < 50, s"kept ${kept.size}")
+    // exact join over the pruned side == exact join over the full side
+    val j1 = pruned.join(small, col("k") === col("sk")).select("k", "v")
+    val j2 = big.join(small, col("k") === col("sk")).select("k", "v")
+    assert(j1.except(j2).count() == 0 && j2.except(j1).count() == 0)
+  }
+
+  test("bloomPrefilter: empty small side prunes everything") {
+    import spark.implicits._
+    val big = (1L to 100L).map(i => (i, i)).toDF("k", "v")
+    val none = Seq.empty[Long].map(Tuple1(_)).toDF("sk")
+    assert(Relational.bloomPrefilter(big, "k", none, "sk").count() == 0)
+  }
+
   test("globalRowNumber matches the single-reducer window on shuffled input") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
