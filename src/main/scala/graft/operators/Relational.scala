@@ -322,29 +322,92 @@ object Relational {
     }
     // integer word index (Column./ is double division)
     def wordIdx(p: Column): Column = floor(p / 64).cast("int")
-    // Small side -> ONE row holding the bitmap as array<long>: for each
-    // word w, OR together the in-word bits of every (row, probe).
-    def wordExpr(w: Int): Column = {
-      val perRow = positions(col(smallKey))
-        .map(p =>
-          when(wordIdx(p) === w, call_function("shiftleft", lit(1L), (p % 64).cast("int")))
-            .otherwise(lit(0L)))
-        .reduce((a, b) => a.bitwiseOR(b))
-      coalesce(bit_or(perRow), lit(0L)).as(s"w$w")
-    }
+    // Small side -> ONE row holding the bitmap as array<long>. Shaped
+    // as explode -> (word, bit) -> bit_or -> map -> dense array rather
+    // than `words × k` conditional aggregates: the latter generates
+    // O(words·k) md5-bearing expressions (janino-compile seconds and
+    // k·words md5 evaluations per row); this shape hashes each key
+    // once and aggregates k tiny integer rows per key.
     val bitmap = small
-      .agg(wordExpr(0), (1 until words).map(wordExpr): _*)
-      .select(array((0 until words).map(w => col(s"w$w")): _*).as("__bloom"))
+      .select(explode(array(positions(col(smallKey)): _*)).as("p"))
+      .select(
+        wordIdx(col("p")).as("w"),
+        call_function("shiftleft", lit(1L), (col("p") % 64).cast("int")).as("bit"))
+      .groupBy(col("w"))
+      .agg(bit_or(col("bit")).as("bits"))
+      .agg(map_from_arrays(collect_list(col("w")), collect_list(col("bits"))).as("m"))
+      .select(
+        transform(
+          sequence(lit(0), lit(words - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0L))).as("__bloom"))
     // Broadcast the 1-row bitmap; keep big rows whose k probes all hit.
-    val probesHit = positions(col(bigKey))
-      .map(p =>
-        element_at(col("__bloom"), wordIdx(p) + 1)
-          .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast("int"))) =!= 0L)
-      .reduce(_ && _)
+    // The shared md5 is staged as a column (referenced by all k probes)
+    // so it computes once per row, not once per probe.
+    val probes = (0 until k).map { j =>
+      val p = Hashing.affine(col("__bloom_h"), j) % bits
+      element_at(col("__bloom"), wordIdx(p) + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast("int"))) =!= 0L
+    }
     big
       .crossJoin(broadcast(bitmap))
-      .filter(probesHit)
-      .drop("__bloom")
+      .withColumn("__bloom_h", Hashing.h32(concat(lit("bloom:"), col(bigKey))))
+      .filter(probes.reduce(_ && _))
+      .drop("__bloom", "__bloom_h")
+  }
+
+  /** EXACT quantiles by distributed sort + order statistics — the
+    * 100 TB-correct exact method. Spark's `percentile` aggregate
+    * buffers every (value → count) pair into ONE merged in-memory map
+    * at the final aggregation (4.8 s over 600 k rows at sf0.1, and an
+    * OOM at real scale); here the column is range-sorted in parallel
+    * ([[globalRowNumber]]), the two neighboring order statistics per
+    * requested quantile are picked by rank (a tiny broadcast), and the
+    * interpolation `lo + (hi − lo)·frac` matches SQL
+    * percentile_cont / DuckDB quantile_cont bit-for-bit (q52 pins the
+    * formula parity).
+    *
+    * Returns one row: `q0..q{n-1}` double columns, one per requested
+    * quantile (NULL row if the input is empty). Runs two bookkeeping
+    * actions (partition counts + total count) — scalars, not data.
+    */
+  def exactQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      ps: Seq[Double],
+      numPartitions: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val numbered = globalRowNumber(
+      df.select(col(valueCol).cast("double").as("v")), "v", numPartitions, "rn")
+    val n = numbered.count()
+    val outCols = ps.indices.map(i => s"q$i")
+    if (n == 0) {
+      return ps.indices
+        .foldLeft(spark.range(1).toDF()) { (acc, i) =>
+          acc.withColumn(s"q$i", lit(null).cast("double"))
+        }
+        .select(outCols.map(col): _*)
+    }
+    val specs = ps.zipWithIndex.map { case (p, i) =>
+      val idx = p * (n - 1)
+      val lo = math.floor(idx).toLong + 1
+      val hi = math.ceil(idx).toLong + 1
+      (i, lo, hi, idx - math.floor(idx))
+    }
+    val ranks = specs.flatMap(s => Seq(s._2, s._3)).distinct
+    val picked = broadcast(numbered.filter(col("rn").isin(ranks: _*)))
+    val q = specs
+      .toDF("qi", "lo", "hi", "frac")
+      .join(picked.select(col("rn").as("lo"), col("v").as("lo_v")), "lo")
+      .join(picked.select(col("rn").as("hi"), col("v").as("hi_v")), "hi")
+      .select(
+        col("qi"),
+        (col("lo_v") + (col("hi_v") - col("lo_v")) * col("frac")).as("q"))
+    q.agg(
+      first(when(col("qi") === 0, col("q")), ignoreNulls = true).as("q0"),
+      specs.tail.map { case (i, _, _, _) =>
+        first(when(col("qi") === i, col("q")), ignoreNulls = true).as(s"q$i")
+      }: _*)
   }
 
   /** Guard for compute-heavy per-row passes (md5 signatures, decimal

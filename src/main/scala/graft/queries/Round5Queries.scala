@@ -207,10 +207,13 @@ object Round5Queries {
     */
   val q94EquiDepth: Q = (s, d) => {
     val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
-    val bounds = li.agg(
-      expr("percentile(v, 0.25)").as("b1"),
-      expr("percentile(v, 0.50)").as("b2"),
-      expr("percentile(v, 0.75)").as("b3"))
+    // Exact quartiles via distributed sort + order statistics
+    // (Relational.exactQuantiles) — Spark's `percentile` aggregate
+    // funnels every value into one merged map (measured 4.8 s here,
+    // OOM at real scale); the sort-based exact method parallelizes.
+    val bounds = Relational
+      .exactQuantiles(li, "v", Seq(0.25, 0.50, 0.75))
+      .select(col("q0").as("b1"), col("q1").as("b2"), col("q2").as("b3"))
     li.crossJoin(broadcast(bounds))
       .select(
         when(col("v") <= col("b1"), 0L)
@@ -319,7 +322,13 @@ object Round5Queries {
       .documents(s, d)
       .filter(col("doc_id") < 1000)
       .select(col("doc_id"), col("lang"), col("text"))
-    val shingled = docs.select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("shingles"))
+    // The shingle frame feeds THREE consumers (signature build + both
+    // verify sides): spread the few-splits input and persist the
+    // arrays once (released by the harness sweep / releaseAllCaches).
+    val shingled = Relational
+      .spreadFewSplits(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = Dedup
       .minHashSignature(shingled, "doc_id", "shingles", 12)
       .drop("shingles")

@@ -110,6 +110,34 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(got.forall { case (k, v, _) => v == s"v$k" })
   }
 
+  test("exactQuantiles matches Spark's percentile aggregate bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // duplicates + odd count exercise both integral and fractional ranks
+    val vals = (1 to 501).map(_ => math.floor(rnd.nextDouble() * 100) / 4.0)
+    val df = rnd.shuffle(vals).toDF("x").repartition(3)
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val got = Relational
+      .exactQuantiles(df, "x", ps, numPartitions = 5)
+      .collect()(0)
+    val want = df
+      .agg(
+        expr("percentile(x, 0.0)"), expr("percentile(x, 0.25)"), expr("percentile(x, 0.5)"),
+        expr("percentile(x, 0.75)"), expr("percentile(x, 0.9)"), expr("percentile(x, 1.0)"))
+      .collect()(0)
+    ps.indices.foreach { i =>
+      assert(got.getDouble(i) == want.getDouble(i), s"p=${ps(i)}")
+    }
+  }
+
+  test("exactQuantiles: empty input yields one all-NULL row") {
+    import spark.implicits._
+    val out = Relational
+      .exactQuantiles(Seq.empty[Double].toDF("x"), "x", Seq(0.5, 0.9))
+      .collect()
+    assert(out.length == 1 && out(0).isNullAt(0) && out(0).isNullAt(1))
+  }
+
   test("globalRowNumber: empty partitions and empty input are safe") {
     import spark.implicits._
     val out = Relational.globalRowNumber(
