@@ -123,6 +123,34 @@ object Sinks {
     (inFiles, spark.read.parquet(destDir).inputFiles.length.toLong)
   }
 
+  /** Z-ORDERED parquet write ([[graft.functions.ZOrder]]): range-
+    * partition and sort the frame by the Morton interleave of two
+    * columns, so every output file carries NARROW min/max ranges on
+    * BOTH dimensions — the Delta/Iceberg `OPTIMIZE ZORDER BY` layout,
+    * which lets a footer-stats reader skip most files for a predicate
+    * on either column. `repartitionByRange` on the z-value is one
+    * shuffle; the z column itself is dropped before writing.
+    *
+    * Returns the number of files written.
+    */
+  def writeZOrdered(
+      df: org.apache.spark.sql.DataFrame,
+      destDir: String,
+      colA: String,
+      colB: String,
+      bits: Int,
+      numFiles: Int): Long = {
+    import graft.functions.ZOrder
+    df.withColumn("__z", ZOrder.zValue(col(colA), col(colB), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(destDir)
+    df.sparkSession.read.parquet(destDir).inputFiles.length.toLong
+  }
+
   /** JDBC sink — the Spark-native K1 (reference: etl.js:311-370, one
     * prepared INSERT per row under async.parallel). Spark's JDBC writer
     * batches `batchSize` rows per statement and runs one connection per

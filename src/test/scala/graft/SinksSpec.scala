@@ -86,6 +86,39 @@ class SinksSpec extends AnyFunSuite {
     assert(back.agg(org.apache.spark.sql.functions.sum(col("id"))).collect()(0).getLong(0) == 20100L)
   }
 
+  test("writeZOrdered: every file spans a narrow range of BOTH dimensions") {
+    import spark.implicits._
+    val dst = java.nio.file.Files.createTempDirectory("zorder_dst").toString
+    // full 64x64 grid, shuffled
+    val rnd = new scala.util.Random(3)
+    val grid = rnd.shuffle((for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)).toList)
+    val n = Sinks.writeZOrdered(grid.toDF("a", "b"), dst, "a", "b", bits = 6, numFiles = 16)
+    assert(n == 16)
+    val back = spark.read.parquet(dst)
+    assert(back.count() == 64 * 64)
+    // per-file min/max spans: a z-tile of 4096/16 = 256 cells is a
+    // 16x16 tile, so most files span ≤ 16 of 64 in BOTH dimensions
+    // (files straddling a high-order z boundary may span more — range
+    // bounds are sampled). A single-column sort leaves span_b at ~63
+    // in EVERY file; that contrast is the file-skipping argument.
+    def spans(dir: String): Seq[(Long, Long)] =
+      spark.read.parquet(dir).inputFiles.toSeq.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b")))
+          .collect()(0)
+        (r.getLong(1) - r.getLong(0), r.getLong(3) - r.getLong(2))
+      }
+    val zSpans = spans(dst)
+    val narrowZ = zSpans.count { case (sa, sb) => sa <= 31 && sb <= 31 }
+    assert(narrowZ >= 10, s"z-order spans: $zSpans")
+    // baseline: sort by `a` only — b stays full-width in every file
+    val flat = java.nio.file.Files.createTempDirectory("zorder_flat").toString
+    grid.toDF("a", "b").repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(flat)
+    val narrowFlat = spans(flat).count { case (sa, sb) => sa <= 31 && sb <= 31 }
+    assert(narrowZ > narrowFlat, s"z=$narrowZ flat=$narrowFlat")
+  }
+
   test("writeParquet round-trip with partition pruning layout") {
     import spark.implicits._
     val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)).toDF("id", "part", "v")
