@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Relational, TextAnalysis}
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
 import graft.queries.CoreQueries.Q
 
 /** Round-5 surface: block-level boilerplate removal, distributed
@@ -389,6 +389,51 @@ object Round5Queries {
        |GROUP BY 1 ORDER BY lang NULLS FIRST""".stripMargin
   }
 
+  /** q98 — INT8-quantized ANN ([[Similarity.quantizeInt8]]): per-vector
+    * max-abs quantization to [−127,127], then top-3 neighbors by exact
+    * INTEGER dot product — the memory-bound scale path (4× smaller
+    * vectors, integer SIMD) that real vector stores run, here with a
+    * bit-exact oracle because every ranking input is a long.
+    */
+  val q98QuantAnn: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val q8 = Similarity
+      .quantizeInt8(
+        Relational.spreadFewSplits(Tables.embeddings(s, d), "vec_id"),
+        "embedding",
+        "q8")
+      .select(col("vec_id"), col("q8"))
+    val queries = q8.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("q8").as("qa"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("idot").desc, col("neighbor_id"))
+    broadcast(queries)
+      .join(
+        q8.select(col("vec_id").as("neighbor_id"), col("q8").as("qb")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), Similarity.dotInt(col("qa"), col("qb")).as("idot"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id", "rank", "idot")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q98Sql: String =
+    """WITH m AS (SELECT vec_id, embedding,
+      |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx FROM embeddings),
+      |q AS (SELECT vec_id,
+      |  CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+      |       ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) AS INT)) END AS q8
+      | FROM m),
+      |x AS (SELECT vec_id, unnest(q8) AS v, generate_subscripts(q8,1) AS pos FROM q),
+      |dp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |        CAST(SUM(CAST(a.v AS BIGINT) * b.v) AS BIGINT) AS idot
+      |       FROM x a JOIN x b ON a.pos = b.pos AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+      |       GROUP BY 1, 2),
+      |r AS (SELECT query_id, neighbor_id, idot,
+      |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY idot DESC, neighbor_id) AS BIGINT) AS rank
+      |      FROM dp)
+      |SELECT query_id, neighbor_id, rank, idot FROM r WHERE rank <= 3
+      |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q88_block_boilerplate" -> q88BlockBoilerplate,
     "q89_global_rn" -> q89GlobalRn,
@@ -399,7 +444,8 @@ object Round5Queries {
     "q94_equidepth_hist" -> q94EquiDepth,
     "q95_oov_rate" -> q95OovRate,
     "q96_zorder" -> q96ZOrder,
-    "q97_dedup_pipeline" -> q97DedupPipeline)
+    "q97_dedup_pipeline" -> q97DedupPipeline,
+    "q98_quant_ann" -> q98QuantAnn)
 
   val oracles: Map[String, String] = Map(
     "q88_block_boilerplate" -> q88Sql,
@@ -411,5 +457,6 @@ object Round5Queries {
     "q94_equidepth_hist" -> q94Sql,
     "q95_oov_rate" -> q95Sql,
     "q96_zorder" -> q96Sql,
-    "q97_dedup_pipeline" -> q97Sql)
+    "q97_dedup_pipeline" -> q97Sql,
+    "q98_quant_ann" -> q98Sql)
 }
