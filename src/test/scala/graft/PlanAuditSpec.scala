@@ -134,6 +134,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Join"), p)
   }
 
+  test("q94: quantiles come from the sort-based path, not the single-JVM percentile buffer") {
+    val p = plan("q94_equidepth_hist")
+    assert(!p.toLowerCase.contains("percentile"), p.take(1500))
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p.take(1500))
+  }
+
+  test("q98: quantized ANN broadcasts the query side; no cartesian blowup beyond it") {
+    val p = plan("q98_quant_ann")
+    // 10 query vectors broadcast against the streaming corpus
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q24/q76: similarity corpus side fans out beyond a single input split") {
     for (q <- Seq("q24_ann_topk", "q76_ivf_ann")) {
       val p = plan(q)
