@@ -32,7 +32,9 @@ object Profile {
       } else {
         (1 to reps).foreach { i =>
           val t0 = System.nanoTime()
-          val n = fn(spark, sfDir).count()
+          // toRdd: full-column materialization — a bare count() lets
+          // pruning remove the computed columns of projection queries
+          val n = fn(spark, sfDir).queryExecution.toRdd.count()
           val dt = (System.nanoTime() - t0) / 1e9
           GraftSession.releaseAllCaches(spark)
           println(f"[profile] $name rep$i: $dt%.3f s ($n rows)")

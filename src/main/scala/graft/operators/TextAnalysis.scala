@@ -122,11 +122,14 @@ object TextAnalysis {
     // Hash array and boundary list staged as columns (each referenced
     // ≥2× downstream) so the optimizer cannot inline the O(len) md5
     // stream into a per-element lambda body — see the winnowing
-    // inlining note in Dedup.winnowFingerprints.
+    // inlining note in Dedup.winnowFingerprints. The md5-heavy pass is
+    // spread beyond a single input split first (identity on any real
+    // multi-split table).
+    val spread = Relational.spreadFewSplits(df, df.columns.head)
     val hs = col("__cdc_hs")
     val bnd = col("__cdc_bnd")
     val allB = col("__cdc_allb")
-    val out = df
+    val out = spread
       .withColumn("__cdc_hs", Dedup.charGramHashes(col(textCol), k))
       .withColumn(
         "__cdc_bnd",

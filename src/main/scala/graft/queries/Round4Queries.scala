@@ -180,7 +180,10 @@ object Round4Queries {
     */
   val q79Winnow: Q = (s, d) =>
     Dedup
-      .winnowFingerprints(Tables.documents(s, d), "text", 5, 4, "fps")
+      // spread the md5-per-char-gram pass beyond the single input split
+      .winnowFingerprints(
+        Relational.spreadFewSplits(Tables.documents(s, d), "doc_id"),
+        "text", 5, 4, "fps")
       .select(
         col("doc_id"),
         size(col("fps")).cast("long").as("n_fp"),

@@ -30,8 +30,8 @@ object Round5Queries {
     // __toks referenced ≥2× (block builder + block count) so the
     // per-row split stays a materialized column, not a lambda inline
     // (HOF bodies re-evaluate per element — Dedup.charGramsAll note).
-    val blocks = Tables
-      .documents(s, d)
+    val blocks = Relational
+      .spreadFewSplits(Tables.documents(s, d), "doc_id")
       .withColumn("__toks", split(col("text"), " "))
       .withColumn("__nb", expr(s"(size(__toks) + ${b - 1}) div $b"))
       .select(
@@ -149,8 +149,8 @@ object Round5Queries {
     */
   val q92QualityFilter: Q = (s, d) => {
     val toks = col("__toks")
-    Tables
-      .documents(s, d)
+    Relational
+      .spreadFewSplits(Tables.documents(s, d), "doc_id")
       .withColumn("__toks", split(col("text"), " "))
       .withColumn("wc", size(toks).cast("long"))
       .withColumn("f_min_len", col("wc") >= 30)
