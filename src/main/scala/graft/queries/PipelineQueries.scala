@@ -46,7 +46,11 @@ object PipelineQueries {
     * the signature estimate and exact Jaccard.
     */
   val q20MinHashLsh: Q = (s, d) => {
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 1000)
+    // spread: the k·md5-per-shingle pass must not serialize on a
+    // single input split (Relational.spreadFewSplits is the identity
+    // on any real multi-split table)
+    val docs = Relational.spreadFewSplits(
+      Tables.documents(s, d).filter(col("doc_id") < 1000), "doc_id")
     val shingled = docs.select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("shingles"))
     // The signature plan (shingle + k·md5-min per doc) feeds FOUR
     // consumers (both sides of the LSH self-join, both est-jaccard

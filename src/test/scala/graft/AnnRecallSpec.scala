@@ -32,4 +32,32 @@ class AnnRecallSpec extends AnyFunSuite {
     // multi-probe must fill toward k where single-probe buckets ran dry
     assert(ann1.size >= bf.size / 2)
   }
+
+  test("int8-quantized top-10 keeps high recall vs the exact float ranking") {
+    val emb = Tables.embeddings(spark, sf)
+    val q8 = Similarity
+      .quantizeInt8(emb, "embedding", "q8")
+      .select(col("vec_id"), col("q8"))
+    val queries = q8.filter(col("vec_id") < 15)
+      .select(col("vec_id").as("query_id"), col("q8").as("qa"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("idot").desc, col("neighbor_id"))
+    val quant = broadcast(queries)
+      .join(q8.select(col("vec_id").as("neighbor_id"), col("q8").as("qb")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.dotInt(col("qa"), col("qb")).as("idot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 15), emb, "vec_id", "embedding", 10))
+    val qp = pairs(quant)
+    val recall = qp.intersect(exact).size.toDouble / exact.size
+    info(s"int8 recall@10 = $recall")
+    // int8 ranks by dot, exact by cosine — on this fixture's similar
+    // norms, 8-bit rounding should still agree on most neighbors
+    assert(recall >= 0.6, s"recall=$recall")
+  }
 }

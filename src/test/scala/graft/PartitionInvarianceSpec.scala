@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Relational, Similarity}
+
+/** Partitioning-invariance: the determinism contract says every
+  * operator returns BIT-IDENTICAL results regardless of how the input
+  * happens to be partitioned — the property that makes a 100 TB run
+  * reproducible across cluster sizes, retries, and AQE re-plans. Each
+  * case runs the same operator over adversarially different
+  * partitionings and compares full result sets exactly.
+  */
+class PartitionInvarianceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+
+  private def invariant(build: DataFrame => DataFrame, input: DataFrame): Unit = {
+    val a = rows(build(input.repartition(1)))
+    val b = rows(build(input.repartition(13, col(input.columns.head))))
+    assert(a == b, s"partitioning changed the result (${a.size} vs ${b.size} rows)")
+  }
+
+  test("minHash signatures are partitioning-invariant") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    invariant(
+      d => Dedup.minHashSignature(
+        d.select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("sh")),
+        "doc_id", "sh", 6).drop("sh"),
+      docs)
+  }
+
+  test("winnowing fingerprints are partitioning-invariant") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    invariant(
+      d => Dedup.winnowFingerprints(d, "text", 5, 4, "fps")
+        .select(col("doc_id"), to_json(col("fps")).as("fps")),
+      docs)
+  }
+
+  test("connected components are partitioning-invariant") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (3L, 10L), (20L, 21L))
+      .toDF("a", "b")
+    invariant(e => Dedup.connectedComponents(e), edges)
+  }
+
+  test("exactQuantiles is invariant to both input partitioning and its own numPartitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 400).map(_ => rnd.nextDouble() * 100).toDF("x")
+    val a = rows(Relational.exactQuantiles(df.repartition(1), "x", Seq(0.25, 0.5, 0.9), numPartitions = 3))
+    val b = rows(Relational.exactQuantiles(df.repartition(11), "x", Seq(0.25, 0.5, 0.9), numPartitions = 17))
+    assert(a == b)
+  }
+
+  test("int8 quantization + integer dot ranking is partitioning-invariant") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    invariant(
+      e => {
+        val q8 = Similarity.quantizeInt8(e, "embedding", "q8").select(col("vec_id"), col("q8"))
+        val q = q8.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("q8").as("qa"))
+        q.join(q8.select(col("vec_id").as("nid"), col("q8").as("qb")), col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"), Similarity.dotInt(col("qa"), col("qb")).as("idot"))
+      },
+      emb)
+  }
+
+  test("bloom prefilter keeps an identical row set under repartitioning") {
+    import spark.implicits._
+    val big = (1L to 500L).map(i => (i, i * 2)).toDF("k", "v")
+    val small = Seq(3L, 77L, 412L).map(Tuple1(_)).toDF("sk")
+    val a = rows(Relational.bloomPrefilter(big.repartition(1), "k", small, "sk"))
+    val b = rows(Relational.bloomPrefilter(big.repartition(9, col("k")), "k", small.repartition(2), "sk"))
+    assert(a == b)
+  }
+}
