@@ -257,7 +257,12 @@ object Dedup {
     * Probability a pair with Jaccard j becomes a candidate:
     * 1 - (1 - j^(k/nBands))^nBands.
     */
-  def lshCandidates(sig: DataFrame, idCol: String, k: Int, nBands: Int): DataFrame = {
+  /** The (id, band, bandHash) frame under LSH banding — exposed so
+    * self-join ([[lshCandidates]]) and cross-corpus
+    * ([[incrementalCandidates]]) candidate generation share one
+    * definition.
+    */
+  def lshBands(sig: DataFrame, idCol: String, k: Int, nBands: Int): DataFrame = {
     val rpb = k / nBands
     require(rpb * nBands == k, s"bands ($nBands) must divide signature length ($k)")
     val bandStructs = (0 until nBands).map { b =>
@@ -265,9 +270,13 @@ object Dedup {
         lit(b).as("band"),
         md5(concat_ws("_", (b * rpb until (b + 1) * rpb).map(j => col(s"mh$j")): _*)).as("bv"))
     }
-    val exploded = sig
+    sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("bd"))
       .select(col(idCol), col("bd.band").as("band"), col("bd.bv").as("bv"))
+  }
+
+  def lshCandidates(sig: DataFrame, idCol: String, k: Int, nBands: Int): DataFrame = {
+    val exploded = lshBands(sig, idCol, k, nBands)
     exploded
       .select(col(idCol).as("id_a"), col("band"), col("bv"))
       .join(exploded.select(col(idCol).as("id_b"), col("band"), col("bv")), Seq("band", "bv"))
@@ -275,6 +284,31 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
   }
+
+  /** INCREMENTAL dedup candidates — the daily-ingest shape: candidate
+    * pairs between a NEW batch and the EXISTING (already-deduped)
+    * corpus only, never corpus×corpus. The equi-join on (band,
+    * bandHash) touches only the buckets the batch lands in, so a small
+    * delta against a 100 TB store costs O(|batch|·bucket), not
+    * O(|corpus|²) — with a pre-bucketed/bucketed-table corpus side the
+    * corpus is not even re-shuffled.
+    *
+    * @return (new_id, old_id) distinct candidate pairs
+    */
+  def incrementalCandidates(
+      batchSig: DataFrame,
+      corpusSig: DataFrame,
+      idCol: String,
+      k: Int,
+      nBands: Int): DataFrame =
+    lshBands(batchSig, idCol, k, nBands)
+      .select(col(idCol).as("new_id"), col("band"), col("bv"))
+      .join(
+        lshBands(corpusSig, idCol, k, nBands)
+          .select(col(idCol).as("old_id"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .select("new_id", "old_id")
+      .distinct()
 
   /** Exact Jaccard similarity of two (already-distinct) array columns. */
   def jaccard(a: Column, b: Column): Column =

@@ -434,6 +434,74 @@ object Round5Queries {
       |SELECT query_id, neighbor_id, rank, idot FROM r WHERE rank <= 3
       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
+  /** q99 — INCREMENTAL dedup ([[Dedup.incrementalCandidates]]): a new
+    * batch (doc_id ≥ 800) deduped AGAINST the existing corpus
+    * (doc_id < 800) — the daily-ingest shape, where the candidate join
+    * touches only the LSH buckets the batch lands in and the corpus is
+    * never self-joined. Verified candidates (exact Jaccard ≥ 0.6)
+    * mark the new doc a duplicate of its smallest matching corpus doc;
+    * the rest of the batch is admitted. One row per batch doc.
+    */
+  val q99IncrementalDedup: Q = (s, d) => {
+    val docs = Relational.spreadFewSplits(
+      Tables.documents(s, d).filter(col("doc_id") < 1000).select(col("doc_id"), col("text")),
+      "doc_id")
+    val shingled = docs
+      .select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = Dedup.minHashSignature(shingled, "doc_id", "shingles", 12).drop("shingles")
+    val corpusSig = sig.filter(col("doc_id") < 800)
+    val batchSig = sig.filter(col("doc_id") >= 800)
+    val cands = Dedup.incrementalCandidates(batchSig, corpusSig, "doc_id", 12, 3)
+    val verified = cands
+      .join(shingled.select(col("doc_id").as("new_id"), col("shingles").as("sh_n")), "new_id")
+      .join(shingled.select(col("doc_id").as("old_id"), col("shingles").as("sh_o")), "old_id")
+      .filter(Dedup.jaccard(col("sh_n"), col("sh_o")) >= 0.6)
+      .groupBy(col("new_id"))
+      .agg(min(col("old_id")).as("dup_of"))
+    docs
+      .filter(col("doc_id") >= 800)
+      .select(col("doc_id"))
+      .join(verified.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q99Sql: String = {
+    val K = 12
+    val bands = 3
+    val rpb = K / bands
+    val mhDefs = (0 until K)
+      .map(j =>
+        s" list_min(list_transform(hs, h -> (h * ${2L * j + 3} + ${5L * j + 7}) % ${graft.functions.Hashing.AffineP})) AS mh$j")
+      .mkString(",\n")
+    val bandCase = "CASE band " + (0 until bands)
+      .map { b =>
+        val cat = (b * rpb until (b + 1) * rpb).map(j => s"mh$j").mkString("||'_'||")
+        if (b == bands - 1) s"ELSE md5($cat) END" else s"WHEN $b THEN md5($cat) "
+      }
+      .mkString
+    s"""WITH d AS (SELECT doc_id, list_distinct([substr(lower(text), i, 5) for i in range(1, len(text)-3)]) AS sh
+       |           FROM documents WHERE doc_id < 1000),
+       |dh AS (SELECT doc_id, sh, list_transform(sh, t -> CAST('0x'||substr(md5(t),1,8) AS BIGINT)) AS hs FROM d),
+       |s AS (SELECT doc_id, sh,
+       |$mhDefs
+       | FROM dh),
+       |b AS (SELECT doc_id, band, $bandCase AS bv
+       |      FROM s CROSS JOIN (SELECT unnest(range($bands)) AS band)),
+       |p AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS old_id
+       |      FROM b n JOIN b c ON n.band = c.band AND n.bv = c.bv
+       |      WHERE n.doc_id >= 800 AND c.doc_id < 800),
+       |v AS (SELECT new_id, MIN(old_id) AS dup_of
+       |      FROM p JOIN s x ON p.new_id = x.doc_id JOIN s y ON p.old_id = y.doc_id
+       |      WHERE 1.0*len(list_intersect(x.sh, y.sh))/len(list_distinct(x.sh||y.sh)) >= 0.6
+       |      GROUP BY 1)
+       |SELECT d.doc_id, v.dup_of IS NOT NULL AS is_dup, v.dup_of
+       |FROM d LEFT JOIN v ON d.doc_id = v.new_id
+       |WHERE d.doc_id >= 800
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q88_block_boilerplate" -> q88BlockBoilerplate,
     "q89_global_rn" -> q89GlobalRn,
@@ -445,7 +513,8 @@ object Round5Queries {
     "q95_oov_rate" -> q95OovRate,
     "q96_zorder" -> q96ZOrder,
     "q97_dedup_pipeline" -> q97DedupPipeline,
-    "q98_quant_ann" -> q98QuantAnn)
+    "q98_quant_ann" -> q98QuantAnn,
+    "q99_incremental_dedup" -> q99IncrementalDedup)
 
   val oracles: Map[String, String] = Map(
     "q88_block_boilerplate" -> q88Sql,
@@ -458,5 +527,6 @@ object Round5Queries {
     "q95_oov_rate" -> q95Sql,
     "q96_zorder" -> q96Sql,
     "q97_dedup_pipeline" -> q97Sql,
-    "q98_quant_ann" -> q98Sql)
+    "q98_quant_ann" -> q98Sql,
+    "q99_incremental_dedup" -> q99Sql)
 }
