@@ -502,6 +502,51 @@ object Round5Queries {
        |ORDER BY doc_id NULLS FIRST""".stripMargin
   }
 
+  /** q100 — BIGRAM NOVELTY score: the integer-exact perplexity proxy.
+    * A reference model is the train split's bigram table (hash split,
+    * as q84/q87); each held-out document is scored by how many of its
+    * word bigrams the train corpus has seen ≥ 3 times. Low coverage =
+    * novel/noisy text — the cheap LM-free filter signal a pretraining
+    * pipeline computes before paying for model-based scoring. All
+    * counts are integers, so the gate is bit-exact where a log-prob
+    * perplexity would be at the mercy of libm.
+    */
+  val q100BigramNovelty: Q = (s, d) => {
+    val bucket = graft.functions.Hashing.h60(concat(lit("split:"), col("doc_id"))) % 100
+    val grams = Relational
+      .spreadFewSplits(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), bucket.as("bk"), explode(Dedup.wordNGramsAll(col("text"), 2)).as("bg"))
+    val trainCounts = grams
+      .filter(col("bk") < 90)
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 3)
+      .select(col("bg"), lit(1).as("__known"))
+    grams
+      .filter(col("bk") >= 95)
+      .join(trainCounts, Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(when(col("__known").isNotNull, 1)).as("n_known"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q100Sql: String =
+    """WITH b AS (SELECT doc_id, text,
+      |  CAST('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 100 AS bk
+      | FROM documents),
+      |w AS (SELECT doc_id, bk, string_split(text, ' ') AS ws FROM b),
+      |g AS (SELECT doc_id, bk,
+      |  unnest([ws[i]||' '||ws[i+1] for i in range(1, CAST(len(ws) AS BIGINT))]) AS bg
+      | FROM w),
+      |tc AS (SELECT bg FROM g WHERE bk < 90 GROUP BY bg HAVING COUNT(*) >= 3),
+      |te AS (SELECT doc_id, g.bg, tc.bg IS NOT NULL AS known
+      |       FROM g LEFT JOIN tc ON g.bg = tc.bg WHERE bk >= 95)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(COUNT(*) FILTER (WHERE known) AS BIGINT) AS n_known
+      |FROM te GROUP BY 1 ORDER BY doc_id NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q88_block_boilerplate" -> q88BlockBoilerplate,
     "q89_global_rn" -> q89GlobalRn,
@@ -514,7 +559,8 @@ object Round5Queries {
     "q96_zorder" -> q96ZOrder,
     "q97_dedup_pipeline" -> q97DedupPipeline,
     "q98_quant_ann" -> q98QuantAnn,
-    "q99_incremental_dedup" -> q99IncrementalDedup)
+    "q99_incremental_dedup" -> q99IncrementalDedup,
+    "q100_bigram_novelty" -> q100BigramNovelty)
 
   val oracles: Map[String, String] = Map(
     "q88_block_boilerplate" -> q88Sql,
@@ -528,5 +574,6 @@ object Round5Queries {
     "q96_zorder" -> q96Sql,
     "q97_dedup_pipeline" -> q97Sql,
     "q98_quant_ann" -> q98Sql,
-    "q99_incremental_dedup" -> q99Sql)
+    "q99_incremental_dedup" -> q99Sql,
+    "q100_bigram_novelty" -> q100Sql)
 }
