@@ -5,10 +5,14 @@ import graft.Tables
 import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
 import graft.queries.CoreQueries.Q
 
-/** Round-5 surface: block-level boilerplate removal, distributed
-  * global row numbering, deterministic weighted sampling,
-  * content-defined (rolling-hash) segmentation, and a composite
-  * C4-style quality filter.
+/** Round-5 surface (q88–q100): block-level boilerplate removal,
+  * distributed global row numbering, deterministic weighted sampling,
+  * content-defined (rolling-hash) segmentation, a composite C4-style
+  * quality filter, the explicit Bloom runtime-filter join, equi-depth
+  * histograms over sort-based exact quantiles, OOV-rate auditing,
+  * Z-order clustering keys, the end-to-end near-dup removal pipeline,
+  * int8-quantized integer-dot ANN, incremental (batch-vs-corpus)
+  * dedup, and the bigram-novelty perplexity proxy.
   *
   * Same determinism contract as the other catalogs: integer/decimal
   * outputs only, md5-derived hashes shared with the DuckDB oracle, no
