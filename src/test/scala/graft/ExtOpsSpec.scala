@@ -91,4 +91,35 @@ class ExtOpsSpec extends AnyFunSuite {
     val small = Seq(7L, 7L, 8L).toDF("h")
     assert(small.agg(kmv(col("h"))).collect()(0).isNullAt(0))
   }
+
+  test("ZOrder.zValue: known interleavings, mask wrap, and tile locality") {
+    import spark.implicits._
+    import graft.functions.ZOrder
+    val df = Seq((5L, 3L), (0L, 0L), (7L, 7L), (8L, 0L)).toDF("a", "b")
+    val got = df.select(ZOrder.zValue(col("a"), col("b"), 3)).as[Long].collect().toSeq
+    // a=5(101)→z bits 0,4; b=3(011)→z bits 1,3 ⇒ 1+16+2+8 = 27
+    // a=7,b=7 → all 6 bits ⇒ 63; a=8 masked to 3 bits wraps to 0
+    assert(got == Seq(27L, 0L, 63L, 0L))
+    // locality: points in the same 2x2 cell share z div 4
+    val z = (x: Long, y: Long) =>
+      Seq((x, y)).toDF("a", "b").select(ZOrder.zValue(col("a"), col("b"), 3)).as[Long].head()
+    assert(z(4, 2) / 4 == z(5, 3) / 4)
+    assert(z(4, 2) / 4 != z(4, 4) / 4)
+  }
+
+  test("bloomPrefilter: NULL big-side keys are dropped, matching the exact join") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val big = Seq(Some(1L), None, Some(2L), Some(99L)).map(Tuple1(_)).toDF("k")
+    val small = Seq(1L, 2L).map(Tuple1(_)).toDF("sk")
+    val pruned = Relational.bloomPrefilter(big, "k", small, "sk")
+    // NULL never equi-joins, so dropping it agrees with the exact join
+    assert(pruned.filter(col("k").isNull).count() == 0)
+    val kept = pruned.filter(col("k").isNotNull).collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(2L))
+    val joined = big.join(small, col("k") === col("sk")).count()
+    val prunedJoined = Relational.bloomPrefilter(big, "k", small, "sk")
+      .join(small, col("k") === col("sk")).count()
+    assert(joined == prunedJoined)
+  }
 }
