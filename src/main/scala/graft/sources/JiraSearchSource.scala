@@ -48,11 +48,25 @@ class JiraSearchSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     JiraSearchSource.issueSchema
+  /** FAIL-FAST at `.load()` time (the reference's upfront credential
+    * check, SURVEY.md §2 X4: validate the connection before the
+    * pipeline spends work): a missing or unreadable `path` throws here
+    * — during table resolution — not minutes later inside the first
+    * executor task.
+    */
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
+      properties: JMap[String, String]): Table = {
+    val p = properties.get("path")
+    require(
+      p != null && p.nonEmpty,
+      "jira source requires option(\"path\", <json-lines file>)")
+    require(
+      new java.io.File(p).isFile,
+      s"jira source path does not exist or is not a file: $p")
     new JiraTable(schema)
+  }
 }
 
 object JiraSearchSource {

@@ -86,4 +86,16 @@ class JiraSourceSpec extends AnyFunSuite {
     assert(none == 0)
     assert(load().filter(col("key").startsWith("F-")).count() == 5)
   }
+
+  test("fail-fast: missing or unreadable path throws at load(), before any job (X4)") {
+    val missing = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.JiraSearchSource").load()
+    }
+    assert(missing.getMessage.contains("path"))
+    val bad = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.JiraSearchSource")
+        .option("path", "/nonexistent/issues.jsonl").load()
+    }
+    assert(bad.getMessage.contains("does not exist"))
+  }
 }
