@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Scalars.{dec4, sumDec, sumDiscPrice}
+import graft.operators.Relational
 import graft.queries.CoreQueries.Q
 
 /** Round-3 batch 2: conditional aggregation, deterministic string
@@ -105,8 +106,13 @@ object QualityQueries {
   val q64ExactMoments: Q = (s, d) => {
     val x = dec4(col("l_quantity"))
     val y = dec4(col("l_discount"))
-    Tables
-      .lineitem(s, d)
+    // five decimal multiplications + sums per row: spread a few-splits
+    // input so the partial aggregation parallelizes
+    Relational
+      .spreadFewSplits(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"), col("l_discount")),
+        "l_orderkey")
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
