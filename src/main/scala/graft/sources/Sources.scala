@@ -48,6 +48,16 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
+  /** ORC scan — the second columnar format warehouses interop with;
+    * same pushdown/pruning contract as parquet (predicate pushdown via
+    * ORC's SearchArgument, column pruning via the ORC reader).
+    */
+  def orc(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.foreach(r.schema)
+    r.orc(path)
+  }
+
   /** JSON-lines with an ERROR SIDE-CHANNEL — the source-level analog
     * of the reference's P6 error routing (etl.js:249-278 prunes rows
     * whose fetch failed; here rows whose PARSE failed). PERMISSIVE

@@ -49,6 +49,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == 1)
   }
 
+  test("orc round-trip preserves schema and values; pushed filters reach the scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = tmp("orc")
+    Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "score").write.mode("overwrite").orc(dir)
+    val back = Sources.orc(spark, dir)
+    assert(back.count() == 3)
+    assert(back.filter(col("id") > 1).count() == 2)
+    val plan = back.filter(col("id") > 1).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"), plan)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+  }
+
   test("jsonLinesWithErrors: bad lines route to the side-channel, one row each, job survives") {
     import spark.implicits._
     val dir = tmp("jsonerr")
