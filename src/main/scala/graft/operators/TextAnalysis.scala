@@ -119,6 +119,7 @@ object TextAnalysis {
       textCol: String,
       k: Int,
       mod: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && mod >= 1, s"need gram width k >= 1 and modulus >= 1 (got k=$k, mod=$mod)")
     // Hash array and boundary list staged as columns (each referenced
     // ≥2× downstream) so the optimizer cannot inline the O(len) md5
     // stream into a per-element lambda body — see the winnowing
