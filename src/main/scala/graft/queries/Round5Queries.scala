@@ -5,14 +5,15 @@ import graft.Tables
 import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
 import graft.queries.CoreQueries.Q
 
-/** Round-5 surface (q88–q100): block-level boilerplate removal,
+/** Round-5 surface (q88–q101): block-level boilerplate removal,
   * distributed global row numbering, deterministic weighted sampling,
   * content-defined (rolling-hash) segmentation, a composite C4-style
   * quality filter, the explicit Bloom runtime-filter join, equi-depth
   * histograms over sort-based exact quantiles, OOV-rate auditing,
   * Z-order clustering keys, the end-to-end near-dup removal pipeline,
   * int8-quantized integer-dot ANN, incremental (batch-vs-corpus)
-  * dedup, and the bigram-novelty perplexity proxy.
+  * dedup, the bigram-novelty perplexity proxy, and integer-exact
+  * mixture rebalancing.
   *
   * Same determinism contract as the other catalogs: integer/decimal
   * outputs only, md5-derived hashes shared with the DuckDB oracle, no
@@ -551,6 +552,52 @@ object Round5Queries {
       |  CAST(COUNT(*) FILTER (WHERE known) AS BIGINT) AS n_known
       |FROM te GROUP BY 1 ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** q101 — MIXTURE REBALANCING: resample each source toward a target
+    * mixture (share ∝ source index + 1 here — the "upweight the good
+    * sources" move every pretraining data recipe makes). Per-source
+    * rate = target_share · N / n_s, applied as a deterministic
+    * per-document coin: keep iff `h60 · 210 · n_s < (k+1) · N · 2^60`
+    * — ALL INTEGER arithmetic (DECIMAL(38,0) / HUGEINT), so the
+    * sampled set is bit-identical across engines and reruns, and rates
+    * above 1 saturate to keep-everything naturally. One tiny counts
+    * aggregate broadcast back; the corpus never reshuffles.
+    */
+  val q101MixtureRebalance: Q = (s, d) => {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val twoPow60 = lit("1152921504606846976").cast("decimal(38,0)")
+    val base = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("source"),
+        expr("CAST(substr(source, 4) AS BIGINT)").as("k"),
+        graft.functions.Hashing.h60(concat(lit("mix:"), col("doc_id"))).as("__h"))
+    val counts = base.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val total = base.agg(count(lit(1)).as("n_total"))
+    base
+      .join(broadcast(counts), "source")
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "keep",
+        dec(col("__h")) * dec(col("n_s") * 210) <
+          dec((col("k") + 1) * col("n_total")) * twoPow60)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_before"), count(when(col("keep"), 1)).as("n_after"))
+      .orderBy(col("source"))
+  }
+
+  val q101Sql: String =
+    """WITH d AS (SELECT doc_id, source, CAST(substr(source, 4) AS BIGINT) AS k,
+      |  CAST('0x'||substr(md5('mix:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) AS h
+      | FROM documents),
+      |c AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS n_total FROM d)
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_before,
+      |  CAST(COUNT(*) FILTER (WHERE CAST(h AS HUGEINT) * (n_s * 210)
+      |       < CAST((k+1) * n_total AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)) AS BIGINT) AS n_after
+      |FROM d JOIN c USING (source), t
+      |GROUP BY 1 ORDER BY source NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q88_block_boilerplate" -> q88BlockBoilerplate,
     "q89_global_rn" -> q89GlobalRn,
@@ -564,7 +611,8 @@ object Round5Queries {
     "q97_dedup_pipeline" -> q97DedupPipeline,
     "q98_quant_ann" -> q98QuantAnn,
     "q99_incremental_dedup" -> q99IncrementalDedup,
-    "q100_bigram_novelty" -> q100BigramNovelty)
+    "q100_bigram_novelty" -> q100BigramNovelty,
+    "q101_mixture_rebalance" -> q101MixtureRebalance)
 
   val oracles: Map[String, String] = Map(
     "q88_block_boilerplate" -> q88Sql,
@@ -579,5 +627,6 @@ object Round5Queries {
     "q97_dedup_pipeline" -> q97Sql,
     "q98_quant_ann" -> q98Sql,
     "q99_incremental_dedup" -> q99Sql,
-    "q100_bigram_novelty" -> q100Sql)
+    "q100_bigram_novelty" -> q100Sql,
+    "q101_mixture_rebalance" -> q101Sql)
 }
