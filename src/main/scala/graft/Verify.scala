@@ -15,10 +15,31 @@ object Verify {
     val spark = GraftSession.local(cpus.toInt, appName = "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    // Non-vacuity guards: an oracle gate that passes on an empty result
+    // proves nothing (round 5's q99 selected zero fixture rows and
+    // "matched" DuckDB 0 ⟷ 0). A guard violation throws BEFORE the
+    // parquet dump so the driver records an err for the query instead
+    // of a hollow green — a fixture change can never silently
+    // re-vacuate the gate.
+    val nonVacuous: Map[String, org.apache.spark.sql.DataFrame => Unit] = Map(
+      "q99_incremental_dedup" -> { df =>
+        import org.apache.spark.sql.functions.col
+        val n = df.count()
+        require(n > 0, "q99 vacuous: batch split selects 0 fixture rows")
+        val dups = df.filter(col("is_dup")).count()
+        require(dups > 0, s"q99 vacuous: $n batch rows but 0 is_dup=true — no candidate was exercised")
+      })
+    // Dev-only subset: --only=q90_weighted_sample,q99_incremental_dedup
+    // (the driver passes no --only, so it always dumps the full surface).
+    val only = cfg.get("only", "SPARK_GRAFT_ONLY", "").split(',').map(_.trim).filter(_.nonEmpty).toSet
+    val selected = if (only.isEmpty) SparkEntry.queries
+                   else SparkEntry.queries.filter { case (n, _) => only(n) }
+    selected.foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        nonVacuous.get(name).foreach(_.apply(df))
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Per-query cache sweep: keeps each dump independent of sibling

@@ -97,6 +97,10 @@ object Round5Queries {
     * engines, partitionings, and reruns (rejection-free, no RNG state;
     * the property `rand()`-based sampling cannot give a resumable
     * 100 TB pipeline). C = ⌊2^60 / 400⌋ targets rate ≈ n_tok/400.
+    * n_tok is clamped to 400 before the multiply: rates above 1
+    * saturate to keep-everything anyway, and the unclamped product
+    * overflows Long for n_tok ≥ 3200 (throws under ANSI, silently
+    * drops the highest-weight docs with ANSI off).
     */
   val q90WeightedSample: Q = (s, d) => {
     val C = 2882303761517117L // floor(2^60 / 400)
@@ -106,7 +110,7 @@ object Round5Queries {
         col("doc_id"),
         TextAnalysis.wsTokenCount(col("text")).as("n_tok"),
         graft.functions.Hashing.h60(concat(lit("wsamp:"), col("doc_id"))).as("__h"))
-      .filter(col("__h") < col("n_tok") * lit(C))
+      .filter(col("__h") < least(col("n_tok"), lit(400L)) * lit(C))
       .select(col("doc_id"), col("n_tok"))
       .orderBy(col("doc_id"))
   }
@@ -115,7 +119,7 @@ object Round5Queries {
     """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
       |FROM documents
       |WHERE CAST('0x'||substr(md5('wsamp:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
-      |      < CAST(len(string_split(text, ' ')) AS BIGINT) * 2882303761517117
+      |      < LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 400) * 2882303761517117
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
   /** q91 — content-defined segmentation
@@ -440,12 +444,18 @@ object Round5Queries {
       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
   /** q99 — INCREMENTAL dedup ([[Dedup.incrementalCandidates]]): a new
-    * batch (doc_id ≥ 800) deduped AGAINST the existing corpus
-    * (doc_id < 800) — the daily-ingest shape, where the candidate join
+    * batch (doc_id ≥ 400) deduped AGAINST the existing corpus
+    * (doc_id < 400) — the daily-ingest shape, where the candidate join
     * touches only the LSH buckets the batch lands in and the corpus is
     * never self-joined. Verified candidates (exact Jaccard ≥ 0.6)
     * mark the new doc a duplicate of its smallest matching corpus doc;
     * the rest of the batch is admitted. One row per batch doc.
+    * The split is fixture-relative: sf0.01's documents table holds
+    * doc_ids 0–499, so ≥ 400 yields a real ~100-doc batch (round 5's
+    * ≥ 800 split selected zero rows and made the gate vacuous);
+    * Verify additionally asserts q99 returns rows with at least one
+    * is_dup = true so a fixture change can never silently re-vacuate
+    * the gate.
     */
   val q99IncrementalDedup: Q = (s, d) => {
     val docs = Relational.spreadFewSplits(
@@ -455,8 +465,8 @@ object Round5Queries {
       .select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = Dedup.minHashSignature(shingled, "doc_id", "shingles", 12).drop("shingles")
-    val corpusSig = sig.filter(col("doc_id") < 800)
-    val batchSig = sig.filter(col("doc_id") >= 800)
+    val corpusSig = sig.filter(col("doc_id") < 400)
+    val batchSig = sig.filter(col("doc_id") >= 400)
     val cands = Dedup.incrementalCandidates(batchSig, corpusSig, "doc_id", 12, 3)
     val verified = cands
       .join(shingled.select(col("doc_id").as("new_id"), col("shingles").as("sh_n")), "new_id")
@@ -465,7 +475,7 @@ object Round5Queries {
       .groupBy(col("new_id"))
       .agg(min(col("old_id")).as("dup_of"))
     docs
-      .filter(col("doc_id") >= 800)
+      .filter(col("doc_id") >= 400)
       .select(col("doc_id"))
       .join(verified.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
@@ -496,14 +506,14 @@ object Round5Queries {
        |      FROM s CROSS JOIN (SELECT unnest(range($bands)) AS band)),
        |p AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS old_id
        |      FROM b n JOIN b c ON n.band = c.band AND n.bv = c.bv
-       |      WHERE n.doc_id >= 800 AND c.doc_id < 800),
+       |      WHERE n.doc_id >= 400 AND c.doc_id < 400),
        |v AS (SELECT new_id, MIN(old_id) AS dup_of
        |      FROM p JOIN s x ON p.new_id = x.doc_id JOIN s y ON p.old_id = y.doc_id
        |      WHERE 1.0*len(list_intersect(x.sh, y.sh))/len(list_distinct(x.sh||y.sh)) >= 0.6
        |      GROUP BY 1)
        |SELECT d.doc_id, v.dup_of IS NOT NULL AS is_dup, v.dup_of
        |FROM d LEFT JOIN v ON d.doc_id = v.new_id
-       |WHERE d.doc_id >= 800
+       |WHERE d.doc_id >= 400
        |ORDER BY doc_id NULLS FIRST""".stripMargin
   }
 
