@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
   *    [[decodeImagesJdk]] reads actual pixels, [[resizePayloads]]
   *    resamples and re-encodes. Deterministic (software rasterizer,
   *    nearest-neighbor interpolation), headless-safe.
-  *  - STUBS where the JDK has no codec (audio/video):
+  *  - REAL audio decode via the JDK's built-in `javax.sound.sampled`
+  *    WAV/PCM codec (no external libraries, no audio device — file
+  *    I/O only, headless-safe): [[decodeAudioWav]] reads actual
+  *    16-bit PCM samples and computes sample-exact integer features;
+  *    [[sampleAudioWindows]] is the windowed (frame-sampling) analog.
+  *  - STUBS where the JDK genuinely has no codec (video):
   *    [[sampleFrames]] derives deterministic fake features from the
   *    bytes, keeping the explode shape real. [[decodeImages]] is the
   *    byte-stat twin whose output the DuckDB oracle can verify (q30) —
@@ -218,6 +223,144 @@ object Multimodal {
           r.meta.copy(byteLen = bytes.length.toLong, contentHash = md5Hex(bytes), width = nw, height = nh))
       }
     })
+  }
+
+  /** Decoded-audio features — integers only, so the spec can assert
+    * sample-exactness (FP aggregates of samples would be order-
+    * sensitive). `zeroCrossings` counts strict sign flips between
+    * consecutive samples (a zero sample ends the current sign run
+    * without counting a crossing).
+    */
+  case class DecodedAudio(
+      docId: Long,
+      sampleRate: Int,
+      nSamples: Long,
+      peakAbs: Int,
+      sumAbs: Long,
+      zeroCrossings: Long)
+
+  case class AudioWindow(docId: Long, windowIdx: Int, startSample: Long, nSamples: Int, peakAbs: Int, sumAbs: Long)
+
+  /** Deterministic 16-bit mono PCM WAV fixture from a text row — the
+    * audio analog of [[encodeGrayPng]]: sample count derives from the
+    * text length, sample i is a char-driven full-range sawtooth
+    * (`(c·257 + i·131) mod 2^16 − 2^15`), covering both signs and the
+    * extremes. Real RIFF/WAVE bytes via `javax.sound.sampled`, so
+    * [[decodeAudioWav]] exercises an actual codec.
+    */
+  def encodePcmWav(docId: Long, text: String, sampleRate: Int = 8000): MediaRecord = {
+    val n = 256 + (text.length % 512)
+    val raw = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val c = if (text.isEmpty) 0 else text.charAt(i % text.length).toInt & 0xff
+      val s = ((c * 257 + i * 131) % 65536) - 32768
+      raw(2 * i) = (s & 0xff).toByte // little-endian
+      raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val bytes = baos.toByteArray
+    MediaRecord(docId, bytes, MediaMeta("audio/wav", bytes.length.toLong, md5Hex(bytes), 0, 0, n))
+  }
+
+  /** Real-WAV fixture corpus: one generated payload per document row
+    * (`meta.nFrames` = PCM sample count — mono frames ARE samples).
+    */
+  def generateWavRecords(docs: DataFrame, idCol: String, textCol: String)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("_id"), col(textCol).cast("string").as("_t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => encodePcmWav(id, t) })
+  }
+
+  /** Decode one WAV payload to its 16-bit samples. Shared by
+    * [[decodeAudioWav]] and [[sampleAudioWindows]]; fails loudly on
+    * anything but 16-bit signed PCM (a silent skip would poison
+    * downstream stats). Honors the container's declared endianness.
+    */
+  private def readPcm16(docId: Long, payload: Array[Byte]): (Int, Array[Int]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(
+      fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      s"doc $docId: expected 16-bit signed mono PCM, got $fmt")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    if (fmt.isBigEndian) {
+      while (i < n) { out(i) = ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort.toInt; i += 1 }
+    } else {
+      while (i < n) { out(i) = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt; i += 1 }
+    }
+    (math.round(fmt.getSampleRate), out)
+  }
+
+  /** REAL audio decode — the JDK codec path (`javax.sound.sampled`,
+    * WAV/PCM): reads actual samples and computes sample-exact integer
+    * features (peak |s|, Σ|s|, strict-sign zero crossings).
+    * `mapPartitions` for the same reasons as [[decodeImagesJdk]].
+    */
+  def decodeAudioWav(records: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    records.mapPartitions(_.map { r =>
+      val (rate, samples) = readPcm16(r.docId, r.payload)
+      var peak = 0
+      var sumAbs = 0L
+      var zc = 0L
+      var prevSign = 0
+      var i = 0
+      while (i < samples.length) {
+        val s = samples(i)
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        sumAbs += a
+        val sign = Integer.signum(s)
+        if (sign != 0) {
+          if (prevSign != 0 && sign != prevSign) zc += 1
+          prevSign = sign
+        } else prevSign = 0
+        i += 1
+      }
+      DecodedAudio(r.docId, rate, samples.length.toLong, peak, sumAbs, zc)
+    })
+  }
+
+  /** REAL audio frame sampling: fixed-size windows every `stride`
+    * samples (the spectrogram-hop shape), each with its own exact
+    * integer stats — the decode→window→per-window-features pipeline a
+    * speech corpus runs before feature extraction.
+    */
+  def sampleAudioWindows(records: Dataset[MediaRecord], window: Int, stride: Int)(
+      implicit spark: SparkSession): Dataset[AudioWindow] = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    import spark.implicits._
+    records.flatMap { r =>
+      val (_, samples) = readPcm16(r.docId, r.payload)
+      val starts = 0L until samples.length.toLong by stride.toLong
+      starts.zipWithIndex.map { case (start, wi) =>
+        val end = math.min(start + window, samples.length.toLong).toInt
+        var peak = 0
+        var sumAbs = 0L
+        var i = start.toInt
+        while (i < end) {
+          val a = math.abs(samples(i))
+          if (a > peak) peak = a
+          sumAbs += a
+          i += 1
+        }
+        AudioWindow(r.docId, wi, start, end - start.toInt, peak, sumAbs)
+      }
+    }
   }
 
   /** STUB resize: recomputes target dims preserving aspect; a real

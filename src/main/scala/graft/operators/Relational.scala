@@ -89,11 +89,14 @@ object Relational {
   /** Dimension get-or-create with dense surrogate ids — the Spark-native
     * `get_project_id` / `get_user_id` (reference: schema.sql:105-134,
     * SURVEY.md §2.8 G1/G2). New names = incoming anti-join existing;
-    * ids assigned deterministically as `row_number() over (order by
-    * name) + max(existing)`. Dim domains (users, projects) are tiny
-    * relative to the fact table, so the window over new keys is cheap
-    * even at 100 TB fact scale; the result is broadcast back for FK
-    * resolution.
+    * ids assigned deterministically as dense numbering in name order
+    * (+ max existing id) via [[globalRowNumber]] — NOT a
+    * `row_number() over (order by name)` window: even though dim
+    * domains are tiny and the window was harmless, it emitted the
+    * `WindowExec: No Partition Defined` warning on every load, and a
+    * noisy log tail buries REAL single-partition regressions. The
+    * range-partitioned numbering gives the identical name-ordered ids
+    * with no Window operator at any size.
     */
   def dimGetOrCreate(existing: DataFrame, incomingNames: DataFrame): DataFrame = {
     // existing: (id: bigint, name: string); incomingNames: (name: string).
@@ -107,11 +110,9 @@ object Relational {
       .filter(col("name").isNotNull)
       .distinct()
       .join(existing.select("name"), Seq("name"), "left_anti")
-    val newRows = newNames
+    val newRows = globalRowNumber(newNames, "name", numPartitions = 8)
       .crossJoin(maxId)
-      .select(
-        (row_number().over(Window.orderBy(col("name"))).cast("long") + col("max_id")).as("id"),
-        col("name"))
+      .select((col("rn") + col("max_id")).as("id"), col("name"))
     existing.select(col("id"), col("name")).unionByName(newRows)
   }
 
@@ -314,6 +315,11 @@ object Relational {
       bits: Int = 4096,
       k: Int = 3): DataFrame = {
     require(bits % 64 == 0 && bits > 0, "bits must be a positive multiple of 64")
+    // Working columns are hard-named; silently overwriting a caller
+    // column of the same name would corrupt its data on the drop below.
+    require(
+      !big.columns.contains("__bloom") && !big.columns.contains("__bloom_h"),
+      "bloomPrefilter: big side must not already have __bloom/__bloom_h columns")
     val words = bits / 64
     import graft.functions.Hashing
     def positions(key: Column): Seq[Column] = {
@@ -410,6 +416,115 @@ object Relational {
       }: _*)
   }
 
+  /** PER-GROUP discrete quantiles by distributed sort + per-group
+    * order statistics — the grouped twin of [[exactQuantiles]], and
+    * the 100 TB replacement for `row_number() OVER (PARTITION BY g
+    * ORDER BY v)` when `g` has few distinct values: that window puts
+    * the ENTIRE fact table through |g| reducer tasks (a 3-value key =
+    * three single-task sorts while every other core idles). Here the
+    * frame is range-partitioned on (group, value) — parallelism comes
+    * from the VALUE ranges, not the group cardinality — a first pass
+    * collects only per-(partition, group) row counts to the driver
+    * (bookkeeping scalars, ≤ P·G longs), the driver turns each
+    * group's total n into target ranks `max(1, ceil(n·p))` (the
+    * discrete, interpolation-free pick: an actual data value,
+    * identical in every engine — no FP percentile formula), and a
+    * second pass over the same cached sort emits ONLY the rows whose
+    * global per-group rank is a target. Output: one row per group,
+    * columns `groupCol, q0..q{ps.size-1}` (value-typed).
+    *
+    * Ties need no tiebreak: equal ranks of equal values yield the
+    * same PICKED VALUE whatever the tie order, so the result is
+    * deterministic even for non-unique values. Driver memory is
+    * P·G count entries — per-group quantiles over a high-cardinality
+    * group key belong in a plain shuffle agg instead (each group
+    * small), which is exactly when the window formulation is fine;
+    * this operator exists for the low-cardinality-key case where the
+    * window is the scale cliff.
+    *
+    * Like [[globalRowNumber]], the sorted rows stay persisted between
+    * the counts pass and the pick pass; release via
+    * [[graft.GraftSession.releaseAllCaches]] once consumed.
+    */
+  def groupedDiscreteQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[Double],
+      numPartitions: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0), "quantiles must be in (0, 1]")
+    val spark = df.sparkSession
+    val slim = df.select(col(groupCol), col(valueCol))
+    val sorted = slim
+      .repartitionByRange(numPartitions, col(groupCol), col(valueCol))
+      .sortWithinPartitions(groupCol, valueCol)
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Pass 1: per-(partition, group) row counts. Groups are contiguous
+    // within a sorted partition, so this is a run-length count.
+    val counts: Array[(Int, Any, Long)] = sorted
+      .mapPartitionsWithIndex { case (i, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        it.foreach { r => val g = r.get(0); m.update(g, m.getOrElse(g, 0L) + 1L) }
+        m.iterator.map { case (g, c) => (i, g, c) }.toList.iterator
+      }
+      .collect()
+    // Driver bookkeeping: per-group totals -> target ranks; per-(pid,
+    // group) starting offsets in partition order.
+    val totals: Map[Any, Long] =
+      counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
+    val targets: Map[Any, Map[Long, Seq[Int]]] = totals.map { case (g, n) =>
+      g -> ps.zipWithIndex
+        .groupBy { case (p, _) => math.max(1L, math.ceil(n * p).toLong) }
+        .map { case (rank, qs) => rank -> qs.map(_._2) }
+    }
+    val offsets: Map[(Int, Any), Long] = {
+      val m = scala.collection.mutable.HashMap.empty[(Int, Any), Long]
+      val running = scala.collection.mutable.HashMap.empty[Any, Long]
+      counts.sortBy(_._1).foreach { case (pid, g, c) =>
+        m((pid, g)) = running.getOrElse(g, 0L)
+        running(g) = running.getOrElse(g, 0L) + c
+      }
+      m.toMap
+    }
+    val targetsB = spark.sparkContext.broadcast(targets)
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+    // Pass 2: walk the cached sort, emit only target-rank rows
+    // (|ps|·G rows total — tiny however big the input).
+    val picked = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var cur: Any = null
+      var seen = false
+      var rank = 0L
+      var curTargets: Map[Long, Seq[Int]] = Map.empty
+      it.flatMap { r =>
+        val g = r.get(0)
+        if (!seen || g != cur) {
+          cur = g; seen = true
+          rank = offsetsB.value((i, g))
+          curTargets = targetsB.value(g)
+        }
+        rank += 1L
+        curTargets.get(rank) match {
+          case Some(qis) => qis.map(qi => Row(g, qi, r.get(1)))
+          case None      => Nil
+        }
+      }
+    }
+    val schema = StructType(
+      Seq(
+        slim.schema.fields(0),
+        StructField("__qi", IntegerType, nullable = false),
+        slim.schema.fields(1).copy(name = "__v")))
+    spark
+      .createDataFrame(picked, schema)
+      .groupBy(col(groupCol))
+      .agg(
+        max(when(col("__qi") === 0, col("__v"))).as("q0"),
+        ps.indices.tail.map(i => max(when(col("__qi") === i, col("__v"))).as(s"q$i")): _*)
+  }
+
   /** Guard for compute-heavy per-row passes (md5 signatures, decimal
     * dot products) whose input may arrive in FEWER splits than the
     * cluster has cores — a single small parquet file is one row group,
@@ -441,9 +556,13 @@ object Relational {
     * [[graft.GraftSession.releaseAllCaches]] once consumed, or keep it
     * hot for repeated reads.
     *
-    * Keys need not be unique: ties get distinct numbers ordered by the
-    * partition-internal sort, which is deterministic for a
-    * deterministic input order. Row numbers start at 1.
+    * Keys need not be unique: ties are ordered by every other
+    * ORDERABLE column as a deterministic tiebreak, so the numbering is
+    * bit-identical across reruns even if a cached partition is evicted
+    * and recomputed under a different shuffle fetch order (a key-only
+    * sort would leave tie order to that nondeterministic arrival
+    * order). Rows identical on the key AND all orderable columns are
+    * genuinely interchangeable. Row numbers start at 1.
     */
   def globalRowNumber(
       df: DataFrame,
@@ -451,11 +570,15 @@ object Relational {
       numPartitions: Int,
       outCol: String = "rn"): DataFrame = {
     import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
+    val tiebreak = df.schema.fields
+      .filter(f => f.name != keyCol && RowOrdering.isOrderable(f.dataType))
+      .map(f => col(f.name))
     val sorted = df
       .repartitionByRange(numPartitions, col(keyCol))
-      .sortWithinPartitions(keyCol)
+      .sortWithinPartitions(col(keyCol) +: tiebreak.toSeq: _*)
       .rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sorted

@@ -186,11 +186,17 @@ object Similarity {
     * candidates: 2^bits buckets partition the corpus, turning ANN
     * search into an equi-join — the shape that scales out.
     */
-  def srpSignature(df: DataFrame, idCol: String, embCol: String, bits: Int, dim: Int): DataFrame = {
+  def srpSignature(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      bits: Int,
+      dim: Int,
+      family: String = "srp"): DataFrame = {
     val bucket = (0 until bits)
       .map { j =>
         val w = typedLit((0 until dim).map { p =>
-          if (h60Local(s"srp_${j}_$p") % 2 == 0) 1.0 else -1.0
+          if (h60Local(s"${family}_${j}_$p") % 2 == 0) 1.0 else -1.0
         })
         val s = aggregate(
           zip_with(col(embCol), w, (x, wv) => dec(x.cast("double") * wv)),
@@ -261,6 +267,96 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** INT8 bucketed ANN — the compose of the two scale paths: SRP-LSH
+    * candidate generation (same bucket, or with `probeBitFlips = 1`
+    * every bucket one bit-flip away — same fan-out contract as
+    * [[srpAnnTopK]]: queries explode, the corpus keeps one bucket per
+    * vector PER TABLE) with ranking by the exact INTEGER dot of the
+    * int8-quantized vectors. 4× smaller vectors AND a candidate set
+    * bounded by the bucket equi-joins — no full corpus rescan.
+    * `tables` independent hyperplane families are the recall lever
+    * (recall = 1−(1−P₁)^L for per-table inclusion P₁): each table is
+    * its own bucketed equi-join and the union is deduped per
+    * (query, neighbor) pair before ranking — the standard
+    * multi-table LSH construction, which buys recall with bounded
+    * extra candidate volume where finer single-table buckets would
+    * collapse it.
+    * Signatures come from the float embedding (quantization noise
+    * never moves a vector across a bucket boundary); the float column
+    * is then dropped before the join, so only int8 payloads ship.
+    *
+    * Candidates are RANKED by int8 cosine (`idot / √(Σqa²·Σqb²)`),
+    * not the raw integer dot: max-abs quantization scales each vector
+    * by its own `127/max|x|`, so the raw dot multiplies every
+    * neighbor by a per-neighbor factor and misorders them whenever
+    * corpus norms vary; the normalized form cancels the scales
+    * (measured on the fixture: raw-dot ranking costs ~15 recall
+    * points). The raw `idot` rides along in the output. Recall vs the
+    * exact float ranking is pinned in AnnRecallSpec.
+    */
+  def srpAnnTopKInt8(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      bits: Int,
+      dim: Int,
+      k: Int,
+      probeBitFlips: Int = 0,
+      tables: Int = 1): DataFrame = {
+    require(probeBitFlips <= 1, "only 1-bit-flip multi-probe is implemented")
+    require(tables >= 1 && tables <= 16, "tables must be in [1, 16]")
+    val q8 = quantizeInt8(corpus, embCol, "__q8")
+      .withColumn("__q8_sq", dotInt(col("__q8"), col("__q8")))
+      .select(col(idCol), col("__q8"), col("__q8_sq"))
+    // One candidate frame per hash table; each is the same bucketed
+    // equi-join, over an INDEPENDENT hyperplane family.
+    val perTable = (0 until tables).map { t =>
+      val fam = if (t == 0) "srp" else s"srp_t$t"
+      val n = q8.join(srpSignature(corpus, idCol, embCol, bits, dim, fam), idCol)
+      val q0 = n
+        .join(queries.select(col(idCol)), idCol)
+        .select(
+          col(idCol).as("query_id"),
+          col("__q8").as("qa"),
+          col("__q8_sq").as("qa_sq"),
+          col("bucket"))
+      val q =
+        if (probeBitFlips == 0) q0
+        else
+          q0.withColumn(
+            "bucket",
+            explode(array(col("bucket") +:
+              (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)))
+      val c = n.select(
+        col(idCol).as("neighbor_id"),
+        col("__q8").as("qb"),
+        col("__q8_sq").as("qb_sq"),
+        col("bucket"))
+      broadcast(q)
+        .join(c, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          dotInt(col("qa"), col("qb")).as("idot"),
+          (dotInt(col("qa"), col("qb")).cast("double") /
+            sqrt(col("qa_sq").cast("double") * col("qb_sq").cast("double"))).as("icos"))
+    }
+    // Union the tables' candidates and dedup (a pair found by several
+    // tables scores identically in each — max is a no-op); the dedup
+    // shuffle is keyed on the pair, bounded by candidate volume.
+    val cands = perTable
+      .reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("idot")).as("idot"), max(col("icos")).as("icos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("icos").desc, col("neighbor_id"))
+    cands
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "idot", "icos")
   }
 
   /** IVF (inverted-file) ANN — the OTHER production scale path next to

@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Scalars.{dec4, sumDec, sumDiscPrice}
@@ -194,9 +193,14 @@ object QualityQueries {
       |ORDER BY y NULLS FIRST, m NULLS FIRST""".stripMargin
 
   /** q66 — percent of total: each nation's share of global revenue.
-    * Exact decimal sums per nation; the grand total via an unpartitioned
-    * window over the 25-row aggregate (tiny — the window is NOT over
-    * the fact table); the share is a double ratio of two exact sums.
+    * Exact decimal sums per nation; the grand total is a 1-row
+    * re-aggregate of the 25-row nation frame, broadcast back via cross
+    * join — NOT an unpartitioned window: the window form emits the
+    * `WindowExec: No Partition Defined` warning on every run, and a
+    * noisy bench tail would bury a REAL single-partition regression
+    * elsewhere (decimal sums are order-exact, so the re-aggregate is
+    * bit-identical to the window's total). The share is a double ratio
+    * of two exact sums.
     */
   val q66PctOfTotal: Q = (s, d) => {
     val rev = Tables
@@ -205,8 +209,9 @@ object QualityQueries {
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec4(col("o_totalprice"))).as("rev"))
+    val total = rev.agg(sum(col("rev")).as("total"))
     rev
-      .withColumn("total", sum(col("rev")).over(Window.partitionBy()))
+      .crossJoin(broadcast(total))
       .select(
         col("n_name"),
         col("rev").cast("double").as("revenue"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Scalars.{dec4, sumDec}
 import graft.functions.{KV, TopKByValue}
+import graft.operators.Relational
 import graft.queries.CoreQueries.Q
 
 /** Statistical / multidimensional aggregation surface (distinct
@@ -83,26 +84,29 @@ object StatQueries {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag NULLS FIRST""".stripMargin
 
-  /** q36 — discrete quantiles (p50/p90) per group via row_number —
-    * interpolation-free on purpose: continuous-percentile FP formulas
-    * differ between engines in the last ulp, while the discrete rank
-    * picks an actual data value identically everywhere. At scale this
-    * is one window over (flag) — same shuffle as any per-group rank.
+  /** q36 — discrete quantiles (p50/p90) per group via
+    * [[Relational.groupedDiscreteQuantiles]] — interpolation-free on
+    * purpose: continuous-percentile FP formulas differ between engines
+    * in the last ulp, while the discrete rank picks an actual data
+    * value identically everywhere. The oracle stays the window
+    * formulation; the Spark side range-partitions on (flag, quantity)
+    * so parallelism comes from the VALUE ranges — the earlier
+    * `row_number() OVER (PARTITION BY l_returnflag ...)` put the whole
+    * fact table through 3 reducer tasks (the low-cardinality-key
+    * window cliff at 100×), which the gate proves result-identical to
+    * this per-group order-statistics plan.
     */
-  val q36Quantiles: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-    Tables
-      .lineitem(s, d)
-      .select(col("l_returnflag"), col("l_quantity"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
-      .groupBy(col("l_returnflag"))
-      .agg(
-        max(when(col("rn") === ceil(col("n") * 0.5).cast("long"), col("l_quantity"))).as("p50"),
-        max(when(col("rn") === ceil(col("n") * 0.9).cast("long"), col("l_quantity"))).as("p90"))
+  val q36Quantiles: Q = (s, d) =>
+    Relational
+      .groupedDiscreteQuantiles(
+        Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity")),
+        "l_returnflag",
+        "l_quantity",
+        Seq(0.5, 0.9),
+        numPartitions = 32)
+      .withColumnRenamed("q0", "p50")
+      .withColumnRenamed("q1", "p90")
       .orderBy(col("l_returnflag"))
-  }
 
   val q36Sql: String =
     """SELECT l_returnflag,

@@ -316,4 +316,93 @@ object Sinks {
       st.close()
     } finally conn.close()
   }
+
+  /** The same star schema in POSTGRES dialect — the reference's actual
+    * target types (schema.sql:22-59: SERIAL dims, TEXT, TIMESTAMP WITH
+    * TIME ZONE, REAL, JSON, INTEGER FKs). No Postgres server exists in
+    * this container, so these statements are pinned as text (the type
+    * inventory is spec-checked against the reference) rather than
+    * executed here; against a live server, run them verbatim in place
+    * of [[bootstrapStarSchema]]'s Derby DDL. Dialect notes:
+    *
+    *  - dim ids are engine-assigned ([[graft.operators.Relational.dimGetOrCreate]]),
+    *    so the dims keep the reference's `SERIAL` columns but every
+    *    insert supplies an explicit id — legal in Postgres; the unused
+    *    sequence simply never advances.
+    *  - `REAL` columns receive float32 values: cast with
+    *    [[castForPostgresReal]] BEFORE the write so the stored value
+    *    is decided by the engine's IEEE round-to-nearest-even cast,
+    *    not by an implicit server-side conversion.
+    *  - `JSON` columns receive the engine's `to_json` strings
+    *    (deterministic field order — the struct definition order).
+    */
+  val postgresStarSchemaDdl: Seq[String] = Seq(
+    """CREATE TABLE project (
+      | id SERIAL UNIQUE,
+      | name TEXT,
+      | CONSTRAINT project_pk PRIMARY KEY (id, name))""".stripMargin,
+    """CREATE TABLE jira_user (
+      | id SERIAL UNIQUE,
+      | username TEXT,
+      | CONSTRAINT user_pk PRIMARY KEY (id, username))""".stripMargin,
+    """CREATE TABLE feasibility (
+      | key TEXT NOT NULL,
+      | summary TEXT NOT NULL,
+      | created TIMESTAMP WITH TIME ZONE NOT NULL,
+      | resolution_date TIMESTAMP WITH TIME ZONE,
+      | design_estimate REAL,
+      | development_estimate REAL NOT NULL,
+      | development_pad_estimate REAL,
+      | pe_estimate REAL,
+      | pm_estimate REAL,
+      | qa_estimate REAL,
+      | issue_links JSON,
+      | worklog JSON,
+      | feasibility_timespent REAL,
+      | issue_links_timespent REAL,
+      | feasibility_estimate_total REAL,
+      | delta_percentage REAL,
+      | delta REAL,
+      | fk_reviewer INTEGER NOT NULL,
+      | fk_reporter INTEGER NOT NULL,
+      | fk_project INTEGER NOT NULL,
+      | CONSTRAINT feas_pk PRIMARY KEY (key),
+      | CONSTRAINT reporter_fk FOREIGN KEY (fk_reporter) REFERENCES jira_user (id),
+      | CONSTRAINT reviewer_fk FOREIGN KEY (fk_reviewer) REFERENCES jira_user (id),
+      | CONSTRAINT project_fk FOREIGN KEY (fk_project) REFERENCES project (id))""".stripMargin)
+
+  /** The feasibility columns stored as Postgres `REAL` (float32) —
+    * schema.sql:39-53: the six estimate columns plus the five derived
+    * metrics.
+    */
+  val feasibilityRealColumns: Seq[String] = Seq(
+    "design_estimate",
+    "development_estimate",
+    "development_pad_estimate",
+    "pe_estimate",
+    "pm_estimate",
+    "qa_estimate",
+    "feasibility_timespent",
+    "issue_links_timespent",
+    "feasibility_estimate_total",
+    "delta_percentage",
+    "delta")
+
+  /** Cast the REAL-bound columns to float32 at the writer boundary
+    * (SURVEY.md §7.4: compute in double internally, round to Postgres
+    * `REAL` only at the edge). Spark's `cast("float")` is the JVM's
+    * IEEE-754 double→binary32 round-to-nearest-even — the SAME
+    * conversion Postgres's float8→float4 cast performs, so the stored
+    * value is bit-identical whether the engine or the server rounds
+    * (pinned in JdbcSinkSpec down to tie-breaking bit patterns). One
+    * DOCUMENTED deviation: a double beyond float range becomes
+    * ±Infinity here, where Postgres raises `value out of range: REAL`
+    * — the derived metrics are bounded hours/percent figures, so the
+    * overflow path is unreachable on contract-conforming data.
+    * Columns absent from `df` are skipped (dims carry no REAL columns).
+    */
+  def castForPostgresReal(
+      df: DataFrame,
+      cols: Seq[String] = feasibilityRealColumns): DataFrame =
+    cols.filter(df.columns.contains).foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("float")))
 }

@@ -163,4 +163,53 @@ class JdbcSinkSpec extends AnyFunSuite {
     val orig = after.filter(col("key") === "PROJECT1-1090").collect()(0)
     assert(orig.getString(orig.fieldIndex("summary")) == "Test Feasibility A")
   }
+
+  test("Postgres DDL pins the reference type inventory (schema.sql:22-59) and the Derby column set") {
+    val pg = Sinks.postgresStarSchemaDdl
+    assert(pg.length == 3)
+    val feas = pg(2)
+    // 6 estimate + 5 derived columns as REAL (schema.sql:39-53)
+    assert("\\bREAL\\b".r.findAllIn(feas).length == 11, feas)
+    assert("TIMESTAMP WITH TIME ZONE".r.findAllIn(feas).length == 2)
+    assert("\\bJSON\\b".r.findAllIn(feas).length == 2)
+    assert(pg(0).contains("SERIAL") && pg(1).contains("SERIAL"))
+    assert(feas.contains("fk_reviewer INTEGER NOT NULL"))
+    // every REAL column is in the boundary-cast list, and vice versa
+    Sinks.feasibilityRealColumns.foreach(c => assert(feas.contains(s" $c REAL"), c))
+    // the two dialects carry the same feasibility column inventory
+    val colRe = "\n\\s+\"?([a-z_]+)\"?\\s".r
+    def cols(ddl: String) = colRe.findAllMatchIn(ddl).map(_.group(1)).toSet
+    // the live (Derby-bootstrapped) table is the other dialect's ground
+    // truth: both must carry the same feasibility column inventory
+    val fact = readTable("feasibility")
+    assert(cols(feas).intersect(fact.columns.toSet) == fact.columns.toSet,
+      s"postgres DDL misses ${fact.columns.toSet -- cols(feas)}")
+  }
+
+  test("REAL boundary cast: engine-side float32 rounding is IEEE round-to-nearest-even, bit-exact") {
+    import spark.implicits._
+    val tieDown = 1.0 + math.pow(2, -24) // halfway: rounds to even mantissa 1.0f
+    val tieUp = 1.0 + 3 * math.pow(2, -24) // halfway: rounds UP to even mantissa
+    val df = Seq(
+      (1L, Some(0.1), Some(tieDown), Some(tieUp), Some(1e39)),
+      (2L, None, None, None, None))
+      .toDF("id", "delta", "pe_estimate", "qa_estimate", "delta_percentage")
+    val out = Sinks.castForPostgresReal(df)
+    // schema: REAL-bound columns became float; id untouched
+    assert(out.schema("delta").dataType == org.apache.spark.sql.types.FloatType)
+    assert(out.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    val r = out.filter(col("id") === 1L).collect()(0)
+    def bits(name: String) = java.lang.Float.floatToIntBits(r.getFloat(r.fieldIndex(name)))
+    // 0.1 -> nearest float32 (0x3dcccccd) — what Postgres REAL stores
+    assert(bits("delta") == 0x3dcccccd, bits("delta").toHexString)
+    // exact ties: round-to-nearest-EVEN, both directions
+    assert(bits("pe_estimate") == 0x3f800000, bits("pe_estimate").toHexString)
+    assert(bits("qa_estimate") == 0x3f800002, bits("qa_estimate").toHexString)
+    // documented deviation: out-of-range saturates to Infinity here
+    // (Postgres raises); unreachable on contract-conforming data
+    assert(r.getFloat(r.fieldIndex("delta_percentage")).isPosInfinity)
+    // nulls stay null through the cast
+    val n = out.filter(col("id") === 2L).collect()(0)
+    assert(n.isNullAt(n.fieldIndex("delta")))
+  }
 }

@@ -6,9 +6,10 @@ import graft.operators.Multimodal
 import graft.operators.Multimodal.{DecodedImage, MediaRecord}
 
 /** Multimodal plumbing: payload/metadata schema, partition-batched
-  * decode, resize, and frame sampling — all with the deterministic
-  * stub decoders (real codecs are out of scope for this container;
-  * the Spark-side shapes are what's under test).
+  * decode, resize, and frame sampling. The image (javax.imageio) and
+  * audio (javax.sound.sampled) paths are REAL JDK codecs, pinned
+  * pixel-exact / sample-exact; only video keeps the deterministic
+  * stub (no JDK codec exists).
   */
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -117,6 +118,67 @@ class MultimodalSpec extends AnyFunSuite {
       .toMap
     resized.foreach(r => assert(
       redecoded(r.docId).width == r.meta.width && redecoded(r.docId).height == r.meta.height))
+  }
+
+  // The fixture waveform, restated independently of the encoder: the
+  // spec pins the contract sample-by-sample, not just "decodes to
+  // something".
+  private def expectedSamples(text: String): Array[Int] = {
+    val n = 256 + (text.length % 512)
+    Array.tabulate(n) { i =>
+      val c = if (text.isEmpty) 0 else text.charAt(i % text.length).toInt & 0xff
+      ((c * 257 + i * 131) % 65536) - 32768
+    }
+  }
+
+  test("JDK audio path: real WAV payloads decode to the generated PCM samples, exactly") {
+    implicit val s = spark
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 10)
+    val recs = Multimodal.generateWavRecords(docs, "doc_id", "text")
+    val rows = recs.collect()
+    rows.foreach { r =>
+      // RIFF/WAVE magic — these are real encoded audio files
+      assert(new String(r.payload.take(4), "US-ASCII") == "RIFF")
+      assert(new String(r.payload.slice(8, 12), "US-ASCII") == "WAVE")
+      assert(r.meta.mediaType == "audio/wav")
+    }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val decoded = Multimodal.decodeAudioWav(recs).collect().map(d => d.docId -> d).toMap
+    assert(decoded.size == 10)
+    decoded.foreach { case (id, a) =>
+      val samples = expectedSamples(texts(id))
+      assert(a.sampleRate == 8000)
+      assert(a.nSamples == samples.length.toLong, s"doc $id")
+      assert(a.peakAbs == samples.map(math.abs).max, s"doc $id")
+      assert(a.sumAbs == samples.map(v => math.abs(v).toLong).sum, s"doc $id")
+      val zc = samples.map(Integer.signum).foldLeft((0L, 0)) {
+        case ((acc, prev), 0)    => (acc, 0)
+        case ((acc, prev), sign) => (if (prev != 0 && sign != prev) acc + 1 else acc, sign)
+      }._1
+      assert(a.zeroCrossings == zc, s"doc $id")
+    }
+  }
+
+  test("sampleAudioWindows: hop-windowed exact stats tile the sample stream") {
+    implicit val s = spark
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 5)
+    val recs = Multimodal.generateWavRecords(docs, "doc_id", "text")
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val windows = Multimodal.sampleAudioWindows(recs, window = 64, stride = 48).collect()
+    windows.groupBy(_.docId).foreach { case (id, ws) =>
+      val samples = expectedSamples(texts(id))
+      val starts = 0L until samples.length.toLong by 48L
+      assert(ws.length == starts.size, s"doc $id")
+      ws.sortBy(_.windowIdx).zip(starts).foreach { case (w, start) =>
+        assert(w.startSample == start)
+        val slice = samples.slice(start.toInt, math.min(start.toInt + 64, samples.length))
+        assert(w.nSamples == slice.length)
+        assert(w.peakAbs == (if (slice.isEmpty) 0 else slice.map(math.abs).max))
+        assert(w.sumAbs == slice.map(v => math.abs(v).toLong).sum)
+      }
+    }
   }
 
   test("sampleFrames: one row per sampled frame, offsets in payload bounds") {
