@@ -32,17 +32,35 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `SupportsPushDownRequiredColumns` → `fields=`: only requested
   *    (nested-pruned) fields are materialized into rows.
   *
-  * Usage: `spark.read.format("graft.sources.JiraSearchSource")
-  * .option("path", file).load()` — schema defaults to the JIRA issue
-  * shape ([[JiraSearchSource.issueSchema]]); any pinned schema may be
+  * TWO transports behind the same pushdown surface:
+  *
+  *  - `option("path", file)` — the JSON-lines fixture "server"
+  *    (line i belongs to page i mod pages).
+  *  - `option("url", http://…)` — LIVE HTTP mode: each partition runs
+  *    the reference's actual paging loop (etl.js:92-195,
+  *    helpers.js:41-88) against a JIRA-shaped search endpoint —
+  *    `GET url?startAt=S&maxResults=P&jql=…&fields=…` returning
+  *    `{"startAt","maxResults","total","issues":[…]}` — with partition
+  *    p owning global pages p, p+pages, p+2·pages… The rendered `jql`
+  *    and `fields` params ARE sent (a conforming server saves the
+  *    network I/O — the point of pushdown on a remote source), but the
+  *    pushed predicates are STILL re-applied client-side: the server
+  *    is an external system, and accepted-not-residual predicates are
+  *    never re-checked by Spark, so trusting a remote JQL evaluator
+  *    would let a non-conforming server silently corrupt results.
+  *    `option("user", u)` + `option("token", t)` add the reference's
+  *    basic-auth header (helpers.js `encode`, SURVEY §2 F1);
+  *    `option("pageSize", n)` sets maxResults per request (default 50,
+  *    the JIRA default).
+  *
+  * Schema defaults to the JIRA issue shape
+  * ([[JiraSearchSource.issueSchema]]); any pinned schema may be
   * supplied via `.schema(...)` (the converter is schema-driven), which
   * makes this the engine's general pushdown JSON table.
   *
-  * Scale design: `pages=N` splits the scan into N input partitions
-  * (line-index modulo — the fixture analog of the reference's
-  * startAt/maxResults paging loop, helpers.js:41-88); each partition is
-  * an independent "page fetch", so a real HTTP backend would fan out
-  * across executors exactly like this.
+  * Scale design: `pages=N` splits the scan into N input partitions;
+  * each partition is an independent page-fetch loop, so the HTTP
+  * backend fans out across executors exactly like the file fixture.
   */
 class JiraSearchSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
@@ -59,12 +77,27 @@ class JiraSearchSource extends TableProvider {
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val p = properties.get("path")
+    val u = properties.get("url")
     require(
-      p != null && p.nonEmpty,
-      "jira source requires option(\"path\", <json-lines file>)")
-    require(
-      new java.io.File(p).isFile,
-      s"jira source path does not exist or is not a file: $p")
+      (p != null && p.nonEmpty) || (u != null && u.nonEmpty),
+      "jira source requires option(\"path\", <json-lines file>) or option(\"url\", <search endpoint>)")
+    if (u != null && u.nonEmpty) {
+      // Live-HTTP fail-fast: a zero-row probe request validates
+      // connectivity AND credentials during table resolution (the
+      // reference's upfront check), not minutes later in a task.
+      val probe = JiraSearchSource.httpGetJson(
+        u,
+        "startAt=0&maxResults=0",
+        properties.get("user"),
+        properties.get("token"))
+      require(
+        probe != null,
+        s"jira endpoint did not return a JSON body: $u")
+    } else {
+      require(
+        new java.io.File(p).isFile,
+        s"jira source path does not exist or is not a file: $p")
+    }
     new JiraTable(schema)
   }
 }
@@ -210,6 +243,43 @@ object JiraSearchSource {
     }
   }
 
+  /** The reference's `encode` (helpers.js — SURVEY §2 F1): the
+    * base64 basic-auth header value for `user:token`.
+    */
+  def basicAuth(user: String, token: String): String =
+    "Basic " + java.util.Base64.getEncoder.encodeToString(
+      s"$user:$token".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** One GET against the search endpoint; returns the parsed JSON root
+    * or throws with the HTTP status. JDK-only (`HttpURLConnection`) —
+    * no client library, nothing to init per row; one connection per
+    * page request, exactly the reference's transport granularity.
+    */
+  private[sources] def httpGetJson(
+      url: String,
+      query: String,
+      user: String,
+      token: String): JsonNode = {
+    val sep = if (url.contains("?")) "&" else "?"
+    val conn = java.net.URI
+      .create(url + sep + query)
+      .toURL
+      .openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      conn.setRequestProperty("Accept", "application/json")
+      if (user != null && user.nonEmpty) {
+        conn.setRequestProperty("Authorization", basicAuth(user, if (token == null) "" else token))
+      }
+      val code = conn.getResponseCode
+      require(code == 200, s"jira endpoint returned HTTP $code for $url$sep$query")
+      val body = new String(conn.getInputStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      new ObjectMapper().readTree(body)
+    } finally conn.disconnect()
+  }
+
   /** JQL-ish rendering of the pushed predicates for plan display. */
   private[sources] def jql(f: Filter): String = f match {
     case EqualTo(a, v) => s"$a = '$v'"
@@ -245,10 +315,18 @@ private[sources] class JiraScanBuilder(fullSchema: StructType, options: CaseInse
     with SupportsPushDownLimit
     with SupportsPushDownRequiredColumns {
 
-  private val path = {
-    val p = options.get("path")
-    require(p != null, "jira source requires option(\"path\", <json-lines file>)")
-    p
+  private val endpoint = {
+    val path = options.get("path")
+    val url = options.get("url")
+    require(
+      path != null || url != null,
+      "jira source requires option(\"path\", <json-lines file>) or option(\"url\", <search endpoint>)")
+    JiraEndpoint(
+      path,
+      url,
+      options.get("user"),
+      options.get("token"),
+      math.max(1, options.getInt("pageSize", 50)))
   }
   private val pages = math.max(1, options.getInt("pages", 1))
   private var required: StructType = fullSchema
@@ -263,11 +341,24 @@ private[sources] class JiraScanBuilder(fullSchema: StructType, options: CaseInse
   override def pushedFilters(): Array[Filter] = pushed
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def pruneColumns(s: StructType): Unit = { required = s }
-  override def build(): Scan = new JiraScan(path, pages, required, pushed, limit)
+  override def build(): Scan = new JiraScan(endpoint, pages, required, pushed, limit)
+}
+
+/** Transport config: exactly one of `path` (fixture file) / `url`
+  * (live HTTP) is non-null; `user`/`token` add basic auth in HTTP
+  * mode; `pageSize` is maxResults per page request.
+  */
+private[sources] case class JiraEndpoint(
+    path: String,
+    url: String,
+    user: String,
+    token: String,
+    pageSize: Int) {
+  def isHttp: Boolean = url != null && url.nonEmpty
 }
 
 private[sources] class JiraScan(
-    path: String,
+    endpoint: JiraEndpoint,
     pages: Int,
     required: StructType,
     filters: Array[Filter],
@@ -280,27 +371,31 @@ private[sources] class JiraScan(
   override def description(): String = {
     val jql = filters.map(JiraSearchSource.jql).mkString(" AND ")
     val fields = required.fieldNames.mkString(",")
-    s"JiraSearchScan jql=[$jql] maxResults=${if (limit >= 0) limit else "all"} fields=[$fields] pages=$pages"
+    val transport = if (endpoint.isHttp) s"url=${endpoint.url}" else s"path=${endpoint.path}"
+    s"JiraSearchScan $transport jql=[$jql] maxResults=${if (limit >= 0) limit else "all"} fields=[$fields] pages=$pages"
   }
   override def toString: String = description()
 
   override def planInputPartitions(): Array[InputPartition] =
     (0 until pages).map(p => JiraPage(p, pages): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new JiraReaderFactory(path, required, filters, limit)
+    new JiraReaderFactory(endpoint, required, filters, limit)
 }
 
 private[sources] case class JiraPage(page: Int, pages: Int) extends InputPartition
 
 private[sources] class JiraReaderFactory(
-    path: String,
+    endpoint: JiraEndpoint,
     required: StructType,
     filters: Array[Filter],
     limit: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val JiraPage(page, pages) = partition.asInstanceOf[JiraPage]
-    new JiraPartitionReader(path, page, pages, required, filters, limit)
+    if (endpoint.isHttp)
+      new HttpJiraPartitionReader(endpoint, page, pages, required, filters, limit)
+    else
+      new JiraPartitionReader(endpoint.path, page, pages, required, filters, limit)
   }
 }
 
@@ -345,4 +440,75 @@ private[sources] class JiraPartitionReader(
 
   override def get(): InternalRow = current
   override def close(): Unit = lines.close()
+}
+
+/** Live-HTTP page reader — the reference's startAt/maxResults loop
+  * (helpers.js:41-88) with partition p owning global pages
+  * p, p+pages, p+2·pages… Each fetch is
+  * `GET url?startAt=S&maxResults=P[&jql=…][&fields=…]`; the response's
+  * `total` (or a short page when absent) ends the loop. Pushed
+  * predicates are re-applied to every received issue — see the class
+  * scaladoc for why the remote JQL evaluator is not trusted — and the
+  * maxResults cap stops both the row emission AND further page
+  * fetches.
+  */
+private[sources] class HttpJiraPartitionReader(
+    endpoint: JiraEndpoint,
+    page: Int,
+    pages: Int,
+    required: StructType,
+    filters: Array[Filter],
+    limit: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val jqlParam = {
+    val jql = filters.map(JiraSearchSource.jql).mkString(" AND ")
+    if (jql.isEmpty) ""
+    else "&jql=" + java.net.URLEncoder.encode(jql, "UTF-8")
+  }
+  private val fieldsParam =
+    "&fields=" + java.net.URLEncoder.encode(required.fieldNames.mkString(","), "UTF-8")
+
+  private var pageIdx = page
+  private var exhausted = false
+  private var issues: Iterator[JsonNode] = Iterator.empty
+  private var emitted = 0
+  private var current: InternalRow = _
+
+  private def fetchNextPage(): Unit = {
+    val startAt = pageIdx.toLong * endpoint.pageSize
+    val root = JiraSearchSource.httpGetJson(
+      endpoint.url,
+      s"startAt=$startAt&maxResults=${endpoint.pageSize}$jqlParam$fieldsParam",
+      endpoint.user,
+      endpoint.token)
+    val arr = root.get("issues")
+    val got = if (arr == null || arr.isNull) 0 else arr.size
+    issues = if (got == 0) Iterator.empty else arr.elements.asScala
+    val total = root.get("total")
+    exhausted =
+      if (total != null && total.isNumber) startAt + got >= total.asLong
+      else got < endpoint.pageSize // short page = source drained
+    pageIdx += pages
+  }
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    while (true) {
+      while (issues.hasNext) {
+        val node = issues.next()
+        if (filters.forall(f => JiraSearchSource.eval(node, f).contains(true))) {
+          current = JiraSearchSource.convert(node, required).asInstanceOf[GenericInternalRow]
+          emitted += 1
+          return true
+        }
+      }
+      if (exhausted) return false
+      fetchNextPage()
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
