@@ -21,11 +21,24 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Shuffle/spill scratch override. EVERY shuffle write and disk
+    * spill lands in `spark.local.dir`, so scratch-medium throughput
+    * feeds straight into query time; `GRAFT_LOCAL_DIR` lets a
+    * deployment point it at its fastest local volume without touching
+    * code. Deliberately NOT defaulted to tmpfs: measured on the
+    * round-6 container, `/dev/shm` scratch made shuffle-heavy queries
+    * 3–10× SLOWER and wildly variable (q20: 2–15 s on the disk
+    * default vs 30–186 s on tmpfs) — shared-memory writes on this
+    * kernel behave far worse than page-cached disk writes for
+    * Spark's many small shuffle files. Measure before overriding.
+    */
+  private def localScratch: Option[String] = sys.env.get("GRAFT_LOCAL_DIR")
+
   def builder(
       master: String,
       shufflePartitions: Int,
-      appName: String = "graft"): SparkSession.Builder =
-    SparkSession
+      appName: String = "graft"): SparkSession.Builder = {
+    val b = SparkSession
       .builder()
       .appName(appName)
       .master(master)
@@ -37,6 +50,8 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    localScratch.fold(b)(dir => b.config("spark.local.dir", dir))
+  }
 
   /** Local session with `cpus` worker threads — the shape the driver
     * contract mains (Bench/Verify/PlanAudit) run under.

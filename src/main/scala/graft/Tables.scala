@@ -43,6 +43,20 @@ object Tables {
     }
     df.withColumn("ts_us", tsUs)
   }
-  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** The corpus tables (documents, embeddings) feed compute-heavy
+    * per-row passes (md5 shingles, HOF dot products, winnowing) that
+    * are MUCH more expensive than their bytes: a small parquet file is
+    * one row group = ONE task, so without a spread the whole pass
+    * serializes onto a single core no matter how many the cluster has
+    * (round-6 bench: single-task interpreted HOF passes were the top
+    * stragglers). [[graft.operators.Relational.spreadFewSplits]] is
+    * the identity whenever the scan already yields >= parallelism
+    * splits — any real 100 TB table — so this costs nothing at scale
+    * and one narrow ~MB shuffle locally. Queries that need the raw
+    * scan shape (e.g. split-count probes) use [[table]] directly.
+    */
+  def documents(s: SparkSession, d: String): DataFrame =
+    graft.operators.Relational.spreadFewSplits(table(s, d, "documents"), "doc_id")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    graft.operators.Relational.spreadFewSplits(table(s, d, "embeddings"), "vec_id")
 }

@@ -36,12 +36,16 @@ class DotProductSpec extends AnyFunSuite {
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
     val df = e.select(call_function("graft_dot", col("embedding"), col("embedding")).as("sq"))
+    // materialize first: with an exchange upstream (the corpus-spread
+    // repartition) AQE wraps the plan and the WholeStageCodegen `*(n)`
+    // markers only exist in the FINAL plan
+    assert(df.collect().forall(_.getDouble(0) >= 0.0))
     val plan = df.queryExecution.executedPlan.toString
-    // the `*(n)` prefix marks operators fused into a WholeStageCodegen stage
-    assert(plan.contains("*(1) Project [graft_dot"))
+    // the `*(n)` prefix marks operators fused into a WholeStageCodegen
+    // stage (stage number varies with upstream exchanges, so match any)
+    assert("""\*\(\d+\) Project \[graft_dot""".r.findFirstIn(plan).isDefined, plan.take(1500))
     // interpreted-eval expressions surface as CodegenFallback in the plan tree
     assert(!plan.contains("CodegenFallback"))
-    assert(df.collect().forall(_.getDouble(0) >= 0.0))
   }
 
   test("bruteForceTopKFast ranks like the exact path on fixture embeddings") {

@@ -153,7 +153,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // core count or a multi-file fixture) there is no exchange to
     // assert on, so gate rather than fail for environmental reasons.
     val corpusSplits =
-      Tables.embeddings(spark, sf).rdd.getNumPartitions
+      Tables.table(spark, sf, "embeddings").rdd.getNumPartitions
     assume(
       corpusSplits < spark.sparkContext.defaultParallelism,
       s"corpus already has $corpusSplits splits >= defaultParallelism — spread is identity here")
