@@ -34,7 +34,16 @@ object Verify {
     val only = cfg.get("only", "SPARK_GRAFT_ONLY", "").split(',').map(_.trim).filter(_.nonEmpty).toSet
     val selected = if (only.isEmpty) SparkEntry.queries
                    else SparkEntry.queries.filter { case (n, _) => only(n) }
+    def deleteRecursively(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(deleteRecursively))
+      p.delete(): Unit
+    }
     selected.foreach { case (name, fn) =>
+      // Remove any previous run's dump FIRST: outDir may be reused, and a
+      // query that throws below must leave no parquet behind — otherwise
+      // the driver's DuckDB compare would grade this round's failure
+      // against last round's stale (possibly green) result.
+      deleteRecursively(new java.io.File(s"$outDir/$name"))
       try {
         val df = fn(spark, sfDir)
         nonVacuous.get(name).foreach(_.apply(df))

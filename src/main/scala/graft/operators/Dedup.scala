@@ -239,6 +239,26 @@ object Dedup {
     * Catalyst's CollapseProject (which never duplicates non-cheap
     * aliases) keeps the md5 pass single.
     */
+  /** [[minHashSignature]] over PRE-hashed shingles: `hashesCol` already
+    * holds the h32 values, so the signature is k cheap affine folds with
+    * no md5 at all. The pre-hashed form is what a verify-join pipeline
+    * wants to carry: set Jaccard is invariant under a hash that is
+    * injective on the observed shingle set, and an int64 array ships
+    * ~5× fewer shuffle bytes than the raw character shingles (round 6
+    * measured the raw-shingle verify join as the suite's heaviest
+    * shuffle — q99's 26→90 s rep growth was writeback debt from it).
+    */
+  def minHashSignatureFromHashes(
+      df: DataFrame,
+      idCol: String,
+      hashesCol: String,
+      k: Int): DataFrame =
+    df.select(
+      col(idCol) +:
+        col(hashesCol) +:
+        (0 until k).map(j =>
+          array_min(transform(col(hashesCol), h => affine(h, j))).as(s"mh$j")): _*)
+
   def minHashSignature(df: DataFrame, idCol: String, shinglesCol: String, k: Int): DataFrame =
     df.select(
       col(idCol),

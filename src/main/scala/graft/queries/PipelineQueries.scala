@@ -51,16 +51,25 @@ object PipelineQueries {
     // on any real multi-split table)
     val docs = Relational.spreadFewSplits(
       Tables.documents(s, d).filter(col("doc_id") < 1000), "doc_id")
-    val shingled = docs.select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("shingles"))
-    // The signature plan (shingle + k·md5-min per doc) feeds FOUR
+    // Shingles hashed to 32-bit longs ONCE (h32 — the same base hash
+    // the signature folds); the exact-Jaccard verify consumes the long
+    // arrays, shipping ~5× fewer bytes than raw 5-char strings. Set
+    // Jaccard is invariant under the hash and the oracle mirrors it.
+    val shingled = docs.select(
+      col("doc_id"),
+      array_distinct(
+        transform(Dedup.charShingles(col("text"), 5), t => graft.functions.Hashing.h32(t)))
+        .as("hs"))
+    // The signature plan (shingle + k·affine-min per doc) feeds FOUR
     // consumers (both sides of the LSH self-join, both est-jaccard
     // probes). Persist the compact signature table — id + k longs, the
-    // shingles dropped — so the expensive pass runs once; at 100 TB
+    // hashes dropped — so the expensive pass runs once; at 100 TB
     // this is the difference between one and four scans of the corpus.
-    // The cheap shingle arrays are recomputed only for the verify joins.
+    // The cheap hashed-shingle arrays are recomputed only for the
+    // verify joins.
     val sig = Dedup
-      .minHashSignature(shingled, "doc_id", "shingles", MinHashK)
-      .drop("shingles")
+      .minHashSignatureFromHashes(shingled, "doc_id", "hs", MinHashK)
+      .drop("hs")
       .persist()
     val cands = Dedup.lshCandidates(sig, "doc_id", MinHashK, MinHashBands)
     val aSig = sig.select(
@@ -73,8 +82,8 @@ object PipelineQueries {
     cands
       .join(aSig, "id_a")
       .join(bSig, "id_b")
-      .join(shingled.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(shingled.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .join(shingled.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), "id_a")
+      .join(shingled.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), "id_b")
       .select(
         col("id_a").as("doc_a"),
         col("id_b").as("doc_b"),
@@ -100,8 +109,8 @@ object PipelineQueries {
       .mkString(" + ")
     s"""WITH d AS (SELECT doc_id, list_distinct([substr(lower(text), i, 5) for i in range(1, len(text)-3)]) AS sh
        |           FROM documents WHERE doc_id < 1000),
-       |dh AS (SELECT doc_id, sh, list_transform(sh, t -> CAST('0x'||substr(md5(t),1,8) AS BIGINT)) AS hs FROM d),
-       |s AS (SELECT doc_id, sh,
+       |dh AS (SELECT doc_id, list_distinct(list_transform(sh, t -> CAST('0x'||substr(md5(t),1,8) AS BIGINT))) AS hs FROM d),
+       |s AS (SELECT doc_id, hs,
        |$mhDefs
        | FROM dh),
        |b AS (SELECT doc_id, band, $bandCase AS bv
@@ -110,7 +119,7 @@ object PipelineQueries {
        |      FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id)
        |SELECT p.da AS doc_a, p.db AS doc_b,
        | ($estSum) / ${MinHashK}.0 AS est_jaccard,
-       | 1.0*len(list_intersect(x.sh, y.sh))/len(list_distinct(x.sh||y.sh)) AS jaccard
+       | 1.0*len(list_intersect(x.hs, y.hs))/len(list_distinct(x.hs||y.hs)) AS jaccard
        |FROM p JOIN s x ON p.da = x.doc_id JOIN s y ON p.db = y.doc_id
        |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
   }

@@ -332,19 +332,27 @@ object Round5Queries {
       .filter(col("doc_id") < 1000)
       .select(col("doc_id"), col("lang"), col("text"))
     // The shingle frame feeds THREE consumers (signature build + both
-    // verify sides): spread the few-splits input and persist the
-    // arrays once (released by the harness sweep / releaseAllCaches).
+    // verify sides): spread the few-splits input and persist ONE
+    // h32-hashed long array (released by the harness sweep /
+    // releaseAllCaches). Set Jaccard is invariant under the hash and
+    // the verify join — both sides of every candidate pair — ships
+    // int64s instead of raw 5-char strings (same rationale as q99;
+    // the oracle applies the identical hash).
     val shingled = Relational
       .spreadFewSplits(docs.select(col("doc_id"), col("text")), "doc_id")
-      .select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("shingles"))
+      .select(
+        col("doc_id"),
+        array_distinct(
+          transform(Dedup.charShingles(col("text"), 5), t => graft.functions.Hashing.h32(t)))
+          .as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = Dedup
-      .minHashSignature(shingled, "doc_id", "shingles", 12)
-      .drop("shingles")
+      .minHashSignatureFromHashes(shingled, "doc_id", "hs", 12)
+      .drop("hs")
     val cands = Dedup.lshCandidates(sig, "doc_id", 12, 3)
     val verified = cands
-      .join(shingled.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(shingled.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .join(shingled.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), "id_a")
+      .join(shingled.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), "id_b")
       .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.6)
       .select(col("id_a"), col("id_b"))
     val dupes = Dedup
@@ -375,8 +383,8 @@ object Round5Queries {
     s"""WITH RECURSIVE
        |d AS (SELECT doc_id, lang, list_distinct([substr(lower(text), i, 5) for i in range(1, len(text)-3)]) AS sh
        |      FROM documents WHERE doc_id < 1000),
-       |dh AS (SELECT doc_id, sh, list_transform(sh, t -> CAST('0x'||substr(md5(t),1,8) AS BIGINT)) AS hs FROM d),
-       |s AS (SELECT doc_id, sh,
+       |dh AS (SELECT doc_id, list_distinct(list_transform(sh, t -> CAST('0x'||substr(md5(t),1,8) AS BIGINT))) AS hs FROM d),
+       |s AS (SELECT doc_id, hs,
        |$mhDefs
        | FROM dh),
        |b AS (SELECT doc_id, band, $bandCase AS bv
@@ -384,7 +392,7 @@ object Round5Queries {
        |p AS (SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
        |      FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id),
        |v AS (SELECT da, db FROM p JOIN s x ON p.da = x.doc_id JOIN s y ON p.db = y.doc_id
-       |      WHERE 1.0*len(list_intersect(x.sh, y.sh))/len(list_distinct(x.sh||y.sh)) >= 0.6),
+       |      WHERE 1.0*len(list_intersect(x.hs, y.hs))/len(list_distinct(x.hs||y.hs)) >= 0.6),
        |edges AS (SELECT da AS src, db AS dst FROM v UNION SELECT db, da FROM v),
        |walk(node, comp) AS (
        |  SELECT src, src FROM edges
@@ -461,16 +469,29 @@ object Round5Queries {
     val docs = Relational.spreadFewSplits(
       Tables.documents(s, d).filter(col("doc_id") < 1000).select(col("doc_id"), col("text")),
       "doc_id")
+    // Shingles are hashed to their 32-bit md5 prefix ONCE and only the
+    // long array is carried: the MinHash signature folds it directly
+    // (minHashSignatureFromHashes) and the exact-Jaccard verify joins
+    // it to both sides of every candidate pair. Set Jaccard is
+    // preserved under the (injective-on-this-corpus) hash, the DuckDB
+    // oracle applies the identical hash, and the verify shuffle ships
+    // int64s instead of raw 5-char strings — round 6 measured the
+    // raw-shingle form as the suite's heaviest shuffle and the source
+    // of q99's rep-over-rep writeback-debt growth.
     val shingled = docs
-      .select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("shingles"))
+      .select(
+        col("doc_id"),
+        array_distinct(
+          transform(Dedup.charShingles(col("text"), 5), t => graft.functions.Hashing.h32(t)))
+          .as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = Dedup.minHashSignature(shingled, "doc_id", "shingles", 12).drop("shingles")
+    val sig = Dedup.minHashSignatureFromHashes(shingled, "doc_id", "hs", 12).drop("hs")
     val corpusSig = sig.filter(col("doc_id") < 400)
     val batchSig = sig.filter(col("doc_id") >= 400)
     val cands = Dedup.incrementalCandidates(batchSig, corpusSig, "doc_id", 12, 3)
     val verified = cands
-      .join(shingled.select(col("doc_id").as("new_id"), col("shingles").as("sh_n")), "new_id")
-      .join(shingled.select(col("doc_id").as("old_id"), col("shingles").as("sh_o")), "old_id")
+      .join(shingled.select(col("doc_id").as("new_id"), col("hs").as("sh_n")), "new_id")
+      .join(shingled.select(col("doc_id").as("old_id"), col("hs").as("sh_o")), "old_id")
       .filter(Dedup.jaccard(col("sh_n"), col("sh_o")) >= 0.6)
       .groupBy(col("new_id"))
       .agg(min(col("old_id")).as("dup_of"))
@@ -498,8 +519,8 @@ object Round5Queries {
       .mkString
     s"""WITH d AS (SELECT doc_id, list_distinct([substr(lower(text), i, 5) for i in range(1, len(text)-3)]) AS sh
        |           FROM documents WHERE doc_id < 1000),
-       |dh AS (SELECT doc_id, sh, list_transform(sh, t -> CAST('0x'||substr(md5(t),1,8) AS BIGINT)) AS hs FROM d),
-       |s AS (SELECT doc_id, sh,
+       |dh AS (SELECT doc_id, list_distinct(list_transform(sh, t -> CAST('0x'||substr(md5(t),1,8) AS BIGINT))) AS hs FROM d),
+       |s AS (SELECT doc_id, hs,
        |$mhDefs
        | FROM dh),
        |b AS (SELECT doc_id, band, $bandCase AS bv
@@ -509,7 +530,7 @@ object Round5Queries {
        |      WHERE n.doc_id >= 400 AND c.doc_id < 400),
        |v AS (SELECT new_id, MIN(old_id) AS dup_of
        |      FROM p JOIN s x ON p.new_id = x.doc_id JOIN s y ON p.old_id = y.doc_id
-       |      WHERE 1.0*len(list_intersect(x.sh, y.sh))/len(list_distinct(x.sh||y.sh)) >= 0.6
+       |      WHERE 1.0*len(list_intersect(x.hs, y.hs))/len(list_distinct(x.hs||y.hs)) >= 0.6
        |      GROUP BY 1)
        |SELECT d.doc_id, v.dup_of IS NOT NULL AS is_dup, v.dup_of
        |FROM d LEFT JOIN v ON d.doc_id = v.new_id
