@@ -451,7 +451,8 @@ object Relational {
       groupCol: String,
       valueCol: String,
       ps: Seq[Double],
-      numPartitions: Int = 64): DataFrame = {
+      numPartitions: Int = 64,
+      maxGroups: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0), "quantiles must be in (0, 1]")
@@ -463,14 +464,36 @@ object Relational {
       .rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Pass 1: per-(partition, group) row counts. Groups are contiguous
-    // within a sorted partition, so this is a run-length count.
+    // within a sorted partition, so this is a run-length count. A null
+    // VALUE is rejected in-task: Spark ranks nulls FIRST and SQL
+    // engines (the DuckDB oracle among them) default to NULLS LAST, so
+    // a null would silently shift every per-group rank — the caller
+    // must filter or impute nulls, choosing a policy, before asking
+    // for order statistics.
     val counts: Array[(Int, Any, Long)] = sorted
       .mapPartitionsWithIndex { case (i, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
-        it.foreach { r => val g = r.get(0); m.update(g, m.getOrElse(g, 0L) + 1L) }
+        it.foreach { r =>
+          require(
+            !r.isNullAt(1),
+            s"groupedDiscreteQuantiles: null in value column '$valueCol' — " +
+              "filter or impute nulls first (null rank order differs across engines)")
+          val g = r.get(0); m.update(g, m.getOrElse(g, 0L) + 1L)
+        }
         m.iterator.map { case (g, c) => (i, g, c) }.toList.iterator
       }
       .collect()
+    // Driver-memory guard, enforced on OBSERVED cardinality: the
+    // bookkeeping below is O(P·G) on the driver, which is the designed
+    // trade for LOW-cardinality group keys. A high-cardinality key
+    // (user_id, doc_id) belongs in a plain shuffle aggregation — each
+    // group is small, so the per-group sort is no cliff there — and
+    // hitting this limit is the signal to switch, not to raise it.
+    val observedGroups = counts.iterator.map(_._2).toSet.size
+    require(
+      observedGroups <= maxGroups,
+      s"groupedDiscreteQuantiles: $observedGroups distinct groups exceeds maxGroups=$maxGroups — " +
+        "use a plain groupBy aggregation for high-cardinality keys (driver bookkeeping is O(partitions x groups))")
     // Driver bookkeeping: per-group totals -> target ranks; per-(pid,
     // group) starting offsets in partition order.
     val totals: Map[Any, Long] =

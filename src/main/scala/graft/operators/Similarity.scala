@@ -234,7 +234,9 @@ object Similarity {
       dim: Int,
       k: Int,
       probeBitFlips: Int = 0): DataFrame = {
-    require(probeBitFlips <= 1, "only 1-bit-flip multi-probe is implemented")
+    require(
+      probeBitFlips == 0 || probeBitFlips == 1,
+      "probeBitFlips must be 0 (exact-bucket) or 1 (1-bit-flip multi-probe)")
     val buckets = srpSignature(corpus, idCol, embCol, bits, dim)
     val n = withSqNorm(corpus, embCol).join(buckets, idCol)
     val q0 = n
@@ -306,7 +308,9 @@ object Similarity {
       k: Int,
       probeBitFlips: Int = 0,
       tables: Int = 1): DataFrame = {
-    require(probeBitFlips <= 1, "only 1-bit-flip multi-probe is implemented")
+    require(
+      probeBitFlips == 0 || probeBitFlips == 1,
+      "probeBitFlips must be 0 (exact-bucket) or 1 (1-bit-flip multi-probe)")
     require(tables >= 1 && tables <= 16, "tables must be in [1, 16]")
     val q8 = quantizeInt8(corpus, embCol, "__q8")
       .withColumn("__q8_sq", dotInt(col("__q8"), col("__q8")))

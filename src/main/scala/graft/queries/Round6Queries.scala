@@ -30,7 +30,9 @@ object Round6Queries {
     Similarity
       .srpAnnTopKInt8(
         Tables.embeddings(s, d).filter(col("vec_id") < 10),
-        Relational.spreadFewSplits(Tables.embeddings(s, d), "vec_id"),
+        // Tables.embeddings already spreads few-split inputs at the
+        // source; no per-query wrapper needed.
+        Tables.embeddings(s, d),
         "vec_id",
         "embedding",
         bits = 4,

@@ -36,11 +36,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *  - `option("path", file)` — the JSON-lines fixture "server"
   *    (line i belongs to page i mod pages).
-  *  - `option("url", http://…)` — LIVE HTTP mode: each partition runs
-  *    the reference's actual paging loop (etl.js:92-195,
-  *    helpers.js:41-88) against a JIRA-shaped search endpoint —
-  *    `GET url?startAt=S&maxResults=P&jql=…&fields=…` returning
-  *    `{"startAt","maxResults","total","issues":[…]}` — with partition
+  *  - `option("url", http://…)` — LIVE HTTP mode against a JIRA-shaped
+  *    search endpoint. Each request uses the reference's verb — a POST
+  *    with JSON body `{jql, maxResults, …}` (etl.js:97-114) — extended
+  *    with `startAt`/`fields` and paged per the standard JIRA search
+  *    API convention (the reference itself issues ONE un-paged POST;
+  *    paging is this engine's scale addition), falling back to
+  *    `GET url?startAt=S&maxResults=P&jql=…&fields=…` when the server
+  *    answers the POST with 404/405/501. Responses are
+  *    `{"startAt","maxResults","total","issues":[…]}`, with partition
   *    p owning global pages p, p+pages, p+2·pages… The rendered `jql`
   *    and `fields` params ARE sent (a conforming server saves the
   *    network I/O — the point of pushdown on a remote source), but the
@@ -85,9 +89,12 @@ class JiraSearchSource extends TableProvider {
       // Live-HTTP fail-fast: a zero-row probe request validates
       // connectivity AND credentials during table resolution (the
       // reference's upfront check), not minutes later in a task.
-      val probe = JiraSearchSource.httpGetJson(
+      val probe = JiraSearchSource.httpSearchJson(
         u,
-        "startAt=0&maxResults=0",
+        startAt = 0,
+        maxResults = 0,
+        jqlRaw = null,
+        fieldsCsv = null,
         properties.get("user"),
         properties.get("token"))
       require(
@@ -250,34 +257,90 @@ object JiraSearchSource {
     "Basic " + java.util.Base64.getEncoder.encodeToString(
       s"$user:$token".getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  /** One GET against the search endpoint; returns the parsed JSON root
-    * or throws with the HTTP status. JDK-only (`HttpURLConnection`) —
-    * no client library, nothing to init per row; one connection per
-    * page request, exactly the reference's transport granularity.
+  /** One HTTP request; returns (status, body text). JDK-only
+    * (`HttpURLConnection`) — no client library, nothing to init per
+    * row; one connection per page request, exactly the reference's
+    * transport granularity.
     */
-  private[sources] def httpGetJson(
-      url: String,
-      query: String,
+  private def httpRequest(
+      fullUrl: String,
+      method: String,
+      jsonBody: Option[String],
       user: String,
-      token: String): JsonNode = {
-    val sep = if (url.contains("?")) "&" else "?"
+      token: String): (Int, String) = {
     val conn = java.net.URI
-      .create(url + sep + query)
+      .create(fullUrl)
       .toURL
       .openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     try {
+      conn.setRequestMethod(method)
       conn.setConnectTimeout(10000)
       conn.setReadTimeout(30000)
       conn.setRequestProperty("Accept", "application/json")
       if (user != null && user.nonEmpty) {
         conn.setRequestProperty("Authorization", basicAuth(user, if (token == null) "" else token))
       }
+      jsonBody.foreach { b =>
+        conn.setRequestProperty("Content-Type", "application/json")
+        conn.setDoOutput(true)
+        val out = conn.getOutputStream
+        try out.write(b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
       val code = conn.getResponseCode
-      require(code == 200, s"jira endpoint returned HTTP $code for $url$sep$query")
-      val body = new String(conn.getInputStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      new ObjectMapper().readTree(body)
+      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body =
+        if (stream == null) ""
+        else new String(stream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      (code, body)
     } finally conn.disconnect()
+  }
+
+  /** One search-API call. PRIMARY form is the reference's verb: a POST
+    * with a JSON body carrying `jql` and `maxResults` (etl.js:97-114
+    * sends exactly `{jql, maxResults}`), extended with `startAt` and
+    * `fields` per the JIRA search API's POST body shape so pushdown
+    * and paging ride the same request. Servers that only implement the
+    * query-string convention (`GET ?startAt=…&maxResults=…`) answer
+    * the POST with 404/405/501, and the call falls back to that GET
+    * form — same parameters, same response contract. Any other
+    * non-200 (401 bad credentials above all) throws immediately with
+    * the status: a fallback there would just fail twice and mask the
+    * real error.
+    */
+  private[sources] def httpSearchJson(
+      url: String,
+      startAt: Long,
+      maxResults: Int,
+      jqlRaw: String,
+      fieldsCsv: String,
+      user: String,
+      token: String): JsonNode = {
+    val mapper = new ObjectMapper()
+    val body = mapper.createObjectNode()
+    body.put("startAt", startAt)
+    body.put("maxResults", maxResults)
+    if (jqlRaw != null && jqlRaw.nonEmpty) body.put("jql", jqlRaw): Unit
+    if (fieldsCsv != null && fieldsCsv.nonEmpty) {
+      val arr = body.putArray("fields")
+      fieldsCsv.split(',').foreach(arr.add)
+    }
+    val (pc, pb) = httpRequest(url, "POST", Some(mapper.writeValueAsString(body)), user, token)
+    if (pc == 200) mapper.readTree(pb)
+    else if (pc == 404 || pc == 405 || pc == 501) {
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      val query = s"startAt=$startAt&maxResults=$maxResults" +
+        (if (jqlRaw != null && jqlRaw.nonEmpty) s"&jql=${enc(jqlRaw)}" else "") +
+        (if (fieldsCsv != null && fieldsCsv.nonEmpty) s"&fields=${enc(fieldsCsv)}" else "")
+      val sep = if (url.contains("?")) "&" else "?"
+      val (gc, gb) = httpRequest(url + sep + query, "GET", None, user, token)
+      require(gc == 200, s"jira endpoint returned HTTP $gc for GET $url$sep$query")
+      mapper.readTree(gb)
+    } else {
+      throw new IllegalArgumentException(
+        s"requirement failed: jira endpoint returned HTTP $pc for POST $url")
+    }
   }
 
   /** JQL-ish rendering of the pushed predicates for plan display. */
@@ -442,10 +505,12 @@ private[sources] class JiraPartitionReader(
   override def close(): Unit = lines.close()
 }
 
-/** Live-HTTP page reader — the reference's startAt/maxResults loop
-  * (helpers.js:41-88) with partition p owning global pages
-  * p, p+pages, p+2·pages… Each fetch is
-  * `GET url?startAt=S&maxResults=P[&jql=…][&fields=…]`; the response's
+/** Live-HTTP page reader — a startAt/maxResults paging loop (the
+  * standard JIRA search API convention; the reference issues one
+  * un-paged POST, etl.js:97-114) with partition p owning global pages
+  * p, p+pages, p+2·pages… Each fetch POSTs
+  * `{jql, maxResults, startAt, fields}` (GET query-string fallback for
+  * servers without the POST route); the response's
   * `total` (or a short page when absent) ends the loop. Pushed
   * predicates are re-applied to every received issue — see the class
   * scaladoc for why the remote JQL evaluator is not trusted — and the
@@ -461,13 +526,8 @@ private[sources] class HttpJiraPartitionReader(
     limit: Int)
     extends PartitionReader[InternalRow] {
 
-  private val jqlParam = {
-    val jql = filters.map(JiraSearchSource.jql).mkString(" AND ")
-    if (jql.isEmpty) ""
-    else "&jql=" + java.net.URLEncoder.encode(jql, "UTF-8")
-  }
-  private val fieldsParam =
-    "&fields=" + java.net.URLEncoder.encode(required.fieldNames.mkString(","), "UTF-8")
+  private val jqlRaw = filters.map(JiraSearchSource.jql).mkString(" AND ")
+  private val fieldsCsv = required.fieldNames.mkString(",")
 
   private var pageIdx = page
   private var exhausted = false
@@ -477,9 +537,12 @@ private[sources] class HttpJiraPartitionReader(
 
   private def fetchNextPage(): Unit = {
     val startAt = pageIdx.toLong * endpoint.pageSize
-    val root = JiraSearchSource.httpGetJson(
+    val root = JiraSearchSource.httpSearchJson(
       endpoint.url,
-      s"startAt=$startAt&maxResults=${endpoint.pageSize}$jqlParam$fieldsParam",
+      startAt,
+      endpoint.pageSize,
+      jqlRaw,
+      fieldsCsv,
       endpoint.user,
       endpoint.token)
     val arr = root.get("issues")

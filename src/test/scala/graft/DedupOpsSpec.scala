@@ -63,29 +63,52 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(fp(4L).isEmpty && fp(5L).isEmpty)
   }
 
-  test("winnowing: linear per row under BOTH the simple and the multi-consumer plan shape") {
+  test("winnowing: linear in document length under BOTH plan shapes (environment-calibrated)") {
     import spark.implicits._
     // The quadratic regression this guards against only fired in the
     // multi-consumer plan (explode feeding an aggregation and a
     // self-join, q80's shape) — the optimizer inlined the hash-array
-    // alias into a per-window lambda there. 1000 docs x 600 chars:
-    // linear finishes in seconds; quadratic is O(minutes) (one sf0.1
-    // task burned 28 CPU-minutes before the slices+least rewrite).
-    val docs = (1L to 1000L)
-      .map(i => (i, (s"doc$i word$i common text here " * 25).take(600)))
-      .toDF("doc_id", "text")
-    val t0 = System.nanoTime()
-    val nSimple = Dedup
-      .winnowFingerprints(docs, "text", 5, 4, "fps")
-      .agg(sum(size(col("fps"))))
-      .collect()(0)
-      .getLong(0)
-    val nPairs = Dedup
-      .winnowCandidatePairs(docs, "doc_id", "text", k = 5, w = 4, maxDocFreq = 10)
-      .count()
-    val secs = (System.nanoTime() - t0) / 1e9
-    assert(nSimple > 0 && nPairs >= 0)
-    assert(secs < 90.0, s"winnowing took ${secs}s — hash array is being re-evaluated per window")
+    // alias into a per-window lambda, re-evaluating the FULL per-doc
+    // hash array per window: O(L²) per document instead of O(L) (one
+    // sf0.1 task burned 28 CPU-minutes before the slices+least
+    // rewrite). An absolute wall-clock threshold proved environment-
+    // sensitive (round 6: 102.9 s on a container whose disk, not CPU,
+    // was 4–7× slow — a red suite with a green plan). The calibrated
+    // form cancels machine speed by SCALING DOC LENGTH in the same
+    // JVM: linear plan → 600-char docs cost ≤ ~4× the 150-char docs;
+    // the O(L²) re-evaluation → 16× relative (and ~150× absolute),
+    // so a ratio bound of 10 keeps full power against the bug while
+    // ignoring how slow the iron is.
+    def timeBoth(len: Int): Double = {
+      val docs = (1L to 1000L)
+        .map(i => (i, (s"doc$i word$i common text here " * 25).take(len)))
+        .toDF("doc_id", "text")
+      val t0 = System.nanoTime()
+      val nSimple = Dedup
+        .winnowFingerprints(docs, "text", 5, 4, "fps")
+        .agg(sum(size(col("fps"))))
+        .collect()(0)
+        .getLong(0)
+      val nPairs = Dedup
+        .winnowCandidatePairs(docs, "doc_id", "text", k = 5, w = 4, maxDocFreq = 10)
+        .count()
+      GraftSession.releaseAllCaches(spark)
+      assert(nSimple > 0 && nPairs >= 0)
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeBoth(150) // untimed JIT/codegen warmup of both plan shapes
+    val long1 = timeBoth(600)
+    // Fast path: even a CONTENDED linear run stays under 45 s, while
+    // the quadratic plan is O(minutes) on any hardware (≥ ~150× the
+    // linear hash work, interpreted) — no calibration needed.
+    if (long1 >= 45.0) {
+      val short = math.min(timeBoth(150), timeBoth(150))
+      val long = math.min(long1, timeBoth(600))
+      assert(
+        long < short * 10.0 + 15.0,
+        s"winnowing 600-char docs took ${long}s vs ${short}s for 150-char — " +
+          "superlinear in doc length: hash array is being re-evaluated per window")
+    }
   }
 
   test("exact all-pairs baselines refuse input larger than maxRows") {

@@ -19,33 +19,50 @@ import org.scalatest.funsuite.AnyFunSuite
 class JiraHttpSourceSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  /** (startAt, maxResults, jql present?, auth header) per request. */
-  case class Req(startAt: Long, max: Int, jql: String, auth: String)
+  /** (method, startAt, maxResults, jql, auth header) per request. */
+  case class Req(method: String, startAt: Long, max: Int, jql: String, auth: String)
 
+  /** JIRA-shaped fixture: accepts the reference's POST-with-JSON-body
+    * form AND the query-string GET form; `getOnly` simulates a server
+    * without the POST route (405) to exercise the connector's
+    * fallback.
+    */
   private def withServer(
       rows: Seq[String],
-      requireAuth: Option[String] = None)(body: (String, () => Seq[Req]) => Unit): Unit = {
+      requireAuth: Option[String] = None,
+      getOnly: Boolean = false)(body: (String, () => Seq[Req]) => Unit): Unit = {
     val requests = new java.util.concurrent.ConcurrentLinkedQueue[Req]()
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext(
       "/search",
       new HttpHandler {
         override def handle(ex: HttpExchange): Unit = {
-          val params = Option(ex.getRequestURI.getRawQuery)
-            .getOrElse("")
-            .split('&')
-            .filter(_.contains("="))
-            .map { kv =>
-              val Array(k, v) = kv.split("=", 2)
-              k -> java.net.URLDecoder.decode(v, "UTF-8")
-            }
-            .toMap
+          val method = ex.getRequestMethod
+          val bodyText = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val params: Map[String, String] =
+            if (method == "POST" && bodyText.nonEmpty) {
+              val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bodyText)
+              Seq("startAt", "maxResults", "jql")
+                .flatMap(k => Option(node.get(k)).map(k -> _.asText()))
+                .toMap
+            } else
+              Option(ex.getRequestURI.getRawQuery)
+                .getOrElse("")
+                .split('&')
+                .filter(_.contains("="))
+                .map { kv =>
+                  val Array(k, v) = kv.split("=", 2)
+                  k -> java.net.URLDecoder.decode(v, "UTF-8")
+                }
+                .toMap
           val startAt = params.getOrElse("startAt", "0").toLong
           val max = params.getOrElse("maxResults", "50").toInt
           val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
-          requests.add(Req(startAt, max, params.getOrElse("jql", ""), auth))
+          requests.add(Req(method, startAt, max, params.getOrElse("jql", ""), auth))
           val (code, payload) = requireAuth match {
             case Some(expected) if auth != expected => (401, """{"error":"unauthorized"}""")
+            case _ if getOnly && method == "POST" =>
+              (405, """{"error":"method not allowed"}""")
             case _ =>
               val slice = rows.slice(startAt.toInt, startAt.toInt + max)
               (200,
@@ -136,6 +153,39 @@ class JiraHttpSourceSpec extends AnyFunSuite {
       // 5 fixture rows at 1 row/page: an un-pushed limit would fetch 5
       // pages; the pushed cap stops after 2 (+ the maxResults=0 probe)
       assert(reqs().count(_.max == 1) == 2, reqs())
+    }
+  }
+
+  test("reference verb: data fetches POST {jql,maxResults,startAt}; GET-only servers get the fallback") {
+    // Primary form — every search request is the reference's POST with
+    // the paging/pushdown parameters carried in the JSON body
+    // (etl.js:97-114), which the fixture parses from the body only.
+    withServer(JiraFixture.rawRows) { (url, reqs) =>
+      val rows = read(url)
+        .option("pageSize", "2")
+        .load()
+        .filter(col("key") === "F-3")
+        .select("key")
+        .collect()
+      assert(rows.map(_.getString(0)).toSet == Set("F-3"))
+      val data = reqs().filter(_.max == 2)
+      assert(data.nonEmpty)
+      data.foreach { r =>
+        assert(r.method == "POST", r)
+        assert(r.jql.contains("key = 'F-3'"), r)
+      }
+      assert(data.map(_.startAt).contains(0L), data)
+    }
+    // Fallback — a query-string-only server 405s the POST; the
+    // connector retries the same parameters as GET and the scan still
+    // returns every row.
+    withServer(JiraFixture.rawRows, getOnly = true) { (url, reqs) =>
+      val n = read(url).option("pageSize", "2").load().count()
+      assert(n == JiraFixture.rawRows.size)
+      val data = reqs().filter(_.max == 2)
+      assert(data.exists(_.method == "POST"), data) // tried the verb first
+      val gets = data.filter(_.method == "GET")
+      assert(gets.map(_.startAt).sorted == Seq(0L, 2L, 4L), data)
     }
   }
 

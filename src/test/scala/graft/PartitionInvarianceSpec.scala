@@ -70,6 +70,29 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       emb)
   }
 
+  test("multi-table int8 ANN (q102 shape) is partitioning-invariant") {
+    // The union-dedup across hash tables and the per-query rank are
+    // the two surfaces where partitioning could leak (union order,
+    // tie-break order) — pin bit-identical results under adversarial
+    // repartitioning at the q102 parameters.
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    invariant(
+      e => Similarity.srpAnnTopKInt8(
+        e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+        bits = 4, dim = 64, k = 3, probeBitFlips = 1, tables = 2),
+      emb)
+  }
+
+  test("groupedDiscreteQuantiles is invariant to input partitioning and its own numPartitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 500).map(i => (i % 7, rnd.nextInt(1000))).toDF("g", "v")
+    val ps = Seq(0.25, 0.5, 0.9)
+    val a = rows(Relational.groupedDiscreteQuantiles(df.repartition(1), "g", "v", ps, numPartitions = 3))
+    val b = rows(Relational.groupedDiscreteQuantiles(df.repartition(11, col("g")), "g", "v", ps, numPartitions = 17))
+    assert(a == b)
+  }
+
   test("bloom prefilter keeps an identical row set under repartitioning") {
     import spark.implicits._
     val big = (1L to 500L).map(i => (i, i * 2)).toDF("k", "v")

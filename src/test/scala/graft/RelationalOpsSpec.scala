@@ -147,4 +147,38 @@ class RelationalOpsSpec extends AnyFunSuite {
       Seq.empty[(Long, String)].toDF("k", "v"), "k", numPartitions = 4)
     assert(empty.count() == 0)
   }
+
+  test("groupedDiscreteQuantiles: maxGroups guard trips on high-cardinality keys") {
+    import spark.implicits._
+    // 50 distinct groups against maxGroups=10: the operator's driver
+    // bookkeeping is O(P·G), so a high-cardinality key must be
+    // rejected loudly (the plain-agg formulation is the right tool
+    // there), not absorbed into driver memory.
+    val df = (1L to 200L).map(i => (i % 50, i)).toDF("g", "v")
+    val e = intercept[Exception] {
+      Relational
+        .groupedDiscreteQuantiles(df, "g", "v", Seq(0.5), numPartitions = 4, maxGroups = 10)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxGroups"), e.getMessage)
+    // The same shape under the default bound still computes.
+    val ok = Relational
+      .groupedDiscreteQuantiles(df, "g", "v", Seq(0.5), numPartitions = 4)
+    assert(ok.count() == 50)
+  }
+
+  test("groupedDiscreteQuantiles: null value column is rejected (cross-engine rank order)") {
+    import spark.implicits._
+    // Spark ranks nulls FIRST, SQL oracles default NULLS LAST — a null
+    // in the value column would shift per-group ranks differently per
+    // engine, so the operator refuses it instead of picking a side.
+    val df = Seq(("a", Some(1L)), ("a", None), ("b", Some(2L)))
+      .toDF("g", "v")
+    val e = intercept[Exception] {
+      Relational
+        .groupedDiscreteQuantiles(df, "g", "v", Seq(0.5), numPartitions = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("null in value column"), e.getMessage)
+  }
 }
