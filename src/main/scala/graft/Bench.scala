@@ -114,12 +114,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     def run(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.toRdd.count()
+    // Cache sweep + FORCED GC between timed regions. The GC matters as
+    // much as the sweep: shuffle files are deleted by ContextCleaner
+    // only after their ShuffleDependency is garbage-collected, and a
+    // 48 g heap goes many queries between natural GCs — so without
+    // this, every prior query's shuffle files keep draining onto a
+    // ~15 MB/s-writeback disk inside later timed regions. Measured on
+    // this container class: q79 reps 3.1→17.5→244 s without the GC;
+    // whole trailing groups poisoned (q33 at 213× its ledger line).
+    def sweep(): Unit = {
+      GraftSession.releaseAllCaches(spark)
+      System.gc()
+      Thread.sleep(300)
+    }
     val selected = wanted.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
     // Untimed warmup: JIT + codegen cache + parquet footer/page cache,
     // otherwise it all lands on each query's rep1.
     selected.foreach { case (_, fn) =>
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-      GraftSession.releaseAllCaches(spark)
+      sweep()
     }
     quiesce()
     selected.foreach { case (name, fn) =>
@@ -127,17 +140,20 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
-        GraftSession.releaseAllCaches(spark)
-        // Pay THIS rep's writeback debt before the next rep's timed
-        // region — without this, rep1's shuffle spill drains inside
-        // rep2 (observed: 3.2 s → 80 s on identical code+data).
-        quiesce()
+        sweep()
         if (ok) dt else -1.0
       }
       // Append-per-query so a later hang/kill loses only the in-flight
       // query; the parent salvages every line already written.
       Files.writeString(out, name + "\t" + times.map(t => f"$t%.4f").mkString("\t") + "\n",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      // Pay this query's writeback debt now: rep1 of the NEXT query
+      // then runs against a clean filesystem, and min-of-reps (≈ that
+      // post-sync rep) reports the clean-state cost. Sync per REP was
+      // measured at ~30 s/call on this disk — 3× the sync volume for
+      // no gain over min-of-reps, and it pushed the 103-query suite
+      // past a 2 h wall.
+      quiesce()
     }
     spark.stop()
     // Local-mode Spark leaves non-daemon threads; don't let them wedge the parent.
@@ -239,7 +255,7 @@ object Bench {
     }.mkString(",\n")
     Files.writeString(Paths.get("bench_detail.json"),
       s"""{
-"config": {"sf": "$sfDir", "cpus": $cpus, "reps": $reps, "group_size": $groupSize, "protocol": "fork-per-group JVM, warmup pass, sync between queries, median of reps", "calib_md5_3e6_sec": ${fmt(calib)}},
+"config": {"sf": "$sfDir", "cpus": $cpus, "reps": $reps, "group_size": $groupSize, "protocol": "fork-per-group JVM, warmup pass, forced GC + sync between timed regions, min of reps", "calib_md5_3e6_sec": ${fmt(calib)}},
 "queries": {
 $detail
 }

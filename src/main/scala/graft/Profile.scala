@@ -37,6 +37,9 @@ object Profile {
           val n = fn(spark, sfDir).queryExecution.toRdd.count()
           val dt = (System.nanoTime() - t0) / 1e9
           GraftSession.releaseAllCaches(spark)
+          // Same forced-GC rationale as Bench.sweep: let ContextCleaner
+          // delete this rep's shuffle files before the next timed rep.
+          System.gc()
           println(f"[profile] $name rep$i: $dt%.3f s ($n rows)")
         }
       }

@@ -516,4 +516,46 @@ object Dedup {
     val finalRdd = labelsRdd
     (labels, () => finalRdd.unpersist(blocking = false))
   }
+
+  /** Canonical KEEP-LIST from near-duplicate pairs — the step that
+    * turns pairwise dedup output into the per-document action a
+    * pipeline actually executes (keep, or drop as a duplicate of a
+    * canonical). [[connectedComponents]] over the undirected pair list
+    * clusters transitive duplicates; each cluster keeps its min-id
+    * member (the component label itself, by min-label construction),
+    * and every corpus id absent from the pairs keeps itself as a
+    * singleton.
+    *
+    * Scale shape: CC is O(diameter) bucketed join+agg rounds over the
+    * EDGES (a vanishing fraction of the corpus); the labeling is one
+    * left join of the corpus against the (small) component map — Spark
+    * broadcasts it when it fits — plus one count aggregation on the
+    * canonical id for cluster sizes. No all-pairs step, no driver-side
+    * data.
+    *
+    * @param corpus frame holding one row per document
+    * @param idCol  integral unique id column in `corpus`
+    * @param pairs  two-column frame of near-dup pairs over those ids
+    *               (any column names; each undirected pair once)
+    * @return (idCol, canonical_id, cluster_size, keep) — one row per
+    *         corpus row; `keep` ⇔ the row IS its cluster's canonical
+    */
+  def keepList(corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val labeled = corpus
+      .select(col(idCol).cast("long").as(idCol))
+      .join(comps.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .withColumn("canonical_id", coalesce(col("component"), col(idCol)))
+      .drop("component")
+    val sizes = labeled
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled
+      .join(sizes, Seq("canonical_id"))
+      .select(
+        col(idCol),
+        col("canonical_id"),
+        col("cluster_size"),
+        (col(idCol) === col("canonical_id")).as("keep"))
+  }
 }

@@ -111,6 +111,28 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("keepList: clusters keep min-id canonical, singletons keep themselves") {
+    import spark.implicits._
+    val corpus = (1L to 6L).toDF("id")
+    // {1,2,3} chained transitively, {5,6} direct, 4 untouched.
+    val prs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val out = Dedup
+      .keepList(corpus, "id", prs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out == Map(
+      1L -> ((1L, 3L, true)),
+      2L -> ((1L, 3L, false)),
+      3L -> ((1L, 3L, false)),
+      4L -> ((4L, 1L, true)),
+      5L -> ((5L, 2L, true)),
+      6L -> ((5L, 2L, false))))
+    // Empty pair list: everything is a kept singleton.
+    val all = Dedup.keepList(corpus, "id", prs.filter(col("a") < 0)).collect()
+    assert(all.length == 6 && all.forall(r => r.getBoolean(3) && r.getLong(2) == 1L))
+  }
+
   test("exact all-pairs baselines refuse input larger than maxRows") {
     import spark.implicits._
     val sh = (1L to 30L).map(i => i -> i).toDF("doc_id", "simhash")

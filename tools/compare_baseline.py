@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Grade a BENCH_r{N}.json (or a raw Bench stdout JSON line) against
+BASELINE.md's per-query ledger.
+
+Usage: python3 tools/compare_baseline.py BENCH_r07.json [--threshold=2.0]
+
+Prints per-query ratio vs baseline (sorted worst-first), the total, and
+a summary of lines over the threshold. Queries absent from the ledger
+(added after round 5) are listed separately. Exit code 0 always — this
+is a report, not a gate; the known-weak carve-outs in BASELINE.md need
+human judgment.
+"""
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def load_baseline():
+    text = (REPO / "BASELINE.md").read_text()
+    base = {}
+    # Ledger rows look like: | q01 | 1.158 | | q35 | 0.463 | | q69 | 0.214 |
+    for m in re.finditer(r"\|\s*(q\d+)\s*\|\s*([0-9.]+)\s*", text):
+        base[m.group(1)] = float(m.group(2))
+    return base
+
+
+def load_bench(path):
+    raw = Path(path).read_text()
+    # Accept either the driver's wrapper ({"parsed": {...}}) or the raw line.
+    data = json.loads(raw)
+    if "parsed" in data:
+        data = data["parsed"]
+    return data
+
+
+def main():
+    bench_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_r07.json"
+    threshold = 2.0
+    for a in sys.argv[2:]:
+        if a.startswith("--threshold="):
+            threshold = float(a.split("=", 1)[1])
+    base = load_baseline()
+    bench = load_bench(bench_path)
+    queries = bench["queries"]
+
+    rows, new = [], []
+    for q, sec in queries.items():
+        if sec < 0:
+            rows.append((float("inf"), q, sec, base.get(q)))
+        elif q in base:
+            rows.append((sec / base[q], q, sec, base[q]))
+        else:
+            new.append((q, sec))
+
+    rows.sort(reverse=True)
+    over = [r for r in rows if r[0] > threshold]
+    print(f"bench: {bench_path}  total={bench.get('value')}s  "
+          f"calib_md5={bench.get('calib_md5', 'n/a')}  stat={bench.get('stat', 'median')}")
+    print(f"baseline total: {sum(base.values()):.1f}s over {len(base)} queries")
+    print(f"\n{len(over)} / {len(rows)} ledger queries over {threshold}x baseline:")
+    for ratio, q, sec, b in over:
+        print(f"  {q:6s} {sec:8.3f}s vs {b:6.3f}s  = {ratio:5.1f}x")
+    ok = [r for r in rows if r[0] <= threshold]
+    if ok:
+        worst_ok = max(ok)
+        print(f"\nwithin threshold: {len(ok)} (worst {worst_ok[1]} at {worst_ok[0]:.2f}x)")
+    if new:
+        print("\nnot in ledger (post-r5 queries):")
+        for q, sec in sorted(new):
+            print(f"  {q:6s} {sec:8.3f}s")
+    common_total = sum(sec for _, q, sec, b in [(r[0], r[1], r[2], r[3]) for r in rows] if b)
+    base_total = sum(b for _, q, sec, b in rows if b)
+    if base_total:
+        print(f"\nledger-common total: {common_total:.1f}s vs {base_total:.1f}s "
+              f"= {common_total / base_total:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
