@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Relational, Similarity}
+
+/** Scaling-slope harness for the corpus-wide dedup/CC/ANN operators:
+  * `runMain graft.ScaleCheck --docs=500` vs `--docs=5000` times the
+  * UNSLICED operator compositions over the first N documents (and N
+  * embeddings) of `--sf-dir`, so the measured growth is 10× genuinely
+  * DISTINCT documents from the same generator — unlike the gate
+  * queries, whose fixed `doc_id < 1000` slices pin the working set,
+  * and unlike `tools/make_scale.py` replicas, whose REPEATED text
+  * payloads make every replica a true near-duplicate of its siblings
+  * and so inflate the pair space quadratically (real work, but a
+  * duplicate-blowup stress test rather than a corpus-growth slope).
+  *
+  * Workloads (each timed like Profile/Bench — full materialization,
+  * cache sweep + forced GC between reps):
+  *  - `minhash_pairs`: shingle→h32→MinHash(12)→LSH(12,3 bands)→
+  *    hashed exact-Jaccard verify ≥ 0.6 (q20's stages, unsliced)
+  *  - `components`: connected components over those verified pairs
+  *    (q51's stage, real edge distribution)
+  *  - `keeplist`: the full q97/q104-shape ending — pairs → components
+  *    → per-document keep verdict
+  *  - `ann_topk`: SRP-LSH ANN, 20 fixed queries over the N-vector
+  *    corpus (q25's parameters — corpus grows, query set does not)
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val cfg = Config(args)
+    val sfDir = cfg.get("sf-dir", "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = cfg.get("cpus", "SPARK_GRAFT_CPUS", "32").toInt
+    val reps = cfg.get("reps", "SPARK_GRAFT_REPS", "2").toInt
+    val nDocs = cfg.get("docs", "SPARK_GRAFT_SCALE_DOCS", "0").toLong // 0 = all
+    val only = cfg.get("only", "SPARK_GRAFT_SCALE_ONLY", "").split(',').filter(_.nonEmpty).toSet
+    val spark = GraftSession.local(cpus, appName = "graft-scalecheck")
+    spark.sparkContext.setLogLevel("WARN")
+
+    def bound(df: DataFrame, idCol: String): DataFrame =
+      if (nDocs > 0) df.filter(col(idCol) < nDocs) else df
+
+    val docs = bound(Tables.documents(spark, sfDir), "doc_id")
+      .select(col("doc_id"), col("text"))
+    val emb = bound(Tables.embeddings(spark, sfDir), "vec_id")
+      .select(col("vec_id"), col("embedding"))
+
+    def shingled: DataFrame = Relational
+      .spreadFewSplits(docs, "doc_id")
+      .select(
+        col("doc_id"),
+        array_distinct(
+          transform(Dedup.charShingles(col("text"), 5), t => graft.functions.Hashing.h32(t)))
+          .as("hs"))
+
+    def verifiedPairs: DataFrame = {
+      val sh = shingled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = Dedup.minHashSignatureFromHashes(sh, "doc_id", "hs", 12).drop("hs")
+      Dedup
+        .lshCandidates(sig, "doc_id", 12, 3)
+        .join(sh.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), "id_b")
+        .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.6)
+        .select(col("id_a"), col("id_b"))
+    }
+
+    val workloads: Seq[(String, () => DataFrame)] = Seq(
+      "minhash_pairs" -> (() => verifiedPairs),
+      "components" -> (() => Dedup.connectedComponents(verifiedPairs)),
+      "keeplist" -> (() => Dedup.keepList(docs, "doc_id", verifiedPairs)),
+      "ann_topk" -> (() =>
+        Similarity.srpAnnTopK(
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 8, 64, 3))
+    )
+
+    // Same inter-region protocol as Bench: sweep caches, force a GC so
+    // ContextCleaner can delete the previous region's shuffle files,
+    // and `sync` so their writeback debt is paid OUTSIDE the next
+    // timed region (without it, reps degraded 17→91 s on identical
+    // code+data on the slow-writeback container class).
+    def quiesce(): Unit = {
+      GraftSession.releaseAllCaches(spark)
+      System.gc()
+      try { new ProcessBuilder("sync").inheritIO().start().waitFor(): Unit }
+      catch { case _: Throwable => () }
+      Thread.sleep(300)
+    }
+    workloads.filter { case (name, _) => only.isEmpty || only(name) }.foreach { case (name, mk) =>
+      // Untimed warmup (JIT + codegen + parquet footers) so rep1 isn't
+      // a compiler benchmark; min-of-reps is the headline statistic.
+      try { mk().queryExecution.toRdd.count(): Unit }
+      catch { case _: Throwable => () }
+      quiesce()
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = mk().queryExecution.toRdd.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        quiesce()
+        println(f"[scale] $name docs=$nDocs rep$i: $dt%.3f s ($n rows)")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -419,12 +419,17 @@ object Dedup {
     * canonical document per group. Component id = min node id in the
     * component.
     *
-    * Algorithm: iterative min-label propagation. Labels are seeded at
-    * `min(self, neighbors)` (one aggregation — already the fixpoint for
-    * star components, the overwhelmingly common near-dup shape), then
-    * each round every node takes the minimum label among itself and its
-    * neighbors until fixpoint, reached in O(diameter) rounds. Each
-    * round is one shuffle-join plus one aggregation — no driver-side
+    * Algorithm: iterative min-label propagation WITH pointer jumping.
+    * Labels are seeded at `min(self, neighbors)` (one aggregation —
+    * already the fixpoint for star components, the overwhelmingly
+    * common near-dup shape), then each round every node takes the
+    * minimum label among itself, its neighbors, and its LABEL's label
+    * (the pointer jump — labels are always same-component node ids, so
+    * chasing them is sound and halves the remaining propagation
+    * distance per round). Fixpoint is reached in O(log diameter)
+    * rounds; neighbor-only propagation needs O(diameter), which a
+    * chain-shaped duplicate cluster grows with corpus size. Each
+    * round is two shuffle-joins plus one aggregation — no driver-side
     * graph, no collect — and each round's label frame is materialized
     * as a persisted row RDD rewrapped in a fresh frame, so the Catalyst
     * plan (and analysis cost) stays constant across rounds while the
@@ -465,11 +470,23 @@ object Dedup {
     // Undirected: propagate both ways (self-loops fall out of least()).
     val ud = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .persist()
+    // Fully materialize the persisted edge cache BEFORE anything else
+    // reads it. An `isEmpty` here (take(1)) caches only the partitions
+    // its one-partition job computes, so the seed aggregation below
+    // would RE-RUN the entire upstream edge pipeline for the rest —
+    // and the edges handed to this operator are typically the most
+    // expensive frame in the job (LSH candidates + exact-Jaccard
+    // verify). Measured at 5 k docs: the one-round CC loop took 2–7 s
+    // while the call spent 60+ s re-evaluating the pairs pipeline
+    // behind the partial cache. `count()` costs one full evaluation —
+    // work the seed needs anyway — and makes every later read a cache
+    // hit.
+    val udRows = ud.count()
     // Empty edge set (no candidate pairs survived upstream thresholds —
     // a legitimate production input): no nodes, empty result. Without
     // the short-circuit the label-sum aggregate below returns SQL NULL
     // and the convergence compare would NPE.
-    if (ud.isEmpty) {
+    if (udRows == 0L) {
       ud.unpersist()
       return (ud.select(col("src").as("node"), col("src").as("component")), () => ())
     }
@@ -485,6 +502,10 @@ object Dedup {
       val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
+    // Env-gated per-round diagnostics (driver-side, once per round):
+    // round wall-clock and label sum, for attributing CC cost between
+    // round COUNT (algorithmic) and per-round fixed job overhead.
+    val ccLog = sys.env.contains("GRAFT_CC_LOG")
     var (labels, labelsRdd) = materialize(
       ud.groupBy(col("src").as("node"))
         .agg(min(least(col("src"), col("dst"))).as("component")))
@@ -492,12 +513,37 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      val roundT0 = System.nanoTime()
       val viaNeighbor = ud
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("component"))
+      // Pointer jump: also offer every node its LABEL's label.
+      // Neighbor propagation alone moves the min one hop per round —
+      // O(diameter) rounds, i.e. one full Spark job per hop, and a
+      // chain-shaped duplicate cluster (A≈B≈C≈… with no A≈C edge, the
+      // shape drifting boilerplate produces) makes diameter grow with
+      // corpus size. Labels are always ids of same-component nodes, so
+      // label-of-label is a valid (smaller-or-equal) candidate too,
+      // and chasing it halves the remaining distance per round —
+      // O(log diameter) rounds (ConnCompSpec: a 200-edge path
+      // converges inside the default 20-round budget, where neighbor-
+      // only propagation needed one round per hop). Real near-dup
+      // graphs are star-shaped and already fixpointed by the seed;
+      // the jump costs one extra tiny-frame join on the one certify
+      // round and removes the diameter cliff entirely.
+      // The fixpoint test below still certifies full convergence: an
+      // unchanged sum means the NEIGHBOR step alone found no
+      // improvement, which is exactly the original operator's
+      // component-min fixpoint.
+      val viaJump = labels
+        .join(
+          labels.select(col("node").as("component"), col("component").as("jump")),
+          Seq("component"))
+        .select(col("node"), col("jump").as("component"))
       val (next, nextRdd) = materialize(
         labels
           .unionByName(viaNeighbor)
+          .unionByName(viaJump)
           .groupBy("node")
           .agg(min(col("component")).as("component")))
       val nextSum = labelSum(next)
@@ -507,12 +553,14 @@ object Dedup {
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
+      if (ccLog)
+        println(f"[cc] round $iter: ${(System.nanoTime() - roundT0) / 1e9}%.2f s sum=$nextSum converged=$converged")
     }
     ud.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds — " +
-          "a component has diameter > maxIter; raise maxIter (rounds needed ≈ graph diameter)")
+          "raise maxIter (with pointer jumping, rounds needed ≈ log2 of the largest component's diameter)")
     val finalRdd = labelsRdd
     (labels, () => finalRdd.unpersist(blocking = false))
   }

@@ -54,19 +54,23 @@ class ConnCompSpec extends AnyFunSuite {
 
   test("non-convergence at maxIter throws instead of returning wrong labels") {
     import spark.implicits._
-    // Path graph 0—1—…—25: diameter 25 > default maxIter 20.
-    val path = (0L until 25L).map(i => (i, i + 1))
+    // Path graph 0—1—…—200: with pointer jumping the propagated
+    // distance roughly doubles per round, so 2 rounds cover far less
+    // than diameter 200 — the guard must throw rather than return
+    // partially-propagated labels.
+    val path = (0L until 200L).map(i => (i, i + 1))
     val ex = intercept[IllegalStateException] {
-      Dedup.connectedComponents(path.toDF("a", "b"), maxIter = 10).collect()
+      Dedup.connectedComponents(path.toDF("a", "b"), maxIter = 2).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
-    // With enough rounds the same graph converges to component 0.
+    // With enough rounds (O(log 200) ≈ 8) the same graph converges to
+    // component 0 well inside the default budget.
     val m = Dedup
-      .connectedComponents(path.toDF("a", "b"), maxIter = 40)
+      .connectedComponents(path.toDF("a", "b"), maxIter = 20)
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
-    assert(m.size == 26 && m.values.forall(_ == 0L))
+    assert(m.size == 201 && m.values.forall(_ == 0L))
   }
 
   test("releasable variant: labels stay correct and release drops the backing blocks") {
