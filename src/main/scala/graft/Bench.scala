@@ -145,7 +145,11 @@ object Bench {
       }
       // Append-per-query so a later hang/kill loses only the in-flight
       // query; the parent salvages every line already written.
-      Files.writeString(out, name + "\t" + times.map(t => f"$t%.4f").mkString("\t") + "\n",
+      // Locale.ROOT: the parent parses with toDouble, and a
+      // comma-decimal default locale would break the round trip.
+      Files.writeString(out,
+        name + "\t" + times.map(t => String.format(java.util.Locale.ROOT, "%.4f", Double.box(t)))
+          .mkString("\t") + "\n",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       // Pay this query's writeback debt now: rep1 of the NEXT query
       // then runs against a clean filesystem, and min-of-reps (≈ that
@@ -212,13 +216,16 @@ object Bench {
       quiesce()
       results ++= runGroup(g, s"g$i")
     }
-    // One retry pass, fresh JVM, for anything a child lost to a hang or
-    // crash — only the missing queries, not whole groups.
+    // One retry pass, fresh JVM PER QUERY, for anything a child lost to
+    // a hang or crash. Singleton groups on retry: a deterministically-
+    // hanging query would otherwise take its whole retry group down
+    // with it, reporting healthy queries as failed just for sharing a
+    // child with the hang.
     val missing = names.filterNot(results.contains)
     if (missing.nonEmpty) {
       quiesce()
-      missing.grouped(groupSize).zipWithIndex.foreach { case (g, i) =>
-        results ++= runGroup(g, s"retry$i")
+      missing.zipWithIndex.foreach { case (q, i) =>
+        results ++= runGroup(Seq(q), s"retry$i")
       }
     }
 
@@ -238,12 +245,17 @@ object Bench {
       val ok = ts.filter(_ >= 0)
       n -> (if (ok.nonEmpty) ok.min else -1.0)
     }
+    // Failed queries stay in the map as -1 (visible per-query) and are
+    // listed in the JSON's `failed` field; `total` covers succeeded
+    // queries only, so the failure is loud rather than silently making
+    // the total smaller (and the run look faster) than a clean one.
+    val failed = headline.collect { case (n, t) if t < 0 => n }
     val total = headline.collect { case (_, t) if t >= 0 => t }.sum
 
     // Full-detail sidecar for the judge: every rep, min/median/mean/stdev
     // per query, plus the calibration constant and run config. The stdout
     // line stays compact (driver tail window is ~2 KiB).
-    def fmt(v: Double) = f"$v%.4f"
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val detail = perQuery.map { case (n, ts) =>
       val ok = ts.filter(_ >= 0)
       val (mn, md, mean) =
@@ -262,9 +274,11 @@ $detail
 }
 """)
 
-    def ms(v: Double): String = f"$v%.3f"
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = headline.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","calib_md5":${ms(calib)},"reps":$reps,"stat":"min"}""")
+    val failedJson =
+      if (failed.isEmpty) "" else failed.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","calib_md5":${ms(calib)},"reps":$reps,"stat":"min"$failedJson}""")
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Relational, Similarity}
+import graft.operators.{Dedup, Similarity}
 
 /** Scaling-slope harness for the corpus-wide dedup/CC/ANN operators:
   * `runMain graft.ScaleCheck --docs=500` vs `--docs=5000` times the
@@ -45,8 +45,9 @@ object ScaleCheck {
     val emb = bound(Tables.embeddings(spark, sfDir), "vec_id")
       .select(col("vec_id"), col("embedding"))
 
-    def shingled: DataFrame = Relational
-      .spreadFewSplits(docs, "doc_id")
+    // Tables.documents already applies spreadFewSplits at the source —
+    // no per-workload wrapper needed.
+    def shingled: DataFrame = docs
       .select(
         col("doc_id"),
         array_distinct(

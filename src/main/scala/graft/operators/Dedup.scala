@@ -228,17 +228,6 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: adds columns mh0..mh{k-1}, where
-    * `mh_j = min over shingles s of (a_j·h32(s) + b_j) mod P`. Each
-    * shingle is md5-hashed ONCE; the k family members are cheap affine
-    * transforms of that base hash (k× fewer md5 evaluations — the
-    * dominant cost at scale). Pure per-row array math — no shuffle, no
-    * UDF. `df` must already carry the shingle array under
-    * `shinglesCol` (kept in the output for downstream exact-Jaccard
-    * verification). The base-hash projection is a separate select so
-    * Catalyst's CollapseProject (which never duplicates non-cheap
-    * aliases) keeps the md5 pass single.
-    */
   /** [[minHashSignature]] over PRE-hashed shingles: `hashesCol` already
     * holds the h32 values, so the signature is k cheap affine folds with
     * no md5 at all. The pre-hashed form is what a verify-join pipeline
@@ -259,6 +248,17 @@ object Dedup {
         (0 until k).map(j =>
           array_min(transform(col(hashesCol), h => affine(h, j))).as(s"mh$j")): _*)
 
+  /** MinHash signature: adds columns mh0..mh{k-1}, where
+    * `mh_j = min over shingles s of (a_j·h32(s) + b_j) mod P`. Each
+    * shingle is md5-hashed ONCE; the k family members are cheap affine
+    * transforms of that base hash (k× fewer md5 evaluations — the
+    * dominant cost at scale). Pure per-row array math — no shuffle, no
+    * UDF. `df` must already carry the shingle array under
+    * `shinglesCol` (kept in the output for downstream exact-Jaccard
+    * verification). The base-hash projection is a separate select so
+    * Catalyst's CollapseProject (which never duplicates non-cheap
+    * aliases) keeps the md5 pass single.
+    */
   def minHashSignature(df: DataFrame, idCol: String, shinglesCol: String, k: Int): DataFrame =
     df.select(
       col(idCol),

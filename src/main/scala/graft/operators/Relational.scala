@@ -470,7 +470,7 @@ object Relational {
     // a null would silently shift every per-group rank — the caller
     // must filter or impute nulls, choosing a policy, before asking
     // for order statistics.
-    val counts: Array[(Int, Any, Long)] = sorted
+    val countsRdd = sorted
       .mapPartitionsWithIndex { case (i, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
         it.foreach { r =>
@@ -482,7 +482,19 @@ object Relational {
         }
         m.iterator.map { case (g, c) => (i, g, c) }.toList.iterator
       }
-      .collect()
+    // Distributed pre-collect guard: the driver is about to receive one
+    // tuple per (partition, group). Counting them executor-side first
+    // means a high-cardinality key trips the require BEFORE the
+    // allocation it warns about, not after the driver has already
+    // OOMed materializing it. Both this count and the collect below
+    // are run-length scans of the cached sort — cheap.
+    val collectedTuples = countsRdd.count()
+    require(
+      collectedTuples <= maxGroups * numPartitions.toLong,
+      s"groupedDiscreteQuantiles: $collectedTuples (partition, group) count tuples exceeds the " +
+        s"O(partitions x maxGroups) = ${maxGroups * numPartitions.toLong} driver budget — " +
+        "use a plain groupBy aggregation for high-cardinality keys")
+    val counts: Array[(Int, Any, Long)] = countsRdd.collect()
     // Driver-memory guard, enforced on OBSERVED cardinality: the
     // bookkeeping below is O(P·G) on the driver, which is the designed
     // trade for LOW-cardinality group keys. A high-cardinality key

@@ -309,6 +309,14 @@ object JiraSearchSource {
     * the status: a fallback there would just fail twice and mask the
     * real error.
     */
+  /** Per-JVM memo of endpoints that rejected the POST form: a GET-only
+    * server would otherwise pay a failed POST round trip on EVERY page
+    * of the scan (the paging loop calls this once per page). Each
+    * executor JVM learns the verb once; keyed by endpoint url.
+    */
+  private val getOnlyEndpoints =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[sources] def httpSearchJson(
       url: String,
       startAt: Long,
@@ -318,6 +326,17 @@ object JiraSearchSource {
       user: String,
       token: String): JsonNode = {
     val mapper = new ObjectMapper()
+    def getForm(): JsonNode = {
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      val query = s"startAt=$startAt&maxResults=$maxResults" +
+        (if (jqlRaw != null && jqlRaw.nonEmpty) s"&jql=${enc(jqlRaw)}" else "") +
+        (if (fieldsCsv != null && fieldsCsv.nonEmpty) s"&fields=${enc(fieldsCsv)}" else "")
+      val sep = if (url.contains("?")) "&" else "?"
+      val (gc, gb) = httpRequest(url + sep + query, "GET", None, user, token)
+      require(gc == 200, s"jira endpoint returned HTTP $gc for GET $url$sep$query")
+      mapper.readTree(gb)
+    }
+    if (getOnlyEndpoints.contains(url)) return getForm()
     val body = mapper.createObjectNode()
     body.put("startAt", startAt)
     body.put("maxResults", maxResults)
@@ -329,14 +348,8 @@ object JiraSearchSource {
     val (pc, pb) = httpRequest(url, "POST", Some(mapper.writeValueAsString(body)), user, token)
     if (pc == 200) mapper.readTree(pb)
     else if (pc == 404 || pc == 405 || pc == 501) {
-      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-      val query = s"startAt=$startAt&maxResults=$maxResults" +
-        (if (jqlRaw != null && jqlRaw.nonEmpty) s"&jql=${enc(jqlRaw)}" else "") +
-        (if (fieldsCsv != null && fieldsCsv.nonEmpty) s"&fields=${enc(fieldsCsv)}" else "")
-      val sep = if (url.contains("?")) "&" else "?"
-      val (gc, gb) = httpRequest(url + sep + query, "GET", None, user, token)
-      require(gc == 200, s"jira endpoint returned HTTP $gc for GET $url$sep$query")
-      mapper.readTree(gb)
+      getOnlyEndpoints.add(url)
+      getForm()
     } else {
       throw new IllegalArgumentException(
         s"requirement failed: jira endpoint returned HTTP $pc for POST $url")

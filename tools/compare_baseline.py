@@ -62,7 +62,9 @@ def main():
     print(f"baseline total: {sum(base.values()):.1f}s over {len(base)} queries")
     print(f"\n{len(over)} / {len(rows)} ledger queries over {threshold}x baseline:")
     for ratio, q, sec, b in over:
-        print(f"  {q:6s} {sec:8.3f}s vs {b:6.3f}s  = {ratio:5.1f}x")
+        bs = f"{b:6.3f}s" if b is not None else "  (not in ledger)"
+        rs = f"{ratio:5.1f}x" if ratio != float("inf") else " FAILED"
+        print(f"  {q:6s} {sec:8.3f}s vs {bs}  = {rs}")
     ok = [r for r in rows if r[0] <= threshold]
     if ok:
         worst_ok = max(ok)
@@ -71,8 +73,12 @@ def main():
         print("\nnot in ledger (post-r5 queries):")
         for q, sec in sorted(new):
             print(f"  {q:6s} {sec:8.3f}s")
-    common_total = sum(sec for _, q, sec, b in [(r[0], r[1], r[2], r[3]) for r in rows] if b)
-    base_total = sum(b for _, q, sec, b in rows if b)
+    # Failed queries (sec == -1) are EXCLUDED from both sides of the
+    # ledger-common ratio — a -1 sentinel would otherwise *reduce* the
+    # measured total and flatter the speedup. They are reported loudly
+    # above instead.
+    common_total = sum(sec for _, q, sec, b in rows if b and sec >= 0)
+    base_total = sum(b for _, q, sec, b in rows if b and sec >= 0)
     if base_total:
         print(f"\nledger-common total: {common_total:.1f}s vs {base_total:.1f}s "
               f"= {common_total / base_total:.2f}x")
