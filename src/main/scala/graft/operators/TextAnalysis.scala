@@ -156,4 +156,53 @@ object TextAnalysis {
       .withColumn("max_seg", array_max(col("__cdc_lens")))
     out.drop("__cdc_hs", "__cdc_bnd", "__cdc_allb", "__cdc_lens")
   }
+
+  /** Benchmark-contamination screen: for every corpus document, the
+    * fraction of its DISTINCT word `n`-grams that appear anywhere in
+    * the eval set's n-gram universe — the standard train/test
+    * decontamination method (flag or drop training documents whose
+    * n-gram overlap with a benchmark exceeds a threshold).
+    *
+    * Scale shape: the eval universe (a benchmark suite — thousands of
+    * documents) is tiny next to a training corpus, so it is distincted
+    * once and BROADCAST; the per-document hit count is then a
+    * map-side-only semi join on the exploded corpus grams followed by
+    * one aggregation on the document id — no corpus-sized shuffle of
+    * text, no skew (n-gram keys are near-unique). Documents shorter
+    * than `n` words have zero n-grams and are reported clean with
+    * `hit_rate` 0.0 (no division by zero under ANSI).
+    *
+    * @return (idCol, n_grams, n_hit, hit_rate, contaminated)
+    */
+  def contaminationScreen(
+      corpus: org.apache.spark.sql.DataFrame,
+      evalSet: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"need gram width n >= 1 (got $n)")
+    require(threshold >= 0.0 && threshold <= 1.0, s"threshold must be in [0, 1] (got $threshold)")
+    val grams = corpus.select(
+      col(idCol),
+      Dedup.wordNGrams(col(textCol), n).as("__gs"))
+    val evalGrams = evalSet
+      .select(explode(Dedup.wordNGrams(col(textCol), n)).as("__gram"))
+      .distinct()
+    val hits = grams
+      .select(col(idCol), explode(col("__gs")).as("__gram"))
+      .join(broadcast(evalGrams), Seq("__gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__hits"))
+    grams
+      .select(col(idCol), size(col("__gs")).cast("long").as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_hit", coalesce(col("__hits"), lit(0L)))
+      .withColumn(
+        "hit_rate",
+        when(col("n_grams") > 0, col("n_hit").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", col("hit_rate") >= threshold)
+      .drop("__hits")
+  }
 }

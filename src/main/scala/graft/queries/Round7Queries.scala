@@ -66,11 +66,53 @@ object Round7Queries {
       |FROM lab l JOIN sz USING (canonical_id)
       |ORDER BY vec_id NULLS FIRST""".stripMargin
 
+  /** q105 — benchmark-contamination screen
+    * ([[graft.operators.TextAnalysis.contaminationScreen]]): every
+    * corpus document scored by the fraction of its distinct word
+    * 5-grams that appear in the eval set's n-gram universe (eval set =
+    * every 20th document of the same slice, so the eval documents
+    * themselves surface as fully-contaminated sanity anchors), flagged
+    * at ≥ 0.3 — the standard n-gram train/test decontamination method.
+    * The eval universe is distincted once and broadcast; the corpus
+    * side is one explode + map-side semi join + one aggregation.
+    */
+  val q105ContaminationScreen: Q = (s, d) => {
+    val corpus = Tables.documents(s, d).filter(col("doc_id") < 400)
+    val evalSet = corpus.filter(col("doc_id") % 20 === 7)
+    graft.operators.TextAnalysis
+      .contaminationScreen(corpus, evalSet, "doc_id", "text", 5, 0.3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same 5-gram construction as q22's (list comprehension
+    * over the split tokens), eval universe via DISTINCT unnest, hit
+    * count via a semi-join-shaped IN, rates as double division with the
+    * zero-gram CASE guard.
+    */
+  val q105Sql: String =
+    """WITH c AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents WHERE doc_id < 400),
+      |g AS (SELECT doc_id, list_distinct(
+      |        CASE WHEN len(ws) >= 5
+      |             THEN [ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] for i in range(1, len(ws)-3)]
+      |             ELSE [] END) AS gs FROM c),
+      |e AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 20 = 7),
+      |x AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+      |h AS (SELECT doc_id, COUNT(*) AS n_hit FROM x WHERE gram IN (SELECT gram FROM e) GROUP BY doc_id)
+      |SELECT g.doc_id,
+      | CAST(len(g.gs) AS BIGINT) AS n_grams,
+      | CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+      | CASE WHEN len(g.gs) > 0 THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE)/CAST(len(g.gs) AS DOUBLE) ELSE 0.0 END AS hit_rate,
+      | (CASE WHEN len(g.gs) > 0 THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE)/CAST(len(g.gs) AS DOUBLE) ELSE 0.0 END) >= 0.3 AS contaminated
+      |FROM g LEFT JOIN h ON g.doc_id = h.doc_id
+      |ORDER BY g.doc_id NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
-    "q104_semantic_keeplist" -> q104SemanticKeepList
+    "q104_semantic_keeplist" -> q104SemanticKeepList,
+    "q105_contamination" -> q105ContaminationScreen
   )
 
   val oracles: Map[String, String] = Map(
-    "q104_semantic_keeplist" -> q104Sql
+    "q104_semantic_keeplist" -> q104Sql,
+    "q105_contamination" -> q105Sql
   )
 }

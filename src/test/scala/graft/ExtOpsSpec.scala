@@ -22,6 +22,29 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(salted.collect().toSet == plain.collect().toSet)
   }
 
+  test("contaminationScreen: exact hit rates, eval self-overlap, short docs clean") {
+    import spark.implicits._
+    // w0..w9 gives 6 distinct 3-grams; doc 2 shares exactly half of
+    // doc 1's grams (w0..w5 -> grams at offsets 0..3, of which 0..3 are
+    // in doc 1's set). doc 3 is disjoint; doc 4 is shorter than n.
+    val corpus = Seq(
+      (1L, (0 to 9).map(i => s"w$i").mkString(" ")), // the eval doc itself
+      (2L, (0 to 5).map(i => s"w$i").mkString(" ")), // subset: all 4 grams hit
+      (3L, "x y z q r s"), //                           disjoint: 0 hits
+      (4L, "a b") //                                    < n words: 0 grams
+    ).toDF("doc_id", "text")
+    val evalSet = corpus.filter(col("doc_id") === 1L)
+    val out = TextAnalysis
+      .contaminationScreen(corpus, evalSet, "doc_id", "text", 3, 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == ((8L, 8L, 1.0, true))) // eval doc: fully contaminated
+    assert(out(2L) == ((4L, 4L, 1.0, true))) // subset doc: every gram in eval
+    assert(out(3L) == ((4L, 0L, 0.0, false)))
+    assert(out(4L) == ((0L, 0L, 0.0, false))) // no grams -> clean, no div-by-zero
+  }
+
   test("saltedJoin: left join keeps unmatched fact rows exactly once") {
     import spark.implicits._
     val fact = Seq((1L, "a"), (2L, "b"), (99L, "miss")).toDF("k", "tag")

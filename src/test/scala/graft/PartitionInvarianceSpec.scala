@@ -93,6 +93,17 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("contaminationScreen (q105 shape) is partitioning-invariant") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    invariant(
+      d => TextAnalysis.contaminationScreen(
+        d, d.filter(col("doc_id") % 20 === 7), "doc_id", "text", 5, 0.3),
+      docs)
+  }
+
   test("bloom prefilter keeps an identical row set under repartitioning") {
     import spark.implicits._
     val big = (1L to 500L).map(i => (i, i * 2)).toDF("k", "v")
