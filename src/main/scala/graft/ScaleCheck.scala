@@ -71,7 +71,12 @@ object ScaleCheck {
       "keeplist" -> (() => Dedup.keepList(docs, "doc_id", verifiedPairs)),
       "ann_topk" -> (() =>
         Similarity.srpAnnTopK(
-          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 8, 64, 3))
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 8, 64, 3)),
+      // q105 shape: eval set grows with the corpus (every 20th doc) so
+      // BOTH the broadcast universe and the probe side scale.
+      "contamination" -> (() =>
+        graft.operators.TextAnalysis.contaminationScreen(
+          docs, docs.filter(col("doc_id") % 20 === 7), "doc_id", "text", 5, 0.3))
     )
 
     // Same inter-region protocol as Bench: sweep caches, force a GC so

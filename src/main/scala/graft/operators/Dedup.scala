@@ -588,6 +588,43 @@ object Dedup {
     * @return (idCol, canonical_id, cluster_size, keep) — one row per
     *         corpus row; `keep` ⇔ the row IS its cluster's canonical
     */
+  /** Leakage-safe train/validation split: assign every document to a
+    * split by hashing its near-dup CLUSTER id, not its own id — a
+    * per-document split leaks evaluation data whenever a validation
+    * document has a near-duplicate in train (the reason dedup-aware
+    * pipelines split by cluster). Singletons (no near-dup edge) hash
+    * their own id, so the expected split fractions still hold.
+    *
+    * Deterministic: the split is a pure function of the canonical id
+    * (md5-derived [[graft.functions.Hashing.h32]] mod 1000 vs
+    * `valPermille`) — no RNG, stable across reruns and cluster sizes.
+    * Scale shape: [[connectedComponents]] plus one left join — the
+    * labels frame is the tiny side (only documents that appear in a
+    * pair) and broadcasts.
+    *
+    * @return (idCol, canonical_id, split∈{train,val})
+    */
+  def leakageSafeSplit(
+      corpus: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      valPermille: Int): DataFrame = {
+    require(
+      valPermille >= 0 && valPermille <= 1000,
+      s"valPermille must be in [0, 1000] (got $valPermille)")
+    val comps = connectedComponents(pairs)
+    corpus
+      .select(col(idCol).cast("long").as(idCol))
+      .join(comps.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .withColumn("canonical_id", coalesce(col("component"), col(idCol)))
+      .withColumn(
+        "split",
+        when(
+          graft.functions.Hashing.h32(col("canonical_id").cast("string")) % 1000 < valPermille,
+          lit("val")).otherwise(lit("train")))
+      .select(col(idCol), col("canonical_id"), col("split"))
+  }
+
   def keepList(corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs)
     val labeled = corpus

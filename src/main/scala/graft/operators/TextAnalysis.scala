@@ -157,6 +157,62 @@ object TextAnalysis {
     out.drop("__cdc_hs", "__cdc_bnd", "__cdc_allb", "__cdc_lens")
   }
 
+  /** Sequence packing: assign documents to fixed-`seqLen` training
+    * sequences by greedy in-order fill — the padding-minimization step
+    * between tokenization and batching in an LLM data pipeline.
+    *
+    * Distributed shape: documents are sharded by `id % nShards` (bins
+    * NEVER span shards — exactly how production packers shard), each
+    * shard is packed by one linear greedy scan in document-id order: a
+    * document goes into the current bin if it fits, else opens the
+    * next. The scan is genuinely sequential state — the legitimate
+    * `mapPartitions` case — but each shard is independent, so
+    * parallelism is `nShards` and the only shuffle is the one hash
+    * exchange on the shard key. At corpus scale, set `nShards` to a
+    * small multiple of total cores.
+    *
+    * Token counts above `seqLen` are capped at `seqLen` (an oversize
+    * document occupies a full bin on its own — the deterministic stand-
+    * in for the tokenizer-side truncate/split policy). Deterministic
+    * and partitioning-invariant: the shard assignment is a pure id
+    * function and the per-shard order is total.
+    *
+    * @return (idCol, shard, n_tok, bin) — bin numbering restarts at 0
+    *         per shard; (shard, bin) is the global sequence id
+    */
+  def packSequences(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Int,
+      nShards: Int): org.apache.spark.sql.DataFrame = {
+    require(seqLen >= 1, s"need seqLen >= 1 (got $seqLen)")
+    require(nShards >= 1, s"need nShards >= 1 (got $nShards)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      col(idCol).cast("long").as("__id"),
+      (col(idCol).cast("long") % nShards).cast("int").as("__shard"),
+      least(wsTokenCount(col(textCol)), lit(seqLen.toLong)).as("__n"))
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__id"))
+      .as[(Long, Int, Long)]
+      .mapPartitions { it =>
+        // A partition holds whole shards (hash on shard key); reset the
+        // greedy state at every shard boundary.
+        var curShard = Int.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (id, shard, n) =>
+          if (shard != curShard) { curShard = shard; bin = 0L; fill = 0L }
+          if (fill + n <= seqLen) fill += n
+          else { bin += 1; fill = n }
+          (id, shard, n, bin)
+        }
+      }
+      .toDF(idCol, "shard", "n_tok", "bin")
+  }
+
   /** Benchmark-contamination screen: for every corpus document, the
     * fraction of its DISTINCT word `n`-grams that appear anywhere in
     * the eval set's n-gram universe — the standard train/test

@@ -5,14 +5,16 @@ import graft.Tables
 import graft.operators.{Dedup, Similarity}
 import graft.queries.CoreQueries.Q
 
-/** Round-7 surface: the semantic-dedup keep-list — embedding near-dup
-  * pairs composed through connected components into the per-document
-  * keep/drop verdict a pipeline executes (the "SemDeDup" shape:
-  * cluster by embedding similarity, keep one canonical per cluster).
+/** Round-7 surface: the training-data endgame operators — the
+  * semantic-dedup keep-list (embedding near-dup pairs composed through
+  * connected components into the per-document keep/drop verdict, the
+  * "SemDeDup" shape), the benchmark-contamination screen (n-gram
+  * train/test decontamination), sequence packing (greedy fill of
+  * fixed-length training sequences), and the leakage-safe train/val
+  * split (hash the near-dup cluster, not the document).
   *
   * Same determinism contract as the other catalogs: decimal-exact
-  * cosine, min-id canonical (no RNG), ties impossible by construction
-  * (ids are unique).
+  * cosine, min-id canonical, pure-function shard assignment, no RNG.
   */
 object Round7Queries {
 
@@ -106,13 +108,89 @@ object Round7Queries {
       |FROM g LEFT JOIN h ON g.doc_id = h.doc_id
       |ORDER BY g.doc_id NULLS FIRST""".stripMargin
 
+  /** q106 — sequence packing
+    * ([[graft.operators.TextAnalysis.packSequences]]): every document
+    * assigned to a fixed-512-token training sequence by greedy
+    * in-order fill within 8 id-modulo shards (bins never span shards).
+    * The full per-document (shard, bin) mapping is the gate — the
+    * oracle replays the identical greedy recurrence as a per-shard
+    * recursive CTE.
+    */
+  val q106PackSequences: Q = (s, d) => {
+    graft.operators.TextAnalysis
+      .packSequences(
+        Tables.documents(s, d).filter(col("doc_id") < 400),
+        "doc_id", "text", 512, 8)
+      .orderBy(col("doc_id"))
+  }
+
+  val q106Sql: String =
+    """WITH RECURSIVE
+      |docs AS (SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+      |                least(CAST(len(string_split(text,' ')) AS BIGINT), 512) AS n
+      |         FROM documents WHERE doc_id < 400),
+      |ord AS (SELECT doc_id, shard, n,
+      |               row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      |        FROM docs),
+      |pack(shard, rn, doc_id, n, bin, fill) AS (
+      |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT), n FROM ord WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.shard, o.rn, o.doc_id, o.n,
+      |         CASE WHEN p.fill + o.n <= 512 THEN p.bin ELSE p.bin + 1 END,
+      |         CASE WHEN p.fill + o.n <= 512 THEN p.fill + o.n ELSE o.n END
+      |  FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+      |SELECT doc_id, shard, CAST(n AS BIGINT) AS n_tok, CAST(bin AS BIGINT) AS bin
+      |FROM pack ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** q107 — leakage-safe train/val split ([[Dedup.leakageSafeSplit]]):
+    * q104's near-dup clusters hashed at the CLUSTER level into
+    * train/val (300‰ val), so a validation document can never have a
+    * near-duplicate in train. Same pair slice as q104; the oracle
+    * replays the component CTE and the md5-mod split.
+    */
+  val q107LeakageSafeSplit: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 150)
+    val pairs = Similarity
+      .nearDupPairs(emb, "vec_id", "embedding", 0.35)
+      .select(col("vec_a"), col("vec_b"))
+    Dedup.leakageSafeSplit(emb, "vec_id", pairs, valPermille = 300).orderBy(col("vec_id"))
+  }
+
+  val q107Sql: String =
+    """WITH RECURSIVE
+      |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
+      |x AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding,1) AS pos FROM e),
+      |n AS (SELECT vec_id, CAST(SUM(CAST(CAST(v AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS sq
+      |      FROM x GROUP BY vec_id),
+      |dp AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+      |        CAST(SUM(CAST(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS dot
+      |       FROM x a JOIN x b ON a.pos = b.pos AND a.vec_id < b.vec_id GROUP BY 1, 2),
+      |pairs AS (SELECT va, vb FROM dp JOIN n na ON dp.va = na.vec_id JOIN n nb ON dp.vb = nb.vec_id
+      |          WHERE dot/(sqrt(na.sq)*sqrt(nb.sq)) >= 0.35),
+      |edges AS (SELECT va AS src, vb AS dst FROM pairs UNION SELECT vb, va FROM pairs),
+      |walk(node, comp) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e2.dst, w.comp FROM walk w JOIN edges e2 ON e2.src = w.node),
+      |comp AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node),
+      |lab AS (SELECT e.vec_id, CAST(COALESCE(c.component, e.vec_id) AS BIGINT) AS canonical_id
+      |        FROM e LEFT JOIN comp c ON e.vec_id = c.node)
+      |SELECT CAST(vec_id AS BIGINT) AS vec_id, canonical_id,
+      | CASE WHEN CAST('0x'||substr(md5(CAST(canonical_id AS VARCHAR)),1,8) AS BIGINT) % 1000 < 300
+      |      THEN 'val' ELSE 'train' END AS split
+      |FROM lab ORDER BY vec_id NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q104_semantic_keeplist" -> q104SemanticKeepList,
-    "q105_contamination" -> q105ContaminationScreen
+    "q105_contamination" -> q105ContaminationScreen,
+    "q106_pack_sequences" -> q106PackSequences,
+    "q107_leakage_split" -> q107LeakageSafeSplit
   )
 
   val oracles: Map[String, String] = Map(
     "q104_semantic_keeplist" -> q104Sql,
-    "q105_contamination" -> q105Sql
+    "q105_contamination" -> q105Sql,
+    "q106_pack_sequences" -> q106Sql,
+    "q107_leakage_split" -> q107Sql
   )
 }

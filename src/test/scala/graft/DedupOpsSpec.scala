@@ -133,6 +133,35 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(all.length == 6 && all.forall(r => r.getBoolean(3) && r.getLong(2) == 1L))
   }
 
+  test("leakageSafeSplit: a near-dup cluster never straddles train/val") {
+    import spark.implicits._
+    val corpus = (1L to 6L).toDF("id")
+    val prs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val out = Dedup
+      .leakageSafeSplit(corpus, "id", prs, valPermille = 500)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    // Cluster members share canonical AND split — the leakage property.
+    assert(out(1L) == out(2L) && out(2L) == out(3L) && out(1L)._1 == 1L)
+    assert(out(5L) == out(6L) && out(5L)._1 == 5L)
+    assert(out(4L)._1 == 4L)
+    // The split is the pinned pure function of the canonical id: the
+    // same h32(canonical) % 1000 < valPermille coin, computed here
+    // independently of the operator.
+    val coin = corpus.select(
+      col("id"),
+      (graft.functions.Hashing.h32(col("id").cast("string")) % 1000 < 500).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    out.foreach { case (_, (canon, split)) =>
+      assert(split == (if (coin(canon)) "val" else "train"))
+    }
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.leakageSafeSplit(corpus, "id", prs, valPermille = 1001)
+    }
+    assert(bad.getMessage.contains("valPermille"))
+  }
+
   test("exact all-pairs baselines refuse input larger than maxRows") {
     import spark.implicits._
     val sh = (1L to 30L).map(i => i -> i).toDF("doc_id", "simhash")

@@ -45,6 +45,29 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0L, 0.0, false))) // no grams -> clean, no div-by-zero
   }
 
+  test("packSequences: greedy fill, overflow opens a bin, shard reset, oversize cap") {
+    import spark.implicits._
+    // Shard 0 (ids 0,2,4,6): tokens 4,4,3,20(cap 10) with L=10 ->
+    // bins 0,0,1,2 (4+4 fits, +3 overflows, capped 10 fills alone).
+    // Shard 1 (ids 1,3): tokens 9,2 -> bins 0,1 (state reset per shard).
+    def words(k: Int) = (1 to k).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (0L, words(4)), (2L, words(4)), (4L, words(3)), (6L, words(20)),
+      (1L, words(9)), (3L, words(2))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .packSequences(docs, "doc_id", "text", seqLen = 10, nShards = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(0L) == ((0, 4L, 0L)))
+    assert(out(2L) == ((0, 4L, 0L)))
+    assert(out(4L) == ((0, 3L, 1L)))
+    assert(out(6L) == ((0, 10L, 2L))) // 20 tokens capped at seqLen, own bin
+    assert(out(1L) == ((1, 9L, 0L)))
+    assert(out(3L) == ((1, 2L, 1L)))
+  }
+
   test("saltedJoin: left join keeps unmatched fact rows exactly once") {
     import spark.implicits._
     val fact = Seq((1L, "a"), (2L, "b"), (99L, "miss")).toDF("k", "tag")

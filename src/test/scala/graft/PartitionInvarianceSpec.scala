@@ -104,6 +104,16 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       docs)
   }
 
+  test("packSequences (q106 shape) is partitioning-invariant") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    invariant(
+      d => TextAnalysis.packSequences(d, "doc_id", "text", 512, 8),
+      docs)
+  }
+
   test("bloom prefilter keeps an identical row set under repartitioning") {
     import spark.implicits._
     val big = (1L to 500L).map(i => (i, i * 2)).toDF("k", "v")
