@@ -114,6 +114,20 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       docs)
   }
 
+  test("leakageSafeSplit (q107 shape) is partitioning-invariant") {
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 80)
+      .select(col("vec_id"), col("embedding"))
+    invariant(
+      e => {
+        val pairs = Similarity
+          .nearDupPairs(e, "vec_id", "embedding", 0.35)
+          .select(col("vec_a"), col("vec_b"))
+        Dedup.leakageSafeSplit(e, "vec_id", pairs, valPermille = 300)
+      },
+      emb)
+  }
+
   test("bloom prefilter keeps an identical row set under repartitioning") {
     import spark.implicits._
     val big = (1L to 500L).map(i => (i, i * 2)).toDF("k", "v")
