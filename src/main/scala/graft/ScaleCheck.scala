@@ -76,7 +76,10 @@ object ScaleCheck {
       // BOTH the broadcast universe and the probe side scale.
       "contamination" -> (() =>
         graft.operators.TextAnalysis.contaminationScreen(
-          docs, docs.filter(col("doc_id") % 20 === 7), "doc_id", "text", 5, 0.3))
+          docs, docs.filter(col("doc_id") % 20 === 7), "doc_id", "text", 5, 0.3)),
+      // q106 shape: greedy no-straddle packing, 32 shards.
+      "packing" -> (() =>
+        graft.operators.TextAnalysis.packSequences(docs, "doc_id", "text", 512, 32))
     )
 
     // Same inter-region protocol as Bench: sweep caches, force a GC so

@@ -449,8 +449,13 @@ object QualityQueries {
     * is MERGE-identical.
     */
   val q74CdcApply: Q = (s, d) => {
+    // Raw scan, not Tables.documents: this query reads the snapshot
+    // FOUR times (three change filters + the anti-join left side) and
+    // does no per-row heavy compute, so the corpus spread's round-robin
+    // exchange is pure overhead here (4 extra exchanges ≈ 2.6× the
+    // ledger line; the raw scan has plenty of splits at real scale).
     val snap = Tables
-      .documents(s, d)
+      .table(s, d, "documents")
       .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("nc"))
     val changes = snap
       .filter(pmod(col("doc_id"), lit(7L)) === 0)

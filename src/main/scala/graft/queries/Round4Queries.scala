@@ -363,8 +363,11 @@ object Round4Queries {
     * window partition — embarrassingly parallel, no global sort.
     */
   val q85SeqPack: Q = (s, d) =>
+    // Raw scan: one window + one agg over cheap per-row token counts —
+    // the corpus spread's exchange is overhead, not parallelism, here
+    // (the window repartitions on shard anyway).
     Tables
-      .documents(s, d)
+      .table(s, d, "documents")
       .select(
         col("doc_id"),
         expr("doc_id div 100").as("shard"),
