@@ -25,6 +25,9 @@ import graft.operators.{Dedup, Similarity}
   *    → per-document keep verdict
   *  - `ann_topk`: SRP-LSH ANN, 20 fixed queries over the N-vector
   *    corpus (q25's parameters — corpus grows, query set does not)
+  *  - `contamination`: q105's n-gram screen with the eval set growing
+  *    with the corpus (every 20th doc)
+  *  - `packing`: q106's greedy no-straddle sequence packing, 32 shards
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
