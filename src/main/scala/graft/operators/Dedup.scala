@@ -588,6 +588,20 @@ object Dedup {
     * @return (idCol, canonical_id, cluster_size, keep) — one row per
     *         corpus row; `keep` ⇔ the row IS its cluster's canonical
     */
+  def keepList(corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val labeled = canonicalLabels(corpus, idCol, pairs)
+    val sizes = labeled
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled
+      .join(sizes, Seq("canonical_id"))
+      .select(
+        col(idCol),
+        col("canonical_id"),
+        col("cluster_size"),
+        (col(idCol) === col("canonical_id")).as("keep"))
+  }
+
   /** Leakage-safe train/validation split: assign every document to a
     * split by hashing its near-dup CLUSTER id, not its own id — a
     * per-document split leaks evaluation data whenever a validation
@@ -612,11 +626,7 @@ object Dedup {
     require(
       valPermille >= 0 && valPermille <= 1000,
       s"valPermille must be in [0, 1000] (got $valPermille)")
-    val comps = connectedComponents(pairs)
-    corpus
-      .select(col(idCol).cast("long").as(idCol))
-      .join(comps.withColumnRenamed("node", idCol), Seq(idCol), "left")
-      .withColumn("canonical_id", coalesce(col("component"), col(idCol)))
+    canonicalLabels(corpus, idCol, pairs)
       .withColumn(
         "split",
         when(
@@ -625,22 +635,19 @@ object Dedup {
       .select(col(idCol), col("canonical_id"), col("split"))
   }
 
-  def keepList(corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+  /** One row per corpus id with its near-dup cluster's canonical id:
+    * [[connectedComponents]] labels over `pairs` left-joined onto the
+    * corpus; ids absent from the pairs are canonical to themselves.
+    * The labels frame is the small side (only documents appearing in a
+    * pair) and broadcasts when it fits. Shared by [[keepList]] and
+    * [[leakageSafeSplit]] so the labeling semantics cannot diverge.
+    */
+  private def canonicalLabels(corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs)
-    val labeled = corpus
+    corpus
       .select(col(idCol).cast("long").as(idCol))
       .join(comps.withColumnRenamed("node", idCol), Seq(idCol), "left")
       .withColumn("canonical_id", coalesce(col("component"), col(idCol)))
       .drop("component")
-    val sizes = labeled
-      .groupBy(col("canonical_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    labeled
-      .join(sizes, Seq("canonical_id"))
-      .select(
-        col(idCol),
-        col("canonical_id"),
-        col("cluster_size"),
-        (col(idCol) === col("canonical_id")).as("keep"))
   }
 }

@@ -167,9 +167,13 @@ object TextAnalysis {
     * document goes into the current bin if it fits, else opens the
     * next. The scan is genuinely sequential state — the legitimate
     * `mapPartitions` case — but each shard is independent, so
-    * parallelism is `nShards` and the only shuffle is the one hash
-    * exchange on the shard key. At corpus scale, set `nShards` to a
-    * small multiple of total cores.
+    * parallelism is up to `nShards` and the only shuffle is the one
+    * hash exchange on the shard key (hashed into `4 * nShards`
+    * partitions: with exactly `nShards` partitions, hash collisions
+    * would leave ~1/e of them empty and serialize 2-3 shards onto
+    * others; at 4x, whole-shard-per-partition still holds and the
+    * expected max load per partition is ~1 shard). At corpus scale,
+    * set `nShards` to a small multiple of total cores.
     *
     * Token counts above `seqLen` are capped at `seqLen` (an oversize
     * document occupies a full bin on its own — the deterministic stand-
@@ -194,7 +198,7 @@ object TextAnalysis {
       col(idCol).cast("long").as("__id"),
       (col(idCol).cast("long") % nShards).cast("int").as("__shard"),
       least(wsTokenCount(col(textCol)), lit(seqLen.toLong)).as("__n"))
-      .repartition(nShards, col("__shard"))
+      .repartition(4 * nShards, col("__shard"))
       .sortWithinPartitions(col("__shard"), col("__id"))
       .as[(Long, Int, Long)]
       .mapPartitions { it =>
@@ -221,11 +225,13 @@ object TextAnalysis {
     *
     * Scale shape: the eval universe (a benchmark suite — thousands of
     * documents) is tiny next to a training corpus, so it is distincted
-    * once and BROADCAST; the per-document hit count is then a
-    * map-side-only semi join on the exploded corpus grams followed by
-    * one aggregation on the document id — no corpus-sized shuffle of
-    * text, no skew (n-gram keys are near-unique). Documents shorter
-    * than `n` words have zero n-grams and are reported clean with
+    * once and BROADCAST; the corpus grams are computed in ONE pass
+    * (tokenize + shingle + distinct per document), exploded, marked by
+    * a map-side broadcast left join against the eval universe, and
+    * reduced by one aggregation on the document id — no corpus-sized
+    * shuffle of text, no self-join, no skew (n-gram keys are
+    * near-unique). Documents shorter than `n` words have zero n-grams
+    * (`explode_outer` keeps their row) and are reported clean with
     * `hit_rate` 0.0 (no division by zero under ANSI).
     *
     * @return (idCol, n_grams, n_hit, hit_rate, contaminated)
@@ -239,26 +245,22 @@ object TextAnalysis {
       threshold: Double): org.apache.spark.sql.DataFrame = {
     require(n >= 1, s"need gram width n >= 1 (got $n)")
     require(threshold >= 0.0 && threshold <= 1.0, s"threshold must be in [0, 1] (got $threshold)")
-    val grams = corpus.select(
-      col(idCol),
-      Dedup.wordNGrams(col(textCol), n).as("__gs"))
     val evalGrams = evalSet
       .select(explode(Dedup.wordNGrams(col(textCol), n)).as("__gram"))
       .distinct()
-    val hits = grams
-      .select(col(idCol), explode(col("__gs")).as("__gram"))
-      .join(broadcast(evalGrams), Seq("__gram"), "left_semi")
+      .withColumn("__hit", lit(1))
+    corpus
+      // wordNGrams is per-document distinct, so the exploded row count
+      // IS n_grams; explode_outer keeps zero-gram documents (null gram,
+      // counted by neither aggregate).
+      .select(col(idCol), explode_outer(Dedup.wordNGrams(col(textCol), n)).as("__gram"))
+      .join(broadcast(evalGrams), Seq("__gram"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__hits"))
-    grams
-      .select(col(idCol), size(col("__gs")).cast("long").as("n_grams"))
-      .join(hits, Seq(idCol), "left")
-      .withColumn("n_hit", coalesce(col("__hits"), lit(0L)))
+      .agg(count(col("__gram")).as("n_grams"), count(col("__hit")).as("n_hit"))
       .withColumn(
         "hit_rate",
         when(col("n_grams") > 0, col("n_hit").cast("double") / col("n_grams").cast("double"))
           .otherwise(lit(0.0)))
       .withColumn("contaminated", col("hit_rate") >= threshold)
-      .drop("__hits")
   }
 }

@@ -24,9 +24,9 @@ class ExtOpsSpec extends AnyFunSuite {
 
   test("contaminationScreen: exact hit rates, eval self-overlap, short docs clean") {
     import spark.implicits._
-    // w0..w9 gives 6 distinct 3-grams; doc 2 shares exactly half of
-    // doc 1's grams (w0..w5 -> grams at offsets 0..3, of which 0..3 are
-    // in doc 1's set). doc 3 is disjoint; doc 4 is shorter than n.
+    // w0..w9 gives 8 distinct 3-grams; doc 2 (w0..w5) has 4 grams, all
+    // of them in doc 1's set. doc 3 is disjoint; doc 4 is shorter
+    // than n.
     val corpus = Seq(
       (1L, (0 to 9).map(i => s"w$i").mkString(" ")), // the eval doc itself
       (2L, (0 to 5).map(i => s"w$i").mkString(" ")), // subset: all 4 grams hit
