@@ -28,6 +28,8 @@ import graft.operators.{Dedup, Similarity}
   *  - `contamination`: q105's n-gram screen with the eval set growing
   *    with the corpus (every 20th doc)
   *  - `packing`: q106's greedy no-straddle sequence packing, 32 shards
+  *  - `spans`: q108's cross-document span dedup stats (8-token spans,
+  *    stride 4, boilerplate at ≥ 2 docs)
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
@@ -82,7 +84,10 @@ object ScaleCheck {
           docs, docs.filter(col("doc_id") % 20 === 7), "doc_id", "text", 5, 0.3)),
       // q106 shape: greedy no-straddle packing, 32 shards.
       "packing" -> (() =>
-        graft.operators.TextAnalysis.packSequences(docs, "doc_id", "text", 512, 32))
+        graft.operators.TextAnalysis.packSequences(docs, "doc_id", "text", 512, 32)),
+      // q108 shape: span-granularity dedup over the whole slice.
+      "spans" -> (() =>
+        Dedup.spanDedupStats(docs, "doc_id", "text", 8, 4, 2))
     )
 
     // Same inter-region protocol as Bench: sweep caches, force a GC so

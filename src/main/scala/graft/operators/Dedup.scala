@@ -635,6 +635,92 @@ object Dedup {
       .select(col(idCol), col("canonical_id"), col("split"))
   }
 
+  /** Cross-document SPAN dedup stats — dedup at sub-document
+    * granularity (the C4/RefinedWeb substring-dedup shape): slide a
+    * `window`-token span every `stride` tokens over each document,
+    * hash each span ([[graft.functions.Hashing.h60]]), and report per
+    * document how many of its spans are (a) non-first occurrences of
+    * their span value corpus-wide (`n_dup` — the spans substring-dedup
+    * would cut) and (b) boilerplate (`n_boiler` — span value appears
+    * in ≥ `boilerplateDocs` DISTINCT documents). "First occurrence" is
+    * the lexicographic-min (id, offset) — deterministic and
+    * partitioning-invariant, no RNG, no timestamps.
+    *
+    * Only FULL windows are emitted (`floor((ntok - window)/stride)+1`
+    * spans; documents shorter than `window` tokens have zero spans and
+    * report clean with `dup_frac` 0.0) — ragged tails would make the
+    * span set depend on document length parity in both engines.
+    *
+    * Scale shape: span projection is per-row (no shuffle); one
+    * aggregation on the span hash (near-unique keys — no skew) builds
+    * the per-span-value stats; one equi-join of the exploded spans
+    * back to those stats on the hash; one aggregation on the document
+    * id. At 100 TB the only hot keys are genuinely global boilerplate
+    * spans — their single stats row replicates cheaply, but the probe
+    * rows of one span value do land in one partition; if a corpus has
+    * million-document boilerplate, salt the join on (hash, id % k) or
+    * pre-filter spans through a broadcast top-frequency list.
+    *
+    * @return (idCol, n_spans, n_dup, n_boiler, dup_frac)
+    */
+  def spanDedupStats(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int,
+      boilerplateDocs: Int): DataFrame = {
+    require(stride >= 1 && window >= stride, s"need window >= stride >= 1 (got $window, $stride)")
+    require(boilerplateDocs >= 2, s"need boilerplateDocs >= 2 (got $boilerplateDocs)")
+    val toks = split(col(textCol), " ")
+    // Spark's `/` is double division even on ints; the cast truncates
+    // toward zero = floor here (numerator is non-negative under the
+    // size >= window guard).
+    val nSpans =
+      when(size(toks) >= window, ((size(toks) - window) / stride).cast("int") + 1)
+        .otherwise(lit(0))
+    val sp = corpus
+      .select(
+        col(idCol).cast("long").as("__id"),
+        toks.as("__toks"),
+        explode(when(nSpans >= 1, sequence(lit(0), nSpans - 1)).otherwise(typedLit(Seq.empty[Int])))
+          .as("__i"))
+      .select(
+        col("__id"),
+        col("__i").cast("long").as("__i"),
+        graft.functions.Hashing
+          .h60(concat_ws(" ", slice(col("__toks"), col("__i") * stride + 1, lit(window))))
+          .as("__h"))
+    val stats = sp
+      .groupBy(col("__h"))
+      .agg(
+        min(struct(col("__id"), col("__i"))).as("__first"),
+        countDistinct(col("__id")).as("__nd"))
+    val perDoc = sp
+      .join(stats, Seq("__h"))
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(
+          when(
+            col("__first").getField("__id") === col("__id") &&
+              col("__first").getField("__i") === col("__i"),
+            0L).otherwise(1L)).as("n_dup"),
+        sum(when(col("__nd") >= boilerplateDocs, 1L).otherwise(0L)).as("n_boiler"))
+    corpus
+      .select(col(idCol).cast("long").as(idCol))
+      .join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn(
+        "dup_frac",
+        when(col("n_spans") > 0, col("n_dup").cast("double") / col("n_spans").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** One row per corpus id with its near-dup cluster's canonical id:
     * [[connectedComponents]] labels over `pairs` left-joined onto the
     * corpus; ids absent from the pairs are canonical to themselves.

@@ -10,8 +10,10 @@ import graft.queries.CoreQueries.Q
   * connected components into the per-document keep/drop verdict, the
   * "SemDeDup" shape), the benchmark-contamination screen (n-gram
   * train/test decontamination), sequence packing (greedy fill of
-  * fixed-length training sequences), and the leakage-safe train/val
-  * split (hash the near-dup cluster, not the document).
+  * fixed-length training sequences), the leakage-safe train/val
+  * split (hash the near-dup cluster, not the document), and
+  * cross-document span dedup (substring-granularity duplicate and
+  * boilerplate stats, the C4/RefinedWeb shape).
   *
   * Same determinism contract as the other catalogs: decimal-exact
   * cosine, min-id canonical, pure-function shard assignment, no RNG.
@@ -180,17 +182,65 @@ object Round7Queries {
       |      THEN 'val' ELSE 'train' END AS split
       |FROM lab ORDER BY vec_id NULLS FIRST""".stripMargin
 
+  /** q108 — cross-document span dedup ([[Dedup.spanDedupStats]]):
+    * 8-token spans every 4 tokens over each document, hashed with h60;
+    * per document the count of spans that are non-first occurrences
+    * corpus-wide (what substring-dedup would cut) and of boilerplate
+    * spans (value in ≥ 2 distinct documents — low because the gate's
+    * 400-doc slice is small; production corpora use a higher cutoff,
+    * which is the operator's free parameter). Sub-document granularity
+    * — the C4/RefinedWeb substring-dedup shape — where q19/q97
+    * deduplicate whole documents.
+    */
+  val q108SpanDedup: Q = (s, d) => {
+    Dedup
+      .spanDedupStats(
+        Tables.documents(s, d).filter(col("doc_id") < 400),
+        "doc_id", "text", window = 8, stride = 4, boilerplateDocs = 2)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the identical span construction (LATERAL unnest over the
+    * full-window count, list_slice + array_to_string + the h60 md5
+    * twin), first-occurrence via a (doc_id, i)-ordered row_number per
+    * hash, boilerplate via a per-hash distinct-doc count.
+    */
+  val q108Sql: String =
+    """WITH c AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text,' ') AS ws
+      |           FROM documents WHERE doc_id < 400),
+      |sp AS (SELECT doc_id, i,
+      |        CAST('0x'||substr(md5(array_to_string(list_slice(ws, i*4+1, i*4+8), ' ')),1,15) AS BIGINT) AS h
+      |       FROM c, LATERAL (SELECT unnest(range(0, (len(ws)-8)//4 + 1)) AS i)
+      |       WHERE len(ws) >= 8),
+      |spr AS (SELECT doc_id, i, h,
+      |         row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn FROM sp),
+      |nd AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM sp GROUP BY h),
+      |pd AS (SELECT s.doc_id, COUNT(*) AS n_spans,
+      |        SUM(CASE WHEN s.rn > 1 THEN 1 ELSE 0 END) AS n_dup,
+      |        SUM(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS n_boiler
+      |       FROM spr s JOIN nd ON s.h = nd.h GROUP BY s.doc_id)
+      |SELECT c.doc_id,
+      | CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+      | CAST(COALESCE(pd.n_dup, 0) AS BIGINT) AS n_dup,
+      | CAST(COALESCE(pd.n_boiler, 0) AS BIGINT) AS n_boiler,
+      | CASE WHEN COALESCE(pd.n_spans, 0) > 0
+      |      THEN CAST(pd.n_dup AS DOUBLE)/CAST(pd.n_spans AS DOUBLE) ELSE 0.0 END AS dup_frac
+      |FROM c LEFT JOIN pd ON c.doc_id = pd.doc_id
+      |ORDER BY c.doc_id NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q104_semantic_keeplist" -> q104SemanticKeepList,
     "q105_contamination" -> q105ContaminationScreen,
     "q106_pack_sequences" -> q106PackSequences,
-    "q107_leakage_split" -> q107LeakageSafeSplit
+    "q107_leakage_split" -> q107LeakageSafeSplit,
+    "q108_span_dedup" -> q108SpanDedup
   )
 
   val oracles: Map[String, String] = Map(
     "q104_semantic_keeplist" -> q104Sql,
     "q105_contamination" -> q105Sql,
     "q106_pack_sequences" -> q106Sql,
-    "q107_leakage_split" -> q107Sql
+    "q107_leakage_split" -> q107Sql,
+    "q108_span_dedup" -> q108Sql
   )
 }

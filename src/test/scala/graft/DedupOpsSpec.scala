@@ -162,6 +162,34 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("valPermille"))
   }
 
+  test("spanDedupStats: first occurrence wins, boilerplate counts distinct docs, short docs clean") {
+    import spark.implicits._
+    // w=4, s=2. d1: spans (a b c d)(c d e f)(e f g h); d2: (a b c d)
+    // (c d x y)(x y z w); d3: 5 tokens -> one span (a b c d); d4: too
+    // short -> zero spans. "a b c d" is in 3 distinct docs: first
+    // occurrence is d1's, so d2/d3's copies are dups; ALL of its
+    // occurrences are boilerplate at K=3.
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"),
+      (3L, "a b c d q"),
+      (4L, "p q")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .spanDedupStats(docs, "doc_id", "text", window = 4, stride = 2, boilerplateDocs = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(1L) == ((3L, 0L, 1L, 0.0)))
+    assert(out(2L) == ((3L, 1L, 1L, 1.0 / 3.0)))
+    assert(out(3L) == ((1L, 1L, 1L, 1.0)))
+    assert(out(4L) == ((0L, 0L, 0L, 0.0)))
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.spanDedupStats(docs, "doc_id", "text", window = 1, stride = 2, boilerplateDocs = 3)
+    }
+    assert(bad.getMessage.contains("window >= stride"))
+  }
+
   test("exact all-pairs baselines refuse input larger than maxRows") {
     import spark.implicits._
     val sh = (1L to 30L).map(i => i -> i).toDF("doc_id", "simhash")

@@ -128,6 +128,15 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       emb)
   }
 
+  test("spanDedupStats (q108 shape) is partitioning-invariant") {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    invariant(
+      d => Dedup.spanDedupStats(d, "doc_id", "text", window = 8, stride = 4, boilerplateDocs = 2),
+      docs)
+  }
+
   test("bloom prefilter keeps an identical row set under repartitioning") {
     import spark.implicits._
     val big = (1L to 500L).map(i => (i, i * 2)).toDF("k", "v")
