@@ -70,6 +70,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), p)
   }
 
+  test("q108: span dedup stays equi-join shaped — no span-pair cartesian, no Window") {
+    val p = plan("q108_span_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // First-occurrence comes from min(struct) aggregation on the span
+    // hash, not a per-hash rank window (a Window here would mean a
+    // sort-heavy plan that regresses at corpus scale).
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("q21: banded SimHash candidates — equi-join, no nested-loop pair scan") {
     val p = plan("q21_simhash")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
