@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 /** Whole-suite benchmark (driver contract): prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Architecture (round 7): a single long-lived JVM running 103 queries
+  * Architecture (round 7): a single long-lived JVM running the whole
+  * 100+-query catalog
   * back-to-back is NOT a valid measurement on slow-writeback containers —
   * round 6 measured 30–60× order-dependent swings on identical code+data
   * (q36: 1.57 s in a clean JVM vs 89.8 s mid-suite), because each
@@ -155,7 +156,7 @@ object Bench {
       // then runs against a clean filesystem, and min-of-reps (≈ that
       // post-sync rep) reports the clean-state cost. Sync per REP was
       // measured at ~30 s/call on this disk — 3× the sync volume for
-      // no gain over min-of-reps, and it pushed the 103-query suite
+      // no gain over min-of-reps, and it pushed the full suite
       // past a 2 h wall.
       quiesce()
     }
