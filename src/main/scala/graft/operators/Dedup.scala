@@ -651,15 +651,19 @@ object Dedup {
     * report clean with `dup_frac` 0.0) — ragged tails would make the
     * span set depend on document length parity in both engines.
     *
-    * Scale shape: span projection is per-row (no shuffle); one
-    * aggregation on the span hash (near-unique keys — no skew) builds
-    * the per-span-value stats; one equi-join of the exploded spans
-    * back to those stats on the hash; one aggregation on the document
-    * id. At 100 TB the only hot keys are genuinely global boilerplate
-    * spans — their single stats row replicates cheaply, but the probe
-    * rows of one span value do land in one partition; if a corpus has
-    * million-document boilerplate, salt the join on (hash, id % k) or
-    * pre-filter spans through a broadcast top-frequency list.
+    * Scale shape: the expensive pass (tokenize + per-span md5 over the
+    * whole corpus) runs ONCE and is immediately reduced by (hash, id)
+    * — occurrence count plus earliest offset — so everything
+    * downstream operates on the much smaller per-(value, document)
+    * frame: one aggregation on the span hash derives first-occurrence
+    * owner and distinct-document count, one equi-join back on the
+    * hash, one aggregation on the document id. Keys are near-unique —
+    * no skew; at 100 TB the only hot hashes are genuinely global
+    * boilerplate spans, and those carry ONE row per (value, document)
+    * here, not one per occurrence.
+    *
+    * `idCol` must be unique per document (same contract as
+    * [[keepList]]) — duplicate ids would merge their span stats.
     *
     * @return (idCol, n_spans, n_dup, n_boiler, dup_frac)
     */
@@ -691,22 +695,30 @@ object Dedup {
         graft.functions.Hashing
           .h60(concat_ws(" ", slice(col("__toks"), col("__i") * stride + 1, lit(window))))
           .as("__h"))
-    val stats = sp
+    // Collapse occurrences to one row per (span value, document) right
+    // after the md5 pass — the only shuffle the full span set crosses.
+    val perValueDoc = sp
+      .groupBy(col("__h"), col("__id"))
+      .agg(count(lit(1)).as("__occ"), min(col("__i")).as("__mini"))
+    val stats = perValueDoc
       .groupBy(col("__h"))
       .agg(
-        min(struct(col("__id"), col("__i"))).as("__first"),
-        countDistinct(col("__id")).as("__nd"))
-    val perDoc = sp
+        // Lexicographic-min (id, earliest offset in that id) IS the
+        // global first occurrence; one row per (value, doc) makes the
+        // plain count the distinct-document count.
+        min(struct(col("__id"), col("__mini"))).as("__first"),
+        count(lit(1)).as("__nd"))
+    val perDoc = perValueDoc
       .join(stats, Seq("__h"))
       .groupBy(col("__id"))
       .agg(
-        count(lit(1)).as("n_spans"),
+        sum(col("__occ")).as("n_spans"),
+        // The first-occurrence owner has exactly one non-dup occurrence
+        // (at __mini); every other occurrence anywhere is a dup.
         sum(
-          when(
-            col("__first").getField("__id") === col("__id") &&
-              col("__first").getField("__i") === col("__i"),
-            0L).otherwise(1L)).as("n_dup"),
-        sum(when(col("__nd") >= boilerplateDocs, 1L).otherwise(0L)).as("n_boiler"))
+          when(col("__first").getField("__id") === col("__id"), col("__occ") - 1L)
+            .otherwise(col("__occ"))).as("n_dup"),
+        sum(when(col("__nd") >= boilerplateDocs, col("__occ")).otherwise(0L)).as("n_boiler"))
     corpus
       .select(col(idCol).cast("long").as(idCol))
       .join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")

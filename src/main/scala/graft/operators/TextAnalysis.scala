@@ -234,6 +234,10 @@ object TextAnalysis {
     * (`explode_outer` keeps their row) and are reported clean with
     * `hit_rate` 0.0 (no division by zero under ANSI).
     *
+    * `idCol` must be unique per corpus document (same contract as
+    * [[Dedup.keepList]]) — duplicate ids would merge their gram
+    * counts into one blended row.
+    *
     * @return (idCol, n_grams, n_hit, hit_rate, contaminated)
     */
   def contaminationScreen(
