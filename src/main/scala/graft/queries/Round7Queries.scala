@@ -13,7 +13,8 @@ import graft.queries.CoreQueries.Q
   * fixed-length training sequences), the leakage-safe train/val
   * split (hash the near-dup cluster, not the document), and
   * cross-document span dedup (substring-granularity duplicate and
-  * boilerplate stats, the C4/RefinedWeb shape).
+  * boilerplate stats, the C4/RefinedWeb shape), and collocation
+  * mining (lift-scored bigrams — integer-exact PMI ranking).
   *
   * Same determinism contract as the other catalogs: decimal-exact
   * cosine, min-id canonical, pure-function shard assignment, no RNG.
@@ -228,12 +229,50 @@ object Round7Queries {
       |FROM c LEFT JOIN pd ON c.doc_id = pd.doc_id
       |ORDER BY c.doc_id NULLS FIRST""".stripMargin
 
+  /** q109 — collocation mining
+    * ([[graft.operators.TextAnalysis.collocationLift]]): the top-20
+    * bigrams of the corpus by LIFT (`p(ab)/(p(a)p(b))`, the
+    * exact-integer monotone twin of PMI), count floor 5 — the
+    * multi-word-unit detector of vocabulary induction. Total order by
+    * (lift desc, bigram) so double ties cannot flap the cut.
+    */
+  val q109CollocationLift: Q = (s, d) => {
+    graft.operators.TextAnalysis
+      .collocationLift(Tables.documents(s, d).filter(col("doc_id") < 400), "text", minCount = 5)
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(20)
+  }
+
+  /** Oracle: the same two token passes (bigrams via the q105-style
+    * list comprehension, multiplicity kept), vocabulary joins on each
+    * component, corpus totals as a cross join, and the identical
+    * DECIMAL(38,0)-exact numerator/denominator divided as doubles.
+    */
+  val q109Sql: String =
+    """WITH c AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents WHERE doc_id < 400),
+      |t AS (SELECT unnest(ws) AS w FROM c),
+      |uni AS (SELECT w, COUNT(*) AS c_w FROM t GROUP BY w),
+      |bg AS (SELECT unnest(CASE WHEN len(ws) >= 2
+      |        THEN [ws[i]||' '||ws[i+1] for i in range(1, len(ws))]
+      |        ELSE [] END) AS bigram FROM c),
+      |cb AS (SELECT bigram, COUNT(*) AS c_ab FROM bg GROUP BY bigram HAVING COUNT(*) >= 5),
+      |tot AS (SELECT (SELECT COUNT(*) FROM t) AS n1, (SELECT COUNT(*) FROM bg) AS n2)
+      |SELECT cb.bigram, CAST(cb.c_ab AS BIGINT) AS c_ab,
+      | CAST(ua.c_w AS BIGINT) AS c_a, CAST(ub.c_w AS BIGINT) AS c_b,
+      | CAST(CAST(cb.c_ab AS DECIMAL(38,0))*CAST(tot.n1 AS DECIMAL(38,0))*CAST(tot.n1 AS DECIMAL(38,0)) AS DOUBLE)
+      | / CAST(CAST(tot.n2 AS DECIMAL(38,0))*CAST(ua.c_w AS DECIMAL(38,0))*CAST(ub.c_w AS DECIMAL(38,0)) AS DOUBLE) AS lift
+      |FROM cb CROSS JOIN tot
+      |JOIN uni ua ON string_split(cb.bigram,' ')[1] = ua.w
+      |JOIN uni ub ON string_split(cb.bigram,' ')[2] = ub.w
+      |ORDER BY lift DESC, cb.bigram LIMIT 20""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q104_semantic_keeplist" -> q104SemanticKeepList,
     "q105_contamination" -> q105ContaminationScreen,
     "q106_pack_sequences" -> q106PackSequences,
     "q107_leakage_split" -> q107LeakageSafeSplit,
-    "q108_span_dedup" -> q108SpanDedup
+    "q108_span_dedup" -> q108SpanDedup,
+    "q109_collocation_lift" -> q109CollocationLift
   )
 
   val oracles: Map[String, String] = Map(
@@ -241,6 +280,7 @@ object Round7Queries {
     "q105_contamination" -> q105Sql,
     "q106_pack_sequences" -> q106Sql,
     "q107_leakage_split" -> q107Sql,
-    "q108_span_dedup" -> q108Sql
+    "q108_span_dedup" -> q108Sql,
+    "q109_collocation_lift" -> q109Sql
   )
 }

@@ -45,6 +45,23 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0L, 0.0, false))) // no grams -> clean, no div-by-zero
   }
 
+  test("collocationLift: exact integer lift, count floor, component counts") {
+    import spark.implicits._
+    // Tokens: x,y,x,y | x,y,z -> N1=7, c(x)=3 c(y)=3 c(z)=1.
+    // Bigrams (multiplicity): "x y","y x","x y" | "x y","y z" -> N2=5,
+    // c("x y")=3. lift("x y") = 3*7*7/(5*3*3) = 147/45.
+    val docs = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocationLift(docs, "text", minCount = 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "x y" && r.getLong(1) == 3L && r.getLong(2) == 3L && r.getLong(3) == 3L)
+    assert(r.getDouble(4) == 147.0 / 45.0)
+    val bad = intercept[IllegalArgumentException] {
+      TextAnalysis.collocationLift(docs, "text", minCount = 0)
+    }
+    assert(bad.getMessage.contains("minCount"))
+  }
+
   test("packSequences: greedy fill, overflow opens a bin, shard reset, oversize cap") {
     import spark.implicits._
     // Shard 0 (ids 0,2,4,6): tokens 4,4,3,20(cap 10) with L=10 ->
