@@ -30,6 +30,7 @@ import graft.operators.{Dedup, Similarity}
   *  - `packing`: q106's greedy no-straddle sequence packing, 32 shards
   *  - `spans`: q108's cross-document span dedup stats (8-token spans,
   *    stride 4, boilerplate at ≥ 2 docs)
+  *  - `collocations`: q109's lift-scored bigram mining (count floor 5)
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
@@ -87,7 +88,10 @@ object ScaleCheck {
         graft.operators.TextAnalysis.packSequences(docs, "doc_id", "text", 512, 32)),
       // q108 shape: span-granularity dedup over the whole slice.
       "spans" -> (() =>
-        Dedup.spanDedupStats(docs, "doc_id", "text", 8, 4, 2))
+        Dedup.spanDedupStats(docs, "doc_id", "text", 8, 4, 2)),
+      // q109 shape: corpus-wide bigram lift mining.
+      "collocations" -> (() =>
+        graft.operators.TextAnalysis.collocationLift(docs, "text", 5))
     )
 
     // Same inter-region protocol as Bench: sweep caches, force a GC so
