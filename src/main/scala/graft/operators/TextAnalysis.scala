@@ -240,61 +240,6 @@ object TextAnalysis {
     *
     * @return (idCol, n_grams, n_hit, hit_rate, contaminated)
     */
-  /** Collocation mining: bigrams scored by LIFT — the exact-arithmetic
-    * form of PMI (`PMI = log2(lift)`, monotone, so ranking by lift IS
-    * ranking by PMI without a per-engine `log` in the gate):
-    * `lift(a,b) = p(ab) / (p(a)·p(b)) = c_ab·N1² / (N2·c_a·c_b)`,
-    * with unigram/bigram counts over the WHOLE corpus (multiplicity
-    * kept — [[Dedup.wordNGramsAll]]). High-lift bigrams are the
-    * multi-word units vocabulary induction promotes to single tokens.
-    *
-    * Scale shape: two corpus token passes reduced immediately by
-    * word/bigram key (classic partial-agg word-count — no skew beyond
-    * genuinely hot words, which partial aggregation absorbs map-side);
-    * the unigram side joins back onto bigrams by each component (two
-    * equi-joins against the vocabulary-sized count table — Spark
-    * broadcasts it when it fits); corpus totals ride along as a
-    * broadcast single-row cross join. Numerators/denominators go
-    * through DECIMAL(38,0), so the arithmetic is exact at any corpus
-    * size; the final lift is the double quotient of the two exact
-    * integers.
-    *
-    * @param minCount drop bigrams with `c_ab` below this (rare-pair
-    *                 lift is noise — the standard collocation floor)
-    * @return (bigram, c_ab, c_a, c_b, lift), one row per distinct
-    *         bigram with count ≥ minCount
-    */
-  def collocationLift(
-      corpus: org.apache.spark.sql.DataFrame,
-      textCol: String,
-      minCount: Long): org.apache.spark.sql.DataFrame = {
-    require(minCount >= 1, s"need minCount >= 1 (got $minCount)")
-    val toks = corpus.select(explode(split(col(textCol), " ")).as("__w"))
-    val uni = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
-    val totals = toks
-      .agg(count(lit(1)).as("__n1"))
-      .crossJoin(
-        corpus
-          .select(explode(Dedup.wordNGramsAll(col(textCol), 2)).as("__bg"))
-          .agg(count(lit(1)).as("__n2")))
-    val dec = "decimal(38,0)"
-    corpus
-      .select(explode(Dedup.wordNGramsAll(col(textCol), 2)).as("bigram"))
-      .groupBy(col("bigram"))
-      .agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minCount)
-      .withColumn("__a", split(col("bigram"), " ").getItem(0))
-      .withColumn("__b", split(col("bigram"), " ").getItem(1))
-      .join(uni.select(col("__w").as("__a"), col("__c").as("c_a")), Seq("__a"))
-      .join(uni.select(col("__w").as("__b"), col("__c").as("c_b")), Seq("__b"))
-      .crossJoin(broadcast(totals))
-      .withColumn(
-        "lift",
-        (col("c_ab").cast(dec) * col("__n1").cast(dec) * col("__n1").cast(dec)).cast("double") /
-          (col("__n2").cast(dec) * col("c_a").cast(dec) * col("c_b").cast(dec)).cast("double"))
-      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"), col("lift"))
-  }
-
   def contaminationScreen(
       corpus: org.apache.spark.sql.DataFrame,
       evalSet: org.apache.spark.sql.DataFrame,
@@ -321,5 +266,70 @@ object TextAnalysis {
         when(col("n_grams") > 0, col("n_hit").cast("double") / col("n_grams").cast("double"))
           .otherwise(lit(0.0)))
       .withColumn("contaminated", col("hit_rate") >= threshold)
+  }
+
+  /** Collocation mining: bigrams scored by LIFT — the exact-arithmetic
+    * form of PMI (`PMI = log2(lift)`, monotone, so ranking by lift IS
+    * ranking by PMI without a per-engine `log` in the gate):
+    * `lift(a,b) = p(ab) / (p(a)·p(b)) = c_ab·N1² / (N2·c_a·c_b)`,
+    * with unigram/bigram counts over the WHOLE corpus (multiplicity
+    * kept — [[Dedup.wordNGramsAll]]). High-lift bigrams are the
+    * multi-word units vocabulary induction promotes to single tokens.
+    *
+    * Scale shape: TWO corpus passes total (tokens, bigrams), each
+    * reduced immediately by its key (classic partial-agg word count —
+    * no skew beyond genuinely hot words, which partial aggregation
+    * absorbs map-side). Both count tables PERSIST, because each is
+    * consumed twice — once for its corpus total (`N1`/`N2`), once by
+    * the scoring join — and an unpersisted subplan would re-run the
+    * corpus explode for each consumer; release via
+    * [[graft.GraftSession.releaseAllCaches]] once consumed. The
+    * unigram side joins onto bigrams by each component (two equi-joins
+    * against the vocabulary-sized table — Spark broadcasts it when it
+    * fits); totals ride along as a broadcast single-row cross join.
+    *
+    * Numerators/denominators go through DECIMAL(38,0): exact while
+    * `c_ab·N1² < 10^38` (≈ `N1·√c_ab < 10^19` — comfortable through
+    * trillion-token corpora; a 10^14-token corpus with a 10^11-count
+    * bigram overflows and fails FAST under ANSI in both engines
+    * rather than silently rounding — at that scale compute the ratio
+    * of per-key doubles instead).
+    *
+    * @param minCount drop bigrams with `c_ab` below this (rare-pair
+    *                 lift is noise — the standard collocation floor)
+    * @return (bigram, c_ab, c_a, c_b, lift), one row per distinct
+    *         bigram with count ≥ minCount
+    */
+  def collocationLift(
+      corpus: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minCount: Long): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"need minCount >= 1 (got $minCount)")
+    val uni = corpus
+      .select(explode(split(col(textCol), " ")).as("__w"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bi = corpus
+      .select(explode(Dedup.wordNGramsAll(col(textCol), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("c_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = uni
+      .agg(sum(col("__c")).cast("long").as("__n1"))
+      .crossJoin(bi.agg(sum(col("c_ab")).cast("long").as("__n2")))
+    val dec = "decimal(38,0)"
+    bi
+      .filter(col("c_ab") >= minCount)
+      .withColumn("__a", split(col("bigram"), " ").getItem(0))
+      .withColumn("__b", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("__w").as("__a"), col("__c").as("c_a")), Seq("__a"))
+      .join(uni.select(col("__w").as("__b"), col("__c").as("c_b")), Seq("__b"))
+      .crossJoin(broadcast(totals))
+      .withColumn(
+        "lift",
+        (col("c_ab").cast(dec) * col("__n1").cast(dec) * col("__n1").cast(dec)).cast("double") /
+          (col("__n2").cast(dec) * col("c_a").cast(dec) * col("c_b").cast(dec)).cast("double"))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"), col("lift"))
   }
 }

@@ -17,6 +17,10 @@ class CoreQueriesSpec extends AnyFunSuite {
       val n = fn(spark, sf).count()
       assert(n >= 0, s"$name failed")
     }
+    // Some operators persist intermediates as a documented contract
+    // (q109's count tables); drop them so suites asserting a clean
+    // CacheManager stay order-independent.
+    GraftSession.releaseAllCaches(spark)
   }
 
   test("q06: childless parents keep NULL rollup but 0 linked_total (§2.10-2/3)") {

@@ -60,6 +60,9 @@ class ExtOpsSpec extends AnyFunSuite {
       TextAnalysis.collocationLift(docs, "text", minCount = 0)
     }
     assert(bad.getMessage.contains("minCount"))
+    // The operator persists its two count tables (documented contract);
+    // release so the suite-wide cache-hygiene assertions stay true.
+    GraftSession.releaseAllCaches(spark)
   }
 
   test("packSequences: greedy fill, overflow opens a bin, shard reset, oversize cap") {
