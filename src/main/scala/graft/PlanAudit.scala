@@ -29,6 +29,12 @@ object PlanAudit {
         val smj = "SortMergeJoin".r.findAllIn(plan).length
         println(s"[audit] exchanges=$exchanges broadcastJoins=$bhj sortMergeJoins=$smj " +
           s"pushedFilters=${plan.contains("PushedFilters: [Is") || plan.contains("PushedFilters: [Less") || plan.contains("PushedFilters: [Equal")}")
+        // Operators that persist at build time (q109's count tables)
+        // register CacheManager entries eagerly; sweep so every later
+        // query is audited against the same clean state Bench/Verify
+        // run it in (live entries would rewrite matching subplans to
+        // InMemoryTableScan in the printed plan).
+        GraftSession.releaseAllCaches(spark)
       }
     }
     spark.stop()

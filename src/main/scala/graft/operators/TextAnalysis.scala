@@ -279,14 +279,20 @@ object TextAnalysis {
     * Scale shape: TWO corpus passes total (tokens, bigrams), each
     * reduced immediately by its key (classic partial-agg word count —
     * no skew beyond genuinely hot words, which partial aggregation
-    * absorbs map-side). Both count tables PERSIST, because each is
-    * consumed twice — once for its corpus total (`N1`/`N2`), once by
-    * the scoring join — and an unpersisted subplan would re-run the
-    * corpus explode for each consumer; release via
-    * [[graft.GraftSession.releaseAllCaches]] once consumed. The
-    * unigram side joins onto bigrams by each component (two equi-joins
-    * against the vocabulary-sized table — Spark broadcasts it when it
-    * fits); totals ride along as a broadcast single-row cross join.
+    * absorbs map-side). Both count tables PERSIST, because each has
+    * multiple consumers — the unigram table feeds THREE (the `N1`
+    * total and both component joins), the bigram table two (the `N2`
+    * total and the scored rows) — and an unpersisted subplan would
+    * re-run its corpus explode per consumer (five corpus passes
+    * instead of two). The materialization is a constant visible at
+    * fixture scale (README's ScaleCheck row) and the win at corpus
+    * scale, where the explodes dominate the vocabulary-sized tables.
+    * Release via [[collocationLiftReleasable]]'s targeted handle
+    * (drops exactly these two tables) or the harness-wide
+    * [[graft.GraftSession.releaseAllCaches]]. The unigram side joins
+    * onto bigrams by each component (two equi-joins against the
+    * vocabulary-sized table — Spark broadcasts it when it fits);
+    * totals ride along as a broadcast single-row cross join.
     *
     * Numerators/denominators go through DECIMAL(38,0): exact while
     * `c_ab·N1² < 10^38` (≈ `N1·√c_ab < 10^19` — comfortable through
@@ -303,7 +309,21 @@ object TextAnalysis {
   def collocationLift(
       corpus: org.apache.spark.sql.DataFrame,
       textCol: String,
-      minCount: Long): org.apache.spark.sql.DataFrame = {
+      minCount: Long): org.apache.spark.sql.DataFrame =
+    collocationLiftReleasable(corpus, textCol, minCount)._1
+
+  /** [[collocationLift]] with a targeted release handle — the
+    * persist-inside-operator convention shared with
+    * [[graft.operators.Dedup.connectedComponentsReleasable]] and
+    * `Sources.jsonLinesWithErrors`: `release()` unpersists exactly the
+    * two count tables this call registered, leaving any caches the
+    * CALLER holds untouched (session-wide `releaseAllCaches` would
+    * evict those too).
+    */
+  def collocationLiftReleasable(
+      corpus: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minCount: Long): (org.apache.spark.sql.DataFrame, () => Unit) = {
     require(minCount >= 1, s"need minCount >= 1 (got $minCount)")
     val uni = corpus
       .select(explode(split(col(textCol), " ")).as("__w"))
@@ -319,7 +339,7 @@ object TextAnalysis {
       .agg(sum(col("__c")).cast("long").as("__n1"))
       .crossJoin(bi.agg(sum(col("c_ab")).cast("long").as("__n2")))
     val dec = "decimal(38,0)"
-    bi
+    val scored = bi
       .filter(col("c_ab") >= minCount)
       .withColumn("__a", split(col("bigram"), " ").getItem(0))
       .withColumn("__b", split(col("bigram"), " ").getItem(1))
@@ -331,5 +351,6 @@ object TextAnalysis {
         (col("c_ab").cast(dec) * col("__n1").cast(dec) * col("__n1").cast(dec)).cast("double") /
           (col("__n2").cast(dec) * col("c_a").cast(dec) * col("c_b").cast(dec)).cast("double"))
       .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"), col("lift"))
+    (scored, () => { uni.unpersist(): Unit; bi.unpersist(): Unit })
   }
 }

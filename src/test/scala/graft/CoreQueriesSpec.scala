@@ -13,14 +13,16 @@ class CoreQueriesSpec extends AnyFunSuite {
   }
 
   test("every declared query runs and every query has an oracle or is rows-only") {
+    // Sweep per query (the Bench/Verify discipline): some operators
+    // persist intermediates as a documented contract (q109's count
+    // tables), and the finally keeps a mid-loop failure from leaking
+    // them into the shared session and later suites' cache asserts.
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sf).count()
-      assert(n >= 0, s"$name failed")
+      try {
+        val n = fn(spark, sf).count()
+        assert(n >= 0, s"$name failed")
+      } finally GraftSession.releaseAllCaches(spark)
     }
-    // Some operators persist intermediates as a documented contract
-    // (q109's count tables); drop them so suites asserting a clean
-    // CacheManager stay order-independent.
-    GraftSession.releaseAllCaches(spark)
   }
 
   test("q06: childless parents keep NULL rollup but 0 linked_total (§2.10-2/3)") {

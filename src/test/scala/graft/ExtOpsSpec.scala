@@ -51,18 +51,18 @@ class ExtOpsSpec extends AnyFunSuite {
     // Bigrams (multiplicity): "x y","y x","x y" | "x y","y z" -> N2=5,
     // c("x y")=3. lift("x y") = 3*7*7/(5*3*3) = 147/45.
     val docs = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
-    val out = TextAnalysis.collocationLift(docs, "text", minCount = 2).collect()
-    assert(out.length == 1)
-    val r = out.head
-    assert(r.getString(0) == "x y" && r.getLong(1) == 3L && r.getLong(2) == 3L && r.getLong(3) == 3L)
-    assert(r.getDouble(4) == 147.0 / 45.0)
+    val (scored, release) = TextAnalysis.collocationLiftReleasable(docs, "text", minCount = 2)
+    try {
+      val out = scored.collect()
+      assert(out.length == 1)
+      val r = out.head
+      assert(r.getString(0) == "x y" && r.getLong(1) == 3L && r.getLong(2) == 3L && r.getLong(3) == 3L)
+      assert(r.getDouble(4) == 147.0 / 45.0)
+    } finally release() // targeted: drops exactly the two count tables
     val bad = intercept[IllegalArgumentException] {
       TextAnalysis.collocationLift(docs, "text", minCount = 0)
     }
     assert(bad.getMessage.contains("minCount"))
-    // The operator persists its two count tables (documented contract);
-    // release so the suite-wide cache-hygiene assertions stay true.
-    GraftSession.releaseAllCaches(spark)
   }
 
   test("packSequences: greedy fill, overflow opens a bin, shard reset, oversize cap") {
