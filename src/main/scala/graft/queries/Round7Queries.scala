@@ -11,10 +11,12 @@ import graft.queries.CoreQueries.Q
   * "SemDeDup" shape), the benchmark-contamination screen (n-gram
   * train/test decontamination), sequence packing (greedy fill of
   * fixed-length training sequences), the leakage-safe train/val
-  * split (hash the near-dup cluster, not the document), and
+  * split (hash the near-dup cluster, not the document),
   * cross-document span dedup (substring-granularity duplicate and
-  * boilerplate stats, the C4/RefinedWeb shape), and collocation
-  * mining (lift-scored bigrams — integer-exact PMI ranking).
+  * boilerplate stats, the C4/RefinedWeb shape), collocation mining
+  * (lift-scored bigrams — integer-exact PMI ranking), and the
+  * per-source quality funnel (cumulative survival counts through
+  * langid → quality → span-dedup → decontamination).
   *
   * Same determinism contract as the other catalogs: decimal-exact
   * cosine, min-id canonical, pure-function shard assignment, no RNG.
@@ -266,13 +268,136 @@ object Round7Queries {
       |JOIN uni ub ON string_split(cb.bigram,' ')[2] = ub.w
       |ORDER BY lift DESC, cb.bigram LIMIT 20""".stripMargin
 
+  /** q110 — per-source quality FUNNEL: the observability report every
+    * training-data run emits — how many documents of each source
+    * survive each pipeline stage, cumulatively: language ID = 'en'
+    * (q26's argmax), quality score ≥ 0.6 (q27's composite),
+    * span-dedup clean (q108's n_dup = 0 — exact dedup is vacuous on
+    * this corpus, whose texts are all unique; partial copying is what
+    * actually trims), and decontaminated (q105's hit_rate < 0.3,
+    * which zeroes out the eval source itself — the sanity anchor).
+    * One row per source with monotone counts. All stages reuse the
+    * individually-gated operators, so this gate pins the COMPOSITION:
+    * the joins keep per-document grain until the single final
+    * aggregation on source.
+    */
+  val q110QualityFunnel: Q = (s, d) => {
+    import graft.operators.TextAnalysis
+    import TextAnalysis._
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 400)
+    val pred = docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        cjkCount(col("text")).as("cjk"),
+        markerHits(col("text"), markers("de")).as("s_de"),
+        markerHits(col("text"), markers("en")).as("s_en"),
+        markerHits(col("text"), markers("es")).as("s_es"),
+        markerHits(col("text"), markers("fr")).as("s_fr"),
+        wsTokenCount(col("text")).as("nt"),
+        (alphaCount(col("text")).cast("double") / length(col("text")).cast("double"))
+          .as("alpha_ratio"))
+      .withColumn(
+        "predicted",
+        predictLang(col("cjk"), col("s_de"), col("s_en"), col("s_es"), col("s_fr")))
+      .withColumn(
+        "score",
+        qualityScore(
+          col("alpha_ratio"),
+          col("nt"),
+          col("s_en").cast("double") / col("nt").cast("double")))
+      .select(col("doc_id"), col("source"), col("predicted"), col("score"))
+    val spanClean = Dedup
+      .spanDedupStats(docs, "doc_id", "text", window = 8, stride = 4, boilerplateDocs = 2)
+      .select(col("doc_id"), (col("n_dup") === 0L).as("span_clean"))
+    val contam = TextAnalysis
+      .contaminationScreen(docs, docs.filter(col("doc_id") % 20 === 7), "doc_id", "text", 5, 0.3)
+      .select(col("doc_id"), col("hit_rate"))
+    pred
+      .join(spanClean, Seq("doc_id"))
+      .join(contam, Seq("doc_id"))
+      .withColumn("p1", col("predicted") === "en")
+      .withColumn("p2", col("p1") && col("score") >= 0.6)
+      .withColumn("p3", col("p2") && col("span_clean"))
+      .withColumn("p4", col("p3") && col("hit_rate") < 0.3)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("p1"), 1L).otherwise(0L)).as("n_lang"),
+        sum(when(col("p2"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("p3"), 1L).otherwise(0L)).as("n_spanclean"),
+        sum(when(col("p4"), 1L).otherwise(0L)).as("n_final"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the q26/q27/q108/q105 SQL fragments composed at document
+    * grain, then one GROUP BY source. Marker lists inlined from
+    * [[graft.operators.TextAnalysis.markers]] (same source of truth
+    * as q26Sql/q27Sql).
+    */
+  val q110Sql: String = {
+    def inList(vocab: Seq[String]): String = vocab.map(v => s"'$v'").mkString("(", ", ", ")")
+    val m = graft.operators.TextAnalysis.markers
+    s"""WITH docs AS (SELECT doc_id, source, text FROM documents WHERE doc_id < 400),
+       |feat AS (SELECT doc_id, source,
+       |  CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS cjk,
+       |  CAST(len(list_filter(string_split(text,' '), t -> t IN ${inList(m("de"))})) AS BIGINT) AS s_de,
+       |  CAST(len(list_filter(string_split(text,' '), t -> t IN ${inList(m("en"))})) AS BIGINT) AS s_en,
+       |  CAST(len(list_filter(string_split(text,' '), t -> t IN ${inList(m("es"))})) AS BIGINT) AS s_es,
+       |  CAST(len(list_filter(string_split(text,' '), t -> t IN ${inList(m("fr"))})) AS BIGINT) AS s_fr,
+       |  CAST(len(string_split(text,' ')) AS BIGINT) AS nt,
+       |  CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/CAST(len(text) AS DOUBLE) AS alpha_ratio
+       | FROM docs),
+       |pred AS (SELECT doc_id, source,
+       |  CASE WHEN cjk > 0 THEN 'zh'
+       |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS predicted,
+       |  0.4*alpha_ratio + 0.3*least(1.0, CAST(nt AS DOUBLE)/100.0)
+       |   + 0.3*(1.0 - CAST(s_en AS DOUBLE)/CAST(nt AS DOUBLE)) AS score
+       | FROM feat),
+       |sp AS (SELECT doc_id, i,
+       |        CAST('0x'||substr(md5(array_to_string(list_slice(ws, i*4+1, i*4+8), ' ')),1,15) AS BIGINT) AS h
+       |       FROM (SELECT doc_id, string_split(text,' ') AS ws FROM docs),
+       |            LATERAL (SELECT unnest(range(0, (len(ws)-8)//4 + 1)) AS i)
+       |       WHERE len(ws) >= 8),
+       |dup AS (SELECT DISTINCT doc_id FROM
+       |         (SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn FROM sp)
+       |        WHERE rn > 1),
+       |g AS (SELECT doc_id, list_distinct(
+       |        CASE WHEN len(ws) >= 5
+       |             THEN [ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] for i in range(1, len(ws)-3)]
+       |             ELSE [] END) AS gs
+       |      FROM (SELECT doc_id, string_split(text,' ') AS ws FROM docs)),
+       |e AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 20 = 7),
+       |x AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+       |h2 AS (SELECT doc_id, COUNT(*) AS n_hit FROM x WHERE gram IN (SELECT gram FROM e) GROUP BY doc_id),
+       |contam AS (SELECT g.doc_id,
+       |   CASE WHEN len(g.gs) > 0 THEN CAST(COALESCE(h2.n_hit,0) AS DOUBLE)/CAST(len(g.gs) AS DOUBLE) ELSE 0.0 END AS hit_rate
+       |  FROM g LEFT JOIN h2 ON g.doc_id = h2.doc_id),
+       |fun AS (SELECT p.source,
+       |   p.predicted = 'en' AS p1,
+       |   p.predicted = 'en' AND p.score >= 0.6 AS p2,
+       |   p.predicted = 'en' AND p.score >= 0.6 AND p.doc_id NOT IN (SELECT doc_id FROM dup) AS p3,
+       |   p.predicted = 'en' AND p.score >= 0.6 AND p.doc_id NOT IN (SELECT doc_id FROM dup) AND c.hit_rate < 0.3 AS p4
+       |  FROM pred p JOIN contam c ON p.doc_id = c.doc_id)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+       | CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       | CAST(SUM(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       | CAST(SUM(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS n_spanclean,
+       | CAST(SUM(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+       |FROM fun GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q104_semantic_keeplist" -> q104SemanticKeepList,
     "q105_contamination" -> q105ContaminationScreen,
     "q106_pack_sequences" -> q106PackSequences,
     "q107_leakage_split" -> q107LeakageSafeSplit,
     "q108_span_dedup" -> q108SpanDedup,
-    "q109_collocation_lift" -> q109CollocationLift
+    "q109_collocation_lift" -> q109CollocationLift,
+    "q110_quality_funnel" -> q110QualityFunnel
   )
 
   val oracles: Map[String, String] = Map(
@@ -281,6 +406,7 @@ object Round7Queries {
     "q106_pack_sequences" -> q106Sql,
     "q107_leakage_split" -> q107Sql,
     "q108_span_dedup" -> q108Sql,
-    "q109_collocation_lift" -> q109Sql
+    "q109_collocation_lift" -> q109Sql,
+    "q110_quality_funnel" -> q110Sql
   )
 }
