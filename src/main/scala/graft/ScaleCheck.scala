@@ -91,7 +91,21 @@ object ScaleCheck {
         Dedup.spanDedupStats(docs, "doc_id", "text", 8, 4, 2)),
       // q109 shape: corpus-wide bigram lift mining.
       "collocations" -> (() =>
-        graft.operators.TextAnalysis.collocationLift(docs, "text", 5))
+        graft.operators.TextAnalysis.collocationLift(docs, "text", 5)),
+      // q111 shape: DSIR keep-rule — two corpus bigram passes, bucket
+      // table broadcast back over the gram stream.
+      "importance" -> (() =>
+        graft.operators.TextAnalysis.importanceKeepRule(
+          bound(Tables.documents(spark, sfDir), "doc_id")
+            .select(col("doc_id"), col("text"), col("lang")),
+          "text", "doc_id", col("lang") === "en", 1024)),
+      // q112 shape: per-source bottom-k sketches in one pass + the
+      // tiny sketch self-join.
+      "overlap" -> (() =>
+        graft.operators.TextAnalysis.sourceOverlapKmv(
+          bound(Tables.documents(spark, sfDir), "doc_id")
+            .select(col("source"), col("text")),
+          "text", "source", 3, 64))
     )
 
     // Same inter-region protocol as Bench: sweep caches, force a GC so

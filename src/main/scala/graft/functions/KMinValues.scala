@@ -49,3 +49,40 @@ class KMinValues(k: Int) extends Aggregator[Long, Seq[Long], Option[Long]] with 
   override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Option[Long]] = ExpressionEncoder()
 }
+
+/** [[KMinValues]]' sibling that returns the WHOLE k-min set instead of
+  * the k-th value — the bottom-k sketch itself. That set is a uniform
+  * fixed-size sample of the group's distinct hash space, so two
+  * groups' sketches can be INTERSECTED to estimate their overlap
+  * (Beyer et al., "On synopses for distinct-value estimation under
+  * multiset operations", SIGMOD 2007) — the primitive behind
+  * [[graft.operators.TextAnalysis.sourceOverlapKmv]]'s cross-source
+  * corpus-overlap matrix.
+  *
+  * Same buffer discipline as [[KMinValues]] (sorted, distinct, ≤ k
+  * longs): duplicate inputs are absorbed by the buffer's membership
+  * check, so callers DON'T need a distinct shuffle first — one pass,
+  * map-side combine, k longs per group per partition on the wire.
+  */
+class KMinList(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] with Serializable {
+
+  private def insert(buf: Seq[Long], h: Long): Seq[Long] =
+    if (buf.length == k && h >= buf.last) buf
+    else if (buf.contains(h)) buf
+    else ((buf :+ h).sorted).take(k)
+
+  override def zero: Seq[Long] = Seq.empty
+
+  override def reduce(buf: Seq[Long], h: Long): Seq[Long] = insert(buf, h)
+
+  override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+    (b1 ++ b2).distinct.sorted.take(k)
+
+  /** The sorted k smallest distinct hashes (fewer when the group holds
+    * fewer than k distinct values — then it IS the distinct set).
+    */
+  override def finish(r: Seq[Long]): Seq[Long] = r
+
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}

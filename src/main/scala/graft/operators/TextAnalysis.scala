@@ -353,4 +353,145 @@ object TextAnalysis {
       .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"), col("lift"))
     (scored, () => { uni.unpersist(): Unit; bi.unpersist(): Unit })
   }
+
+  /** Importance-based data selection, the hashed-n-gram keep rule of
+    * DSIR (Xie et al., "Data selection for language models via
+    * importance resampling", NeurIPS 2023): score every document by
+    * how much its hashed-bigram profile looks like a TARGET subset of
+    * the corpus, and keep documents scoring above the corpus average.
+    *
+    * Mechanics: every bigram occurrence hashes into one of `buckets`
+    * feature buckets ([[graft.functions.Hashing.h32]] mod buckets —
+    * the DSIR hashed feature space). One corpus pass builds the
+    * per-bucket occurrence counts under the target subset (`c_tgt`)
+    * and the whole corpus (`c_all`); a document's score is then the
+    * ratio of two sums over ITS bigram occurrences, `hits = Σ c_tgt`
+    * vs `norm = Σ c_all` — the average target-share of the buckets the
+    * document lives in. `keep ⇔ hits/norm ≥ T/C` (the corpus-wide
+    * target share), evaluated as the integer cross-product
+    * `hits·C ≥ norm·T` in DECIMAL(38,0): no division, no floats, so
+    * the verdict is bit-identical in the SQL oracle and across
+    * partitionings. (DSIR proper ranks by `Σ log(p_tgt/p_corpus)`;
+    * the sum-of-counts ratio keeps the same "weight features by how
+    * target-like they are" shape while staying integer-exact — the
+    * log-space variant is a one-line swap where exactness can be
+    * traded away.)
+    *
+    * Scale shape: the bucket table is at most `buckets` rows —
+    * PERSISTED because it has two consumers (the totals row and the
+    * per-document join; without it each consumer re-runs the corpus
+    * explode), then BROADCAST into the per-document join. Two corpus
+    * passes total, both reduced map-side; the only shuffle keyed on
+    * `idCol`. Documents with no bigram (< 2 tokens) carry no evidence
+    * and are dropped, matching SQL `unnest` semantics on empty lists.
+    *
+    * @param targetCol boolean column marking the target distribution
+    *                  (e.g. `col("lang") === "en"`, a quality flag, …)
+    * @return (idCol, hits, norm, keep) — one row per document with ≥ 1
+    *         bigram
+    */
+  def importanceKeepRule(
+      corpus: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      targetCol: Column,
+      buckets: Int): org.apache.spark.sql.DataFrame =
+    importanceKeepRuleReleasable(corpus, textCol, idCol, targetCol, buckets)._1
+
+  /** [[importanceKeepRule]] with the targeted release handle (same
+    * convention as [[collocationLiftReleasable]]): `release()` drops
+    * exactly the bucket-count table this call persisted.
+    */
+  def importanceKeepRuleReleasable(
+      corpus: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      targetCol: Column,
+      buckets: Int): (org.apache.spark.sql.DataFrame, () => Unit) = {
+    require(buckets >= 2, s"need buckets >= 2 (got $buckets)")
+    val grams = corpus
+      .select(col(idCol), targetCol.as("__tgt"), explode(Dedup.wordNGramsAll(col(textCol), 2)).as("__g"))
+      .select(col(idCol), col("__tgt"), (graft.functions.Hashing.h32(col("__g")) % buckets).as("__bucket"))
+    val bc = grams
+      .groupBy(col("__bucket"))
+      .agg(
+        count(lit(1)).as("__c_all"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__c_tgt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = bc.agg(
+      sum(col("__c_all")).cast("long").as("__c_total"),
+      sum(col("__c_tgt")).cast("long").as("__t_total"))
+    val dec = "decimal(19,0)"
+    val out = grams
+      .join(broadcast(bc), Seq("__bucket"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c_tgt")).cast("long").as("hits"),
+        sum(col("__c_all")).cast("long").as("norm"))
+      .crossJoin(broadcast(totals))
+      .withColumn(
+        "keep",
+        col("hits").cast(dec) * col("__c_total").cast(dec) >=
+          col("norm").cast(dec) * col("__t_total").cast(dec))
+      .select(col(idCol), col("hits"), col("norm"), col("keep"))
+    (out, () => bc.unpersist(): Unit)
+  }
+
+  /** Cross-source corpus-overlap matrix from bottom-k (KMV) sketches:
+    * for every pair of sources, how many of the corpus' k smallest
+    * distinct shingle hashes both sources contain — the fixed-size-
+    * sketch estimate of content overlap between corpus slices (crawl
+    * snapshots, domains, dumps), the triage step that decides which
+    * slice PAIRS are worth a full cross-slice dedup run.
+    *
+    * Per source, [[graft.functions.KMinList]] keeps the k smallest
+    * distinct [[graft.functions.Hashing.h60]] hashes of the word
+    * `n`-gram shingles — ONE corpus pass, no distinct shuffle (the
+    * bounded buffer absorbs duplicates map-side), k longs per source
+    * on the wire. The sketch table (≤ sources·k rows) PERSISTS —
+    * it is self-joined on the hash value, and each side would
+    * otherwise re-run the corpus pass — then the pairwise counts are
+    * a hash equi-join of two tiny tables. Raw intersection counts,
+    * not a Jaccard ratio: counts are integer-exact across engines,
+    * and the standard estimators (Beyer et al. 2007) derive from them
+    * when a ratio is wanted.
+    *
+    * @return (src_a, src_b, overlap_k) for pairs with ≥ 1 shared
+    *         bottom-k hash, `src_a < src_b`
+    */
+  def sourceOverlapKmv(
+      corpus: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      groupCol: String,
+      n: Int,
+      k: Int): org.apache.spark.sql.DataFrame =
+    sourceOverlapKmvReleasable(corpus, textCol, groupCol, n, k)._1
+
+  /** [[sourceOverlapKmv]] with the targeted release handle —
+    * `release()` drops exactly the per-source sketch table.
+    */
+  def sourceOverlapKmvReleasable(
+      corpus: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      groupCol: String,
+      n: Int,
+      k: Int): (org.apache.spark.sql.DataFrame, () => Unit) = {
+    require(n >= 1, s"need n >= 1 (got $n)")
+    require(k >= 1, s"need k >= 1 (got $k)")
+    val kml = udaf(new graft.functions.KMinList(k))
+    val sketches = corpus
+      .select(col(groupCol).as("__src"), explode(Dedup.wordNGramsAll(col(textCol), n)).as("__sh"))
+      .select(col("__src"), graft.functions.Hashing.h60(col("__sh")).as("__h"))
+      .groupBy(col("__src"))
+      .agg(kml(col("__h")).as("__sketch"))
+      .select(col("__src"), explode(col("__sketch")).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = sketches
+      .select(col("__src").as("src_a"), col("__h"))
+      .join(sketches.select(col("__src").as("src_b"), col("__h")), Seq("__h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("overlap_k"))
+    (out, () => sketches.unpersist(): Unit)
+  }
 }

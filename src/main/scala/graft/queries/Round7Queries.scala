@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.queries.CoreQueries.Q
 
 /** Round-7 surface: the training-data endgame operators — the
@@ -16,7 +16,10 @@ import graft.queries.CoreQueries.Q
   * boilerplate stats, the C4/RefinedWeb shape), collocation mining
   * (lift-scored bigrams — integer-exact PMI ranking), and the
   * per-source quality funnel (cumulative survival counts through
-  * langid → quality → span-dedup → decontamination).
+  * langid → quality → span-dedup → decontamination), the DSIR-style
+  * importance keep-rule (hashed-bigram likelihood selection, integer-
+  * exact), and the cross-source KMV overlap matrix (bottom-k sketch
+  * intersection — which corpus-slice pairs warrant a cross-dedup run).
   *
   * Same determinism contract as the other catalogs: decimal-exact
   * cosine, min-id canonical, pure-function shard assignment, no RNG.
@@ -390,6 +393,58 @@ object Round7Queries {
        |FROM fun GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
   }
 
+  /** q111 — DSIR-style importance keep-rule
+    * ([[graft.operators.TextAnalysis.importanceKeepRule]]): hashed-
+    * bigram target/corpus bucket counts (1024 buckets, target =
+    * `lang = 'en'`), every document scored by the target-share of its
+    * buckets and kept iff above the corpus-wide share — the
+    * importance-resampling selection step, integer-exact (the keep
+    * verdict is a DECIMAL(38,0) cross-product, no division), so the
+    * DuckDB oracle reproduces every bit.
+    */
+  val q111ImportanceKeep: Q = (s, d) =>
+    TextAnalysis
+      .importanceKeepRule(
+        Tables.documents(s, d), "text", "doc_id",
+        col("lang") === "en", buckets = 1024)
+      .orderBy(col("doc_id"))
+
+  val q111Sql: String =
+    """WITH w AS (SELECT doc_id, lang = 'en' AS tgt, string_split(text,' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, tgt, unnest([ws[i]||' '||ws[i+1] for i in range(1, CAST(len(ws) AS BIGINT))]) AS bigram FROM w),
+      |gb AS (SELECT doc_id, tgt, CAST('0x' || substr(md5(bigram),1,8) AS BIGINT) % 1024 AS bucket FROM g),
+      |bc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_all,
+      |        CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt FROM gb GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c_all) AS BIGINT) AS c_total, CAST(SUM(c_tgt) AS BIGINT) AS t_total FROM bc),
+      |per AS (SELECT doc_id, CAST(SUM(bc.c_tgt) AS BIGINT) AS hits, CAST(SUM(bc.c_all) AS BIGINT) AS norm
+      |        FROM gb JOIN bc USING (bucket) GROUP BY 1)
+      |SELECT doc_id, hits, norm,
+      | CAST(hits AS DECIMAL(19,0)) * CAST((SELECT c_total FROM tot) AS DECIMAL(19,0))
+      |  >= CAST(norm AS DECIMAL(19,0)) * CAST((SELECT t_total FROM tot) AS DECIMAL(19,0)) AS keep
+      |FROM per ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** q112 — cross-source corpus-overlap matrix
+    * ([[graft.operators.TextAnalysis.sourceOverlapKmv]]): per-source
+    * bottom-64 KMV sketches over word 3-gram shingles, intersected
+    * pairwise — the slice-overlap triage report. Sketches are
+    * deterministic md5-derived hash sets, so the DuckDB oracle
+    * rebuilds them exactly (row_number over ordered distinct hashes).
+    */
+  val q112SourceOverlap: Q = (s, d) =>
+    TextAnalysis
+      .sourceOverlapKmv(Tables.documents(s, d), "text", "source", n = 3, k = 64)
+      .orderBy(col("src_a"), col("src_b"))
+
+  val q112Sql: String =
+    """WITH w AS (SELECT source, string_split(text,' ') AS ws FROM documents),
+      |g AS (SELECT source, unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, CAST(len(ws) AS BIGINT)-1)]) AS sh FROM w),
+      |h AS (SELECT DISTINCT source, CAST('0x' || substr(md5(sh),1,15) AS BIGINT) AS hv FROM g),
+      |r AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
+      |sk AS (SELECT source, hv FROM r WHERE rn <= 64)
+      |SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS overlap_k
+      |FROM sk a JOIN sk b ON a.hv = b.hv AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY src_a NULLS FIRST, src_b NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q104_semantic_keeplist" -> q104SemanticKeepList,
     "q105_contamination" -> q105ContaminationScreen,
@@ -397,7 +452,9 @@ object Round7Queries {
     "q107_leakage_split" -> q107LeakageSafeSplit,
     "q108_span_dedup" -> q108SpanDedup,
     "q109_collocation_lift" -> q109CollocationLift,
-    "q110_quality_funnel" -> q110QualityFunnel
+    "q110_quality_funnel" -> q110QualityFunnel,
+    "q111_importance_keep" -> q111ImportanceKeep,
+    "q112_source_overlap" -> q112SourceOverlap
   )
 
   val oracles: Map[String, String] = Map(
@@ -407,6 +464,8 @@ object Round7Queries {
     "q107_leakage_split" -> q107Sql,
     "q108_span_dedup" -> q108Sql,
     "q109_collocation_lift" -> q109Sql,
-    "q110_quality_funnel" -> q110Sql
+    "q110_quality_funnel" -> q110Sql,
+    "q111_importance_keep" -> q111Sql,
+    "q112_source_overlap" -> q112Sql
   )
 }

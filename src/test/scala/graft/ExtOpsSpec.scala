@@ -188,4 +188,67 @@ class ExtOpsSpec extends AnyFunSuite {
       .join(small, col("k") === col("sk")).count()
     assert(joined == prunedJoined)
   }
+
+  test("importanceKeepRule: exact hits/norm, keep iff above corpus target share, no-bigram docs dropped") {
+    import spark.implicits._
+    // Disjoint a*/b* bigram vocabularies (no hash-bucket collision at
+    // 4096 — verdicts below are exact). Target docs 1,2 use a*; doc 3
+    // is pure b*; doc 4 mixes; doc 5 has one token (no bigram).
+    val corpus = Seq(
+      (1L, "a1 a2 a3 a1 a2", true),
+      (2L, "a2 a3 a1", true),
+      (3L, "b1 b2 b3 b4", false),
+      (4L, "a1 a2 b1 b2", false),
+      (5L, "solo", false)
+    ).toDF("doc_id", "text", "tgt")
+    val (out, release) =
+      TextAnalysis.importanceKeepRuleReleasable(corpus, "text", "doc_id", col("tgt"), 4096)
+    val m = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    release()
+    // T=6 of C=12 bigram occurrences are target → threshold share 1/2.
+    assert(m(1L) == ((8L, 10L, true))) //  8/10 ≥ 1/2
+    assert(m(2L) == ((4L, 4L, true))) //   4/4  ≥ 1/2
+    assert(m(3L) == ((0L, 4L, false))) //  0/4  < 1/2
+    assert(m(4L) == ((2L, 6L, false))) //  2/6  < 1/2
+    assert(!m.contains(5L)) //             no bigram → no evidence row
+  }
+
+  test("importanceKeepRule: all-target corpus keeps every document (share ties keep)") {
+    import spark.implicits._
+    val corpus = Seq((1L, "p q r"), (2L, "s t u v")).toDF("doc_id", "text")
+    val (df, release) =
+      TextAnalysis.importanceKeepRuleReleasable(corpus, "text", "doc_id", lit(true), 64)
+    val out = df.collect()
+    release()
+    assert(out.length == 2 && out.forall(_.getBoolean(3)))
+  }
+
+  test("sourceOverlapKmv: identical sources share the full sketch, disjoint none, multiplicity absorbed") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("sA", "t1 t2 t3 t4 t5"),
+      ("sB", "t1 t2 t3 t4 t5"), // same content as sA
+      ("sB", "t1 t2 t3 t4 t5"), // duplicate doc — sketch must not change
+      ("sC", "u1 u2 u3 u4 u5") //  disjoint vocabulary
+    ).toDF("source", "text")
+    val (out, release) =
+      TextAnalysis.sourceOverlapKmvReleasable(corpus, "text", "source", n = 3, k = 64)
+    val m = out.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    release()
+    // 5 tokens → 3 distinct 3-shingles, all within k=64.
+    assert(m == Map(("sA", "sB") -> 3L))
+  }
+
+  test("sourceOverlapKmv: k truncates to the bottom-k, so overlap is capped at k") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("sA", (1 to 20).map(i => s"w$i").mkString(" ")),
+      ("sB", (1 to 20).map(i => s"w$i").mkString(" "))
+    ).toDF("source", "text")
+    val (df, release) =
+      TextAnalysis.sourceOverlapKmvReleasable(corpus, "text", "source", n = 3, k = 2)
+    val out = df.collect()
+    release()
+    assert(out.length == 1 && out.head.getLong(2) == 2L)
+  }
 }

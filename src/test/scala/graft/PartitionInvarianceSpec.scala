@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Relational, Similarity}
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
 
 /** Partitioning-invariance: the determinism contract says every
   * operator returns BIT-IDENTICAL results regardless of how the input
@@ -144,5 +144,24 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     val a = rows(Relational.bloomPrefilter(big.repartition(1), "k", small, "sk"))
     val b = rows(Relational.bloomPrefilter(big.repartition(9, col("k")), "k", small.repartition(2), "sk"))
     assert(a == b)
+  }
+
+  test("importance keep-rule (q111 shape) is partitioning-invariant") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"))
+    invariant(
+      d => TextAnalysis.importanceKeepRule(d, "text", "doc_id", col("lang") === "en", buckets = 1024),
+      docs)
+    // the operator persists its bucket table internally; both builds
+    // are done, so drop the entries for later suites' cache hygiene
+    GraftSession.releaseAllCaches(spark)
+  }
+
+  test("source-overlap KMV sketch (q112 shape) is partitioning-invariant") {
+    val docs = Tables.documents(spark, sf).select(col("source"), col("text"))
+    invariant(
+      d => TextAnalysis.sourceOverlapKmv(d, "text", "source", n = 3, k = 64),
+      docs)
+    GraftSession.releaseAllCaches(spark)
   }
 }

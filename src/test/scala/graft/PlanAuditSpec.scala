@@ -184,4 +184,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // the picked rows come from the range-partitioned cached sort
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p.take(2000))
   }
+
+  test("q111: bucket table and totals broadcast into the per-doc pass; no cartesian") {
+    val p = plan("q111_importance_keep")
+    // the ≤buckets-row count table joins the corpus-sized gram stream
+    // map-side; the totals row rides a broadcast nested loop (1 row),
+    // never a shuffled cartesian
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // building the plan registered the operator's internal persist —
+    // drop it so later suites see an empty CacheManager
+    GraftSession.releaseAllCaches(spark)
+  }
+
+  test("q112: sketch self-join is a broadcast equi-join, no cartesian") {
+    val p = plan("q112_source_overlap")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    GraftSession.releaseAllCaches(spark)
+  }
 }
