@@ -25,21 +25,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** The events table's `ts` is parquet TIMESTAMP(NANOS), which Spark
-    * only reads with `spark.sql.legacy.parquet.nanosAsLong=true` (as a
-    * long of epoch nanoseconds). Normalize either representation to an
-    * extra `ts_us` column (epoch microseconds, the precision Spark
-    * timestamps carry) so downstream operators are session-agnostic.
+  /** The events table's `ts` has shipped as three parquet physical
+    * shapes across testdata generations: TIMESTAMP(NANOS) (readable
+    * only as epoch-ns longs under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), TIMESTAMP(MICROS,
+    * isAdjustedToUTC=true) (Spark `TimestampType`), and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark
+    * `TimestampNTZType`). Normalize all three to an extra `ts_us`
+    * column (epoch microseconds, the precision Spark timestamps carry)
+    * so downstream operators are representation-agnostic.
+    *
+    * The NTZ branch casts through `TimestampType`, which interprets
+    * the naive wall-clock in the session time zone —
+    * [[GraftSession]] pins `spark.sql.session.timeZone=UTC`, matching
+    * the DuckDB oracle's `epoch_us(ts)` (naive-as-UTC) exactly.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    withTsUs(table(s, d, "events"))
+
+  /** Adds the normalized `ts_us` column for any of the three `ts`
+    * physical shapes. Shared by the batch loader above and the
+    * streaming landing-zone path (whose pinned file schema carries the
+    * same three possibilities).
+    */
+  def withTsUs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, unix_micros}
-    import org.apache.spark.sql.types.LongType
-    val df = table(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val tsUs = df.schema("ts").dataType match {
       // Integer division: epoch-ns (~1.7e18) exceeds double's 2^53 exact
       // range, so `/ 1000.0` would be off by 1µs on some rows.
-      case LongType => expr("ts div 1000")
-      case _        => unix_micros(col("ts"))
+      case LongType         => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case _                => unix_micros(col("ts"))
     }
     df.withColumn("ts_us", tsUs)
   }

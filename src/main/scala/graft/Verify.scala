@@ -38,6 +38,7 @@ object Verify {
       if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(deleteRecursively))
       p.delete(): Unit
     }
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       // Remove any previous run's dump FIRST: outDir may be reused, and a
       // query that throws below must leave no parquet behind — otherwise
@@ -49,7 +50,19 @@ object Verify {
         nonVacuous.get(name).foreach(_.apply(df))
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
+        // A query whose build/dump throws must still produce a dump, or
+        // the driver's compare silently drops it and the round's
+        // correctness file shows fewer-but-all-green entries (round 7:
+        // 14 events queries vanished and 98/98 read as full parity).
+        // Dump a one-row error marker instead: the DuckDB compare then
+        // records an explicit red (schema+rows+hash mismatch) entry
+        // carrying the exception text.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = String.valueOf(e.getMessage)
+        import spark.implicits._
+        Seq(("__VERIFY_ERROR__", String.valueOf(e.getMessage).take(500)))
+          .toDF("__verify_error", "message")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       // Per-query cache sweep: keeps each dump independent of sibling
       // queries' persisted frames (see GraftSession.releaseAllCaches).
@@ -70,6 +83,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Loud failure summary (machine-readable beside the dumps, and a
+    // final stderr line): the per-query error markers above already
+    // force red compare entries; this makes the failure set greppable
+    // without parsing parquet.
+    val failJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size}/${selected.size} queries FAILED: ${failures.keys.mkString(", ")}")
+    else
+      System.err.println(s"[verify] all ${selected.size} queries dumped ok")
     spark.stop()
   }
 }

@@ -84,9 +84,8 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("part-0.parquet"))
     val toTs = expr("timestamp_micros(ts_us)")
-    val stream = graft.streaming.EventStreams
-      .readEventStream(spark, dir.toString)
-      .withColumn("ts_us", expr("ts div 1000"))
+    val stream = Tables.withTsUs(graft.streaming.EventStreams
+        .readEventStream(spark, dir.toString))
       .withColumn("ts", toTs)
     val q = graft.streaming.EventStreams
       .tumblingAgg(stream, "1 hour", "1 minute")
