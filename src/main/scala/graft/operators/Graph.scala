@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames — the Pregel-shaped
+  * companion to [[Dedup.connectedComponents]] (min-label propagation).
+  *
+  * The reference has no graph surface (SURVEY.md §2: a batch star-schema
+  * ETL); this is green-field capability for the training-data pipeline:
+  * link-graph centrality is a standard document-quality prior (the
+  * original PageRank use), and the same fixed-point join loop is the
+  * scaffold for label propagation / influence spread over entity graphs.
+  *
+  * Design for 100 TB: each iteration is ONE shuffle — an equi-join of
+  * the (persisted, hash-partitioned) edge list with the current rank
+  * frame on the source key, then a `groupBy(dst).sum` whose map-side
+  * partial aggregation collapses per-destination contributions before
+  * the exchange. Rounds stack lazily and the rank frame is
+  * checkpoint-materialized (persisted row RDD, rewrapped as a leaf)
+  * every few rounds, so one action evaluates a bounded multi-round
+  * plan — per-round scheduler latency amortizes, while analysis cost
+  * never compounds past the checkpoint interval (the plan-depth
+  * discipline of the CC loop, applied at interval).
+  */
+object Graph {
+
+  /** PageRank in integer micro-units — deterministic across engines,
+    * partitionings, and reruns.
+    *
+    * Floating-point PageRank is order-sensitive (FP addition does not
+    * associate), so two runs of the *same* code on different partition
+    * layouts disagree in the last ulp — unacceptable for an
+    * oracle-gated operator. This variant does ALL arithmetic in
+    * integers: ranks are micro-units (`scale` = 1 rank unit), each node
+    * sends `rank div outdeg` along every out-edge (truncating integer
+    * division — every value non-negative, so trunc ≡ floor and any SQL
+    * engine's `//` agrees), and the damping update is
+    * `((100-dampingPct)·scale) div 100 + (dampingPct·Σcontrib) div 100`.
+    * The tiny mass lost to truncation is a deterministic, documented
+    * bias — the RANKING is what the operator sells, not the 10th
+    * decimal of the stationary distribution.
+    *
+    * Contract: `edges` is a 2-column (src, dst) directed edge list;
+    * duplicates are dropped. Every node appearing only as a dst (a
+    * dangling node) keeps receiving mass but sends none — its unsent
+    * mass is dropped, the standard simplification. For an undirected
+    * graph pass `undirected = true` with the UNMIRRORED pair list —
+    * the operator canonicalizes, dedups once, and mirrors from its
+    * own cache (pre-mirroring by the caller doubles the dedup shuffle
+    * and re-evaluates the upstream pipeline); no node dangles then. Long
+    * arithmetic holds while `nodes·scale ≤ ~9·10^16 / dampingPct`
+    * (ANSI mode throws on overflow rather than corrupting — at
+    * planetary node counts, lower `scale`).
+    *
+    * Returns (node: long, rank: long) — one row per node.
+    */
+  def integerPageRank(
+      edges: DataFrame,
+      iterations: Int = 3,
+      dampingPct: Int = 85,
+      scale: Long = 1000000L,
+      undirected: Boolean = false): DataFrame =
+    integerPageRankReleasable(edges, iterations, dampingPct, scale, undirected = undirected)._1
+
+  /** [[integerPageRank]] plus a release handle for the persisted frames
+    * backing the result (the final rank RDD + the edge/degree caches) —
+    * same contract as [[Dedup.connectedComponentsReleasable]]: the
+    * result stays cached for the consume-immediately case; long-lived
+    * sessions call the handle once materialized.
+    */
+  def integerPageRankReleasable(
+      edges: DataFrame,
+      iterations: Int = 3,
+      dampingPct: Int = 85,
+      scale: Long = 1000000L,
+      materializeEvery: Int = 4,
+      undirected: Boolean = false): (DataFrame, () => Unit) = {
+    require(iterations >= 1, "integerPageRank: need at least one iteration")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
+    require(scale >= 100L, "scale below 100 micro-units loses the damping term to truncation")
+    require(materializeEvery >= 1, "materializeEvery is a round count")
+    val spark = edges.sparkSession
+    val Array(srcName, dstName) = edges.columns
+    // `undirected = true`: the input is an unordered pair list. Dedup
+    // the CANONICAL (min, max) pair — ONE shuffle over the raw input —
+    // and mirror from the cache with a narrow column flip, instead of
+    // having the caller pre-mirror (which would evaluate the upstream
+    // pipeline twice and push 2× the rows through the dedup shuffle —
+    // measured on the q113 edge build: the mirrored-input plan scanned
+    // and joined the fact tables twice and distinct'd 1.17 M rows where
+    // this shape distinct's 585 k once). Self-loops are dropped (their
+    // mirror would double-count the edge); directed mode keeps them.
+    val cached = {
+      val cast = edges.select(col(srcName).cast("long").as("a"), col(dstName).cast("long").as("b"))
+      if (undirected)
+        cast
+          .select(least(col("a"), col("b")).as("src"), greatest(col("a"), col("b")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .persist()
+      else
+        cast.select(col("a").as("src"), col("b").as("dst")).distinct().persist()
+    }
+    // Materialize FULLY before anything else reads the cache (an
+    // isEmpty probe would cache only one partition's worth and every
+    // later scan would replay the upstream edge pipeline — the CC
+    // lesson, Dedup.scala:473-484).
+    val edgeRows = cached.count()
+    if (edgeRows == 0L) {
+      cached.unpersist()
+      return (cached.select(col("src").as("node"), col("src").as("rank")), () => ())
+    }
+    // Canonical pairs are strictly (min < max), so the mirrored rows
+    // cannot collide with the originals — no second distinct needed.
+    val e =
+      if (undirected)
+        cached.unionByName(cached.select(col("dst").as("src"), col("src").as("dst")))
+      else cached
+    // Out-degrees fold into a persisted per-edge sender frame
+    // (src, dst, outdeg) — iteration-invariant, computed once. The
+    // node universe is persisted too: it seeds rank 0 and anchors the
+    // per-round left join (a node with no in-edges keeps its base
+    // mass). No eager count on either: every read below is a FULL
+    // scan (the partial-cache trap needs a take(1)-shaped probe), so
+    // the first full scan fills the cache and later ones hit it.
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    val sender = e.join(outdeg, Seq("src")).persist()
+    val base = ((100L - dampingPct) * scale) / 100L
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    // Rounds STACK LAZILY — one action evaluates several rounds as a
+    // single multi-stage job instead of paying scheduler + cache-write
+    // latency per round (measured: per-round materialization tripled
+    // the 3-round wall-clock). Every `materializeEvery` rounds the
+    // rank frame is persisted and rewrapped as a leaf so analysis
+    // cost never compounds past a bounded plan depth (the unbounded-
+    // iteration discipline of the CC loop, applied at interval).
+    var rank = nodes.select(col("node"), lit(scale).as("rank"))
+    var rankRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    for (i <- 1 to iterations) {
+      val contrib = sender
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("csum"))
+      val next = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(
+          col("node"),
+          (lit(base) + expr(s"($dampingPct * coalesce(csum, CAST(0 AS BIGINT))) div 100"))
+            .as("rank"))
+      if (i % materializeEvery == 0 && i < iterations) {
+        val (nextDf, nextRdd) = materialize(next)
+        nextDf.count()
+        rankRdd.foreach(_.unpersist())
+        rank = nextDf
+        rankRdd = Some(nextRdd)
+      } else {
+        rank = next
+      }
+    }
+    val lastRdd = rankRdd
+    val release = { () =>
+      lastRdd.foreach(_.unpersist()); sender.unpersist(); nodes.unpersist(); cached.unpersist(); ()
+    }
+    (rank, release)
+  }
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Graph, Relational}
+import graft.queries.CoreQueries.Q
+
+/** Round-8 surface: graph centrality (integer-exact PageRank over the
+  * customer⟷supplier transaction graph — the link-graph quality prior
+  * a web-corpus pipeline ranks documents by) and robust dispersion
+  * (grouped median absolute deviation — the outlier-resistant spread
+  * statistic behind quality-score winsorization), both deterministic
+  * by construction (integer micro-units; discrete order statistics).
+  */
+object Round8Queries {
+
+  /** q113 — integer-exact PageRank ([[Graph.integerPageRank]]) over
+    * the bipartite customer⟷supplier graph: an edge per DISTINCT
+    * (customer, supplier) trading pair from orders⋈lineitem, fed
+    * bidirectionally so mass flows both ways and no node dangles.
+    * Node ids are namespaced (customer·2, supplier·2+1) to keep the
+    * two keyspaces disjoint. Three damped rounds (d=0.85) in micro-
+    * units; top 25 by (rank, node) — suppliers with many distinct
+    * buyers float up, exactly the "centrality as a prior" shape.
+    *
+    * Scale: the edge build is a projected equi-join; each PageRank
+    * round is one edge⋈rank shuffle + a map-side-combined sum. At
+    * 100 TB the edge list is the big frame and it is persisted ONCE,
+    * hash-partitioned on the join key every round reuses.
+    */
+  val q113PageRank: Q = (s, d) => {
+    val e0 = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(
+        (col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    // Unmirrored, undeduped pairs: `undirected = true` canonicalizes
+    // and dedups ONCE inside the operator and mirrors from its cache —
+    // pre-mirroring here would scan+join the fact tables twice and
+    // push 2× the rows through the dedup shuffle.
+    Graph
+      .integerPageRank(e0, iterations = 3, undirected = true)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(25)
+  }
+
+  /** Oracle: the same three integer rounds as chained CTEs — `//` is
+    * floor division, identical to Spark's `div` on the non-negative
+    * values here. Every `//`/`*` term parenthesized (user-level
+    * operators are equal-precedence left-associative in Postgres-family
+    * grammars). DuckDB's SUM(BIGINT) widens to HUGEINT, so each round
+    * casts back to BIGINT after the damping update.
+    */
+  val q113Sql: String =
+    """WITH e0 AS (SELECT DISTINCT (o_custkey * 2) AS src, ((l_suppkey * 2) + 1) AS dst
+      |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+      |od AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      |s1 AS (SELECT e.dst AS node, SUM(r0.r // od.outdeg) AS csum
+      |       FROM e JOIN od ON od.node = e.src JOIN r0 ON r0.node = e.src GROUP BY 1),
+      |r1 AS (SELECT n.node, CAST(150000 + ((85 * COALESCE(s1.csum, 0)) // 100) AS BIGINT) AS r
+      |       FROM nodes n LEFT JOIN s1 ON s1.node = n.node),
+      |s2 AS (SELECT e.dst AS node, SUM(r1.r // od.outdeg) AS csum
+      |       FROM e JOIN od ON od.node = e.src JOIN r1 ON r1.node = e.src GROUP BY 1),
+      |r2 AS (SELECT n.node, CAST(150000 + ((85 * COALESCE(s2.csum, 0)) // 100) AS BIGINT) AS r
+      |       FROM nodes n LEFT JOIN s2 ON s2.node = n.node),
+      |s3 AS (SELECT e.dst AS node, SUM(r2.r // od.outdeg) AS csum
+      |       FROM e JOIN od ON od.node = e.src JOIN r2 ON r2.node = e.src GROUP BY 1),
+      |r3 AS (SELECT n.node, CAST(150000 + ((85 * COALESCE(s3.csum, 0)) // 100) AS BIGINT) AS r
+      |       FROM nodes n LEFT JOIN s3 ON s3.node = n.node)
+      |SELECT node, r AS rank FROM r3
+      |ORDER BY rank DESC NULLS FIRST, node NULLS FIRST LIMIT 25""".stripMargin
+
+  /** q114 — grouped median absolute deviation over lineitem quantity:
+    * per-group discrete median (type-1 order statistic, rank ⌈n/2⌉ —
+    * [[Relational.groupedDiscreteQuantiles]], the q36 no-Window plan),
+    * absolute deviations against the broadcast 3-row median table,
+    * then the discrete median of the deviations. Interpolation-free on
+    * purpose: both medians pick actual data values, so the result is
+    * bit-identical across engines where continuous-percentile FP
+    * formulas differ in the last ulp. Quantities are whole numbers
+    * stored as doubles, so the deviations are exact.
+    */
+  val q114GroupedMad: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+    val med = Relational
+      .groupedDiscreteQuantiles(li, "l_returnflag", "l_quantity", Seq(0.5), numPartitions = 32)
+      .withColumnRenamed("q0", "med")
+    val dev = li
+      .join(broadcast(med), Seq("l_returnflag"))
+      .select(col("l_returnflag"), abs(col("l_quantity") - col("med")).as("dev"))
+    val mad = Relational
+      .groupedDiscreteQuantiles(dev, "l_returnflag", "dev", Seq(0.5), numPartitions = 32)
+      .withColumnRenamed("q0", "mad")
+    med
+      .join(mad, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("med"), col("mad"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Oracle: the q36 window formulation applied twice — rank ⌈n·0.5⌉
+    * over the raw quantities for the median, then over the absolute
+    * deviations for the MAD.
+    */
+  val q114Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN l_quantity END) AS med
+      |  FROM (SELECT l_returnflag, l_quantity,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |   FROM lineitem)
+      |  GROUP BY l_returnflag),
+      |dv AS (SELECT l.l_returnflag, ABS(l.l_quantity - m.med) AS dev
+      |       FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag),
+      |md AS (
+      |  SELECT l_returnflag,
+      |    MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN dev END) AS mad
+      |  FROM (SELECT l_returnflag, dev,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY dev) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |   FROM dv)
+      |  GROUP BY l_returnflag)
+      |SELECT m.l_returnflag, m.med, md.mad
+      |FROM m JOIN md ON m.l_returnflag = md.l_returnflag
+      |ORDER BY m.l_returnflag NULLS FIRST""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q113_pagerank" -> q113PageRank,
+    "q114_grouped_mad" -> q114GroupedMad
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q113_pagerank" -> q113Sql,
+    "q114_grouped_mad" -> q114Sql
+  )
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+/** Integer-exact PageRank: hand-computed fixed points, dangling-node
+  * policy, empty-graph short-circuit, and partitioning invariance
+  * (the determinism the integer formulation exists to buy).
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(4, appName = "graph-spec")
+
+  private def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+    import spark.implicits._
+    df.select(col("node"), col("rank")).as[(Long, Long)].collect().toMap
+  }
+
+  test("path graph 1-2-3 (bidirectional): two hand-computed rounds") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    // r0 = 1e6 each; outdeg 1:1, 2:2, 3:1; base = 150000.
+    // round 1: r(1)=r(3)=150000+85%·500000=575000; r(2)=150000+85%·2000000=1850000
+    // round 2: r(1)=r(3)=150000+85%·(1850000 div 2)=936250;
+    //          r(2)=150000+85%·(575000+575000)=1127500
+    assert(ranks(Graph.integerPageRank(e, iterations = 1)) ==
+      Map(1L -> 575000L, 2L -> 1850000L, 3L -> 575000L))
+    assert(ranks(Graph.integerPageRank(e, iterations = 2)) ==
+      Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L))
+  }
+
+  test("dangling node keeps receiving but sends nothing; sourceless node keeps only the base") {
+    import spark.implicits._
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    // node 2 dangles (no out-edge): its mass is dropped, not redistributed.
+    assert(ranks(Graph.integerPageRank(e, iterations = 1)) ==
+      Map(1L -> 150000L, 2L -> 1000000L))
+    // next round node 2 still receives only node 1's (now base-sized) mass
+    assert(ranks(Graph.integerPageRank(e, iterations = 2)) ==
+      Map(1L -> 150000L, 2L -> 277500L))
+  }
+
+  test("duplicate edges collapse before degree counting") {
+    import spark.implicits._
+    val once = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val dup  = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(ranks(Graph.integerPageRank(once, 2)) == ranks(Graph.integerPageRank(dup, 2)))
+  }
+
+  test("undirected pair list ≡ explicitly mirrored directed edges; self-loops dropped") {
+    import spark.implicits._
+    // same path graph 1-2-3 given as unordered pairs (one direction,
+    // mixed orientation, a duplicate, and a self-loop to drop)
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 2L), (1L, 1L)).toDF("src", "dst")
+    assert(ranks(Graph.integerPageRank(pairs, 2, undirected = true)) ==
+      Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L))
+  }
+
+  test("empty edge list returns an empty (node, rank) frame") {
+    import spark.implicits._
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = Graph.integerPageRank(e)
+    assert(out.columns.toSeq == Seq("node", "rank"))
+    assert(out.count() == 0L)
+  }
+
+  test("ranks are invariant under adversarial input repartitioning") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val e = (0 until 400)
+      .map(_ => (r.nextInt(40).toLong, r.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("src", "dst")
+    val base = ranks(Graph.integerPageRank(e, 3))
+    for (parts <- Seq(1, 7, 64)) {
+      assert(ranks(Graph.integerPageRank(e.repartition(parts, col("dst")), 3)) == base)
+    }
+  }
+
+  test("release handle unpersists every cached frame") {
+    import spark.implicits._
+    // Sweep first: sibling tests use the non-releasable wrapper, whose
+    // caches are (by contract) left for the session sweep — counting
+    // from a dirty baseline makes the delta assertion race the
+    // ContextCleaner.
+    GraftSession.releaseAllCaches(spark)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val (out, release) = Graph.integerPageRankReleasable(e, 2)
+    out.count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+}
