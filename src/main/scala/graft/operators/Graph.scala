@@ -48,7 +48,13 @@ object Graph {
     * graph pass `undirected = true` with the UNMIRRORED pair list —
     * the operator canonicalizes, dedups once, and mirrors from its
     * own cache (pre-mirroring by the caller doubles the dedup shuffle
-    * and re-evaluates the upstream pipeline); no node dangles then. Long
+    * and re-evaluates the upstream pipeline); no node dangles then.
+    *
+    * `seeds` (TrustRank): a 1-column node-id whitelist. Initial mass
+    * and the per-round teleport term go ONLY to seed nodes, so trust
+    * reaches the rest of the graph through links alone — the classic
+    * seed-propagation curation prior (rank documents/hosts by
+    * proximity to a trusted set). `None` = uniform PageRank. Long
     * arithmetic holds while `nodes·scale ≤ ~9·10^16 / dampingPct`
     * (ANSI mode throws on overflow rather than corrupting — at
     * planetary node counts, lower `scale`).
@@ -60,8 +66,10 @@ object Graph {
       iterations: Int = 3,
       dampingPct: Int = 85,
       scale: Long = 1000000L,
-      undirected: Boolean = false): DataFrame =
-    integerPageRankReleasable(edges, iterations, dampingPct, scale, undirected = undirected)._1
+      undirected: Boolean = false,
+      seeds: Option[DataFrame] = None): DataFrame =
+    integerPageRankReleasable(
+      edges, iterations, dampingPct, scale, undirected = undirected, seeds = seeds)._1
 
   /** [[integerPageRank]] plus a release handle for the persisted frames
     * backing the result (the final rank RDD + the edge/degree caches) —
@@ -75,7 +83,8 @@ object Graph {
       dampingPct: Int = 85,
       scale: Long = 1000000L,
       materializeEvery: Int = 4,
-      undirected: Boolean = false): (DataFrame, () => Unit) = {
+      undirected: Boolean = false,
+      seeds: Option[DataFrame] = None): (DataFrame, () => Unit) = {
     require(iterations >= 1, "integerPageRank: need at least one iteration")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
     require(scale >= 100L, "scale below 100 micro-units loses the damping term to truncation")
@@ -125,10 +134,24 @@ object Graph {
     // scan (the partial-cache trap needs a take(1)-shaped probe), so
     // the first full scan fills the cache and later ones hit it.
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct()
-      .persist()
+    // The node universe carries an `is_seed` flag: uniform PageRank is
+    // the all-seeds case; a seed set (TrustRank) restricts BOTH the
+    // initial mass and the per-round teleport term to the seeds, so
+    // trust reaches non-seeds only through links. The seed frame is
+    // broadcast — a trust whitelist is small by construction.
+    val nodes = {
+      val uni = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct()
+      seeds match {
+        case None => uni.withColumn("is_seed", lit(true)).persist()
+        case Some(sd) =>
+          val s0 = sd.select(col(sd.columns.head).cast("long").as("node"), lit(true).as("__s")).distinct()
+          uni.join(broadcast(s0), Seq("node"), "left")
+            .select(col("node"), coalesce(col("__s"), lit(false)).as("is_seed"))
+            .persist()
+      }
+    }
     val sender = e.join(outdeg, Seq("src")).persist()
     val base = ((100L - dampingPct) * scale) / 100L
     def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
@@ -142,7 +165,7 @@ object Graph {
     // rank frame is persisted and rewrapped as a leaf so analysis
     // cost never compounds past a bounded plan depth (the unbounded-
     // iteration discipline of the CC loop, applied at interval).
-    var rank = nodes.select(col("node"), lit(scale).as("rank"))
+    var rank = nodes.select(col("node"), when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
     var rankRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     for (i <- 1 to iterations) {
       val contrib = sender
@@ -154,7 +177,8 @@ object Graph {
         .join(contrib, Seq("node"), "left")
         .select(
           col("node"),
-          (lit(base) + expr(s"($dampingPct * coalesce(csum, CAST(0 AS BIGINT))) div 100"))
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr(s"($dampingPct * coalesce(csum, CAST(0 AS BIGINT))) div 100"))
             .as("rank"))
       if (i % materializeEvery == 0 && i < iterations) {
         val (nextDf, nextRdd) = materialize(next)

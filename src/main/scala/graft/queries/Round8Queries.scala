@@ -127,13 +127,67 @@ object Round8Queries {
       |FROM m JOIN md ON m.l_returnflag = md.l_returnflag
       |ORDER BY m.l_returnflag NULLS FIRST""".stripMargin
 
+  /** q115 — TrustRank ([[Graph.integerPageRank]] with `seeds`): the
+    * seed-propagation curation prior — start all mass on a trusted
+    * whitelist (suppliers from nations 0–4 here) and let three damped
+    * rounds carry trust across the transaction graph; report the 25
+    * most-trusted CUSTOMERS, i.e. nodes that earned rank purely
+    * through links (non-seeds get NO teleport mass). Same integer
+    * micro-unit arithmetic as q113, so the ranking is bit-exact.
+    */
+  val q115TrustRank: Q = (s, d) => {
+    val e0 = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(
+        (col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val seeds = Tables.supplier(s, d)
+      .filter(col("s_nationkey") < 5)
+      .select((col("s_suppkey") * 2 + 1).as("node"))
+    Graph
+      .integerPageRank(e0, iterations = 3, undirected = true, seeds = Some(seeds))
+      .filter(col("node") % 2 === 0)
+      .select(expr("node div 2").as("cust_key"), col("rank"))
+      .orderBy(col("rank").desc, col("cust_key"))
+      .limit(25)
+  }
+
+  /** Oracle: q113's CTE chain with the teleport CASE-gated on the seed
+    * whitelist — r0 mass and the 150000 base go only to seed nodes.
+    */
+  val q115Sql: String =
+    """WITH e0 AS (SELECT DISTINCT (o_custkey * 2) AS src, ((l_suppkey * 2) + 1) AS dst
+      |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+      |sd AS (SELECT ((s_suppkey * 2) + 1) AS node FROM supplier WHERE s_nationkey < 5),
+      |od AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1),
+      |r0 AS (SELECT n.node, CAST(CASE WHEN sd.node IS NOT NULL THEN 1000000 ELSE 0 END AS BIGINT) AS r
+      |       FROM nodes n LEFT JOIN sd ON sd.node = n.node),
+      |s1 AS (SELECT e.dst AS node, SUM(r0.r // od.outdeg) AS csum
+      |       FROM e JOIN od ON od.node = e.src JOIN r0 ON r0.node = e.src GROUP BY 1),
+      |r1 AS (SELECT n.node, CAST((CASE WHEN sd.node IS NOT NULL THEN 150000 ELSE 0 END) + ((85 * COALESCE(s1.csum, 0)) // 100) AS BIGINT) AS r
+      |       FROM nodes n LEFT JOIN sd ON sd.node = n.node LEFT JOIN s1 ON s1.node = n.node),
+      |s2 AS (SELECT e.dst AS node, SUM(r1.r // od.outdeg) AS csum
+      |       FROM e JOIN od ON od.node = e.src JOIN r1 ON r1.node = e.src GROUP BY 1),
+      |r2 AS (SELECT n.node, CAST((CASE WHEN sd.node IS NOT NULL THEN 150000 ELSE 0 END) + ((85 * COALESCE(s2.csum, 0)) // 100) AS BIGINT) AS r
+      |       FROM nodes n LEFT JOIN sd ON sd.node = n.node LEFT JOIN s2 ON s2.node = n.node),
+      |s3 AS (SELECT e.dst AS node, SUM(r2.r // od.outdeg) AS csum
+      |       FROM e JOIN od ON od.node = e.src JOIN r2 ON r2.node = e.src GROUP BY 1),
+      |r3 AS (SELECT n.node, CAST((CASE WHEN sd.node IS NOT NULL THEN 150000 ELSE 0 END) + ((85 * COALESCE(s3.csum, 0)) // 100) AS BIGINT) AS r
+      |       FROM nodes n LEFT JOIN sd ON sd.node = n.node LEFT JOIN s3 ON s3.node = n.node)
+      |SELECT (node // 2) AS cust_key, r AS rank FROM r3 WHERE (node % 2) = 0
+      |ORDER BY rank DESC NULLS FIRST, cust_key NULLS FIRST LIMIT 25""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q113_pagerank" -> q113PageRank,
-    "q114_grouped_mad" -> q114GroupedMad
+    "q114_grouped_mad" -> q114GroupedMad,
+    "q115_trustrank" -> q115TrustRank
   )
 
   val oracles: Map[String, String] = Map(
     "q113_pagerank" -> q113Sql,
-    "q114_grouped_mad" -> q114Sql
+    "q114_grouped_mad" -> q114Sql,
+    "q115_trustrank" -> q115Sql
   )
 }

@@ -56,6 +56,21 @@ class GraphSpec extends AnyFunSuite {
       Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L))
   }
 
+  test("seeded (TrustRank) mode: teleport and initial mass reach only seeds") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    // r0 = (1e6, 0, 0); base 150000 only at node 1.
+    // round 1: r(1)=150000+85%·0=150000; r(2)=0+85%·(1e6 div 1)=850000; r(3)=0
+    // round 2: r(1)=150000+85%·(850000 div 2)=511250;
+    //          r(2)=0+85%·(150000 div 1 + 0 div 1)=127500;
+    //          r(3)=0+85%·(850000 div 2)=361250
+    assert(ranks(Graph.integerPageRank(e, 1, seeds = Some(seeds))) ==
+      Map(1L -> 150000L, 2L -> 850000L, 3L -> 0L))
+    assert(ranks(Graph.integerPageRank(e, 2, seeds = Some(seeds))) ==
+      Map(1L -> 511250L, 2L -> 127500L, 3L -> 361250L))
+  }
+
   test("empty edge list returns an empty (node, rank) frame") {
     import spark.implicits._
     val e = Seq.empty[(Long, Long)].toDF("src", "dst")
