@@ -122,6 +122,43 @@ class RandomizedInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("integerPageRank (directed, seeded, danglers, 5 rounds) matches a driver-side replay") {
+    import spark.implicits._
+    // iterations = 5 crosses the materializeEvery = 4 checkpoint, so
+    // the persisted-leaf rewrap path is exercised, not just lazy
+    // stacking. Graphs include danglers (nodes with no out-edge),
+    // self-loops (kept in directed mode), and duplicate edges.
+    def replay(
+        edges: Seq[(Long, Long)],
+        iters: Int,
+        seeds: Option[Set[Long]]): Map[Long, Long] = {
+      val e = edges.distinct
+      val nodes = e.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val out = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val isSeed: Long => Boolean = seeds.map(s => s.contains(_)).getOrElse(_ => true)
+      var rank = nodes.map(n => n -> (if (isSeed(n)) 1000000L else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val in = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+        e.foreach { case (s0, t) => in(t) += rank(s0) / out(s0) }
+        rank = nodes.map(n => n -> ((if (isSeed(n)) 150000L else 0L) + (85L * in(n)) / 100L)).toMap
+      }
+      rank
+    }
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(500 + seed)
+      val n = 40
+      val edges = (1 to 90).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val seedSet = (1 to 8).map(_ => rnd.nextInt(n).toLong).toSet
+      for (seeds <- Seq(None, Some(seedSet))) {
+        val got = graft.operators.Graph
+          .integerPageRank(edges.toDF("a", "b"), iterations = 5,
+            seeds = seeds.map(ss => ss.toSeq.toDF("node")))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == replay(edges, 5, seeds), s"seed $seed seeds=$seeds")
+      }
+    }
+  }
+
   test("minHashSignatureFromHashes matches the affine formula evaluated on the driver") {
     import spark.implicits._
     val kSig = 6
