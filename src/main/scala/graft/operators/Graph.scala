@@ -54,7 +54,14 @@ object Graph {
     * and the per-round teleport term go ONLY to seed nodes, so trust
     * reaches the rest of the graph through links alone — the classic
     * seed-propagation curation prior (rank documents/hosts by
-    * proximity to a trusted set). `None` = uniform PageRank. Long
+    * proximity to a trusted set). `None` = uniform PageRank.
+    *
+    * `weightCol` (weighted PageRank): name of a positive integral
+    * weight column on `edges` — each node's mass splits ∝ edge weight
+    * (`(rank·w) div Σw`, exact in DECIMAL); parallel edges SUM their
+    * weights instead of collapsing, and in undirected mode both
+    * orientations of a pair pool theirs. `None` = every distinct edge
+    * weighs 1 (identical arithmetic: `rank div outdeg`). Long
     * arithmetic holds while `nodes·scale ≤ ~9·10^16 / dampingPct`
     * (ANSI mode throws on overflow rather than corrupting — at
     * planetary node counts, lower `scale`).
@@ -67,9 +74,11 @@ object Graph {
       dampingPct: Int = 85,
       scale: Long = 1000000L,
       undirected: Boolean = false,
-      seeds: Option[DataFrame] = None): DataFrame =
+      seeds: Option[DataFrame] = None,
+      weightCol: Option[String] = None): DataFrame =
     integerPageRankReleasable(
-      edges, iterations, dampingPct, scale, undirected = undirected, seeds = seeds)._1
+      edges, iterations, dampingPct, scale,
+      undirected = undirected, seeds = seeds, weightCol = weightCol)._1
 
   /** [[integerPageRank]] plus a release handle for the persisted frames
     * backing the result (the final rank RDD + the edge/degree caches) —
@@ -84,13 +93,20 @@ object Graph {
       scale: Long = 1000000L,
       materializeEvery: Int = 4,
       undirected: Boolean = false,
-      seeds: Option[DataFrame] = None): (DataFrame, () => Unit) = {
+      seeds: Option[DataFrame] = None,
+      weightCol: Option[String] = None): (DataFrame, () => Unit) = {
     require(iterations >= 1, "integerPageRank: need at least one iteration")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
     require(scale >= 100L, "scale below 100 micro-units loses the damping term to truncation")
     require(materializeEvery >= 1, "materializeEvery is a round count")
     val spark = edges.sparkSession
-    val Array(srcName, dstName) = edges.columns
+    // First two columns are (src, dst); a weight column is addressed
+    // by name and may sit anywhere else in the frame.
+    val srcName = edges.columns(0)
+    val dstName = edges.columns(1)
+    require(
+      !weightCol.exists(wc => wc == srcName || wc == dstName),
+      "integerPageRank: weightCol collides with the (src, dst) columns")
     // `undirected = true`: the input is an unordered pair list. Dedup
     // the CANONICAL (min, max) pair — ONE shuffle over the raw input —
     // and mirror from the cache with a narrow column flip, instead of
@@ -101,15 +117,26 @@ object Graph {
     // this shape distinct's 585 k once). Self-loops are dropped (their
     // mirror would double-count the edge); directed mode keeps them.
     val cached = {
-      val cast = edges.select(col(srcName).cast("long").as("a"), col(dstName).cast("long").as("b"))
-      if (undirected)
-        cast
-          .select(least(col("a"), col("b")).as("src"), greatest(col("a"), col("b")).as("dst"))
-          .filter(col("src") =!= col("dst"))
-          .distinct()
-          .persist()
-      else
-        cast.select(col("a").as("src"), col("b").as("dst")).distinct().persist()
+      val cast = weightCol match {
+        case None =>
+          edges.select(col(srcName).cast("long").as("a"), col(dstName).cast("long").as("b"), lit(1L).as("w"))
+        case Some(wc) =>
+          edges.select(col(srcName).cast("long").as("a"), col(dstName).cast("long").as("b"), col(wc).cast("long").as("w"))
+      }
+      val canon =
+        if (undirected)
+          cast
+            .select(least(col("a"), col("b")).as("src"), greatest(col("a"), col("b")).as("dst"), col("w"))
+            .filter(col("src") =!= col("dst"))
+        else cast.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      // Unweighted: duplicates collapse to a single unit edge.
+      // Weighted: parallel edges SUM their weights — one dedup/agg
+      // shuffle either way.
+      val agg =
+        if (weightCol.isEmpty)
+          canon.select(col("src"), col("dst")).distinct().withColumn("w", lit(1L))
+        else canon.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      agg.persist()
     }
     // Materialize FULLY before anything else reads the cache (an
     // isEmpty probe would cache only one partition's worth and every
@@ -121,19 +148,20 @@ object Graph {
       return (cached.select(col("src").as("node"), col("src").as("rank")), () => ())
     }
     // Canonical pairs are strictly (min < max), so the mirrored rows
-    // cannot collide with the originals — no second distinct needed.
+    // cannot collide with the originals — no second dedup needed; the
+    // mirror carries the pair's weight in both directions.
     val e =
       if (undirected)
-        cached.unionByName(cached.select(col("dst").as("src"), col("src").as("dst")))
+        cached.unionByName(cached.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       else cached
-    // Out-degrees fold into a persisted per-edge sender frame
-    // (src, dst, outdeg) — iteration-invariant, computed once. The
-    // node universe is persisted too: it seeds rank 0 and anchors the
-    // per-round left join (a node with no in-edges keeps its base
+    // Per-source outgoing totals fold into a persisted per-edge sender
+    // frame (src, dst, w, wsum) — iteration-invariant, computed once.
+    // The node universe is persisted too: it seeds rank 0 and anchors
+    // the per-round left join (a node with no in-edges keeps its base
     // mass). No eager count on either: every read below is a FULL
     // scan (the partial-cache trap needs a take(1)-shaped probe), so
     // the first full scan fills the cache and later ones hit it.
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val wsums = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
     // The node universe carries an `is_seed` flag: uniform PageRank is
     // the all-seeds case; a seed set (TrustRank) restricts BOTH the
     // initial mass and the per-round teleport term to the seeds, so
@@ -152,8 +180,16 @@ object Graph {
             .persist()
       }
     }
-    val sender = e.join(outdeg, Seq("src")).persist()
+    val sender = e.join(wsums, Seq("src")).persist()
     val base = ((100L - dampingPct) * scale) / 100L
+    // Per-edge contribution. Unweighted stays pure-long (`rank div
+    // wsum`, wsum ≡ out-degree). Weighted routes the multiply through
+    // DECIMAL(38,0): rank·w can exceed Long while the QUOTIENT is
+    // always ≤ rank (w ≤ wsum), so IntegralDivide's long result is
+    // safe — ANSI mode would throw on a long multiply instead.
+    val contribExpr =
+      if (weightCol.isEmpty) "rank div wsum"
+      else "(CAST(rank AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) div CAST(wsum AS DECIMAL(38,0))"
     def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (spark.createDataFrame(rdd, df.schema), rdd)
@@ -170,7 +206,7 @@ object Graph {
     for (i <- 1 to iterations) {
       val contrib = sender
         .join(rank.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+        .select(col("dst").as("node"), expr(contribExpr).as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("csum"))
       val next = nodes

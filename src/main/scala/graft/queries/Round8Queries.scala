@@ -179,15 +179,68 @@ object Round8Queries {
       |SELECT (node // 2) AS cust_key, r AS rank FROM r3 WHERE (node % 2) = 0
       |ORDER BY rank DESC NULLS FIRST, cust_key NULLS FIRST LIMIT 25""".stripMargin
 
+  /** q116 — WEIGHTED PageRank ([[Graph.integerPageRank]] with
+    * `weightCol`): trade VOLUME, not just existence — each node's mass
+    * splits proportionally to edge weight (`(rank·w) div Σw`, exact in
+    * DECIMAL), with parallel edges summing their weights, so the edge
+    * build needs NO pre-aggregation: raw (customer, supplier) pairs at
+    * weight 1 go in, and repeat business becomes edge weight inside
+    * the operator's one dedup shuffle. Gated on a deterministic ¼
+    * order slice (the gate's value is the weighted-split arithmetic,
+    * not the volume — q113 already carries the full-graph line).
+    */
+  val q116WeightedPagerank: Q = (s, d) => {
+    val e0 = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 4 === 0)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(
+        (col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"),
+        lit(1L).as("w"))
+    Graph
+      .integerPageRank(e0, iterations = 3, undirected = true, weightCol = Some("w"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(25)
+  }
+
+  /** Oracle: q113's chain with COUNT(*)-weighted edges and the
+    * HUGEINT-safe weighted contribution `(r·w) // Σw`.
+    */
+  val q116Sql: String =
+    """WITH raw AS (SELECT (o_custkey * 2) AS src, ((l_suppkey * 2) + 1) AS dst
+      |             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |             WHERE (o_orderkey % 4) = 0),
+      |cw AS (SELECT src, dst, COUNT(*) AS w FROM raw GROUP BY 1, 2),
+      |e AS (SELECT src, dst, w FROM cw UNION ALL SELECT dst AS src, src AS dst, w FROM cw),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+      |ws AS (SELECT src AS node, SUM(w) AS wsum FROM e GROUP BY 1),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      |s1 AS (SELECT e.dst AS node, SUM((CAST(r0.r AS HUGEINT) * e.w) // ws.wsum) AS csum
+      |       FROM e JOIN ws ON ws.node = e.src JOIN r0 ON r0.node = e.src GROUP BY 1),
+      |r1 AS (SELECT n.node, CAST(150000 + ((85 * COALESCE(s1.csum, 0)) // 100) AS BIGINT) AS r
+      |       FROM nodes n LEFT JOIN s1 ON s1.node = n.node),
+      |s2 AS (SELECT e.dst AS node, SUM((CAST(r1.r AS HUGEINT) * e.w) // ws.wsum) AS csum
+      |       FROM e JOIN ws ON ws.node = e.src JOIN r1 ON r1.node = e.src GROUP BY 1),
+      |r2 AS (SELECT n.node, CAST(150000 + ((85 * COALESCE(s2.csum, 0)) // 100) AS BIGINT) AS r
+      |       FROM nodes n LEFT JOIN s2 ON s2.node = n.node),
+      |s3 AS (SELECT e.dst AS node, SUM((CAST(r2.r AS HUGEINT) * e.w) // ws.wsum) AS csum
+      |       FROM e JOIN ws ON ws.node = e.src JOIN r2 ON r2.node = e.src GROUP BY 1),
+      |r3 AS (SELECT n.node, CAST(150000 + ((85 * COALESCE(s3.csum, 0)) // 100) AS BIGINT) AS r
+      |       FROM nodes n LEFT JOIN s3 ON s3.node = n.node)
+      |SELECT node, r AS rank FROM r3
+      |ORDER BY rank DESC NULLS FIRST, node NULLS FIRST LIMIT 25""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q113_pagerank" -> q113PageRank,
     "q114_grouped_mad" -> q114GroupedMad,
-    "q115_trustrank" -> q115TrustRank
+    "q115_trustrank" -> q115TrustRank,
+    "q116_weighted_pagerank" -> q116WeightedPagerank
   )
 
   val oracles: Map[String, String] = Map(
     "q113_pagerank" -> q113Sql,
     "q114_grouped_mad" -> q114Sql,
-    "q115_trustrank" -> q115Sql
+    "q115_trustrank" -> q115Sql,
+    "q116_weighted_pagerank" -> q116Sql
   )
 }

@@ -71,6 +71,19 @@ class GraphSpec extends AnyFunSuite {
       Map(1L -> 511250L, 2L -> 127500L, 3L -> 361250L))
   }
 
+  test("weighted mode splits mass by edge weight; parallel edges sum") {
+    import spark.implicits._
+    // node 1 sends to 2 (w=3) and 3 (w=1): wsum=4.
+    // round 1: r(2)=150000+85%·((1e6·3) div 4)=787500;
+    //          r(3)=150000+85%·((1e6·1) div 4)=362500; r(1)=150000
+    val w = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val expected = Map(1L -> 150000L, 2L -> 787500L, 3L -> 362500L)
+    assert(ranks(Graph.integerPageRank(w, 1, weightCol = Some("w"))) == expected)
+    // same graph as parallel unit edges — weights sum inside the dedup
+    val par = Seq((1L, 2L, 1L), (1L, 2L, 1L), (1L, 2L, 1L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    assert(ranks(Graph.integerPageRank(par, 1, weightCol = Some("w"))) == expected)
+  }
+
   test("empty edge list returns an empty (node, rank) frame") {
     import spark.implicits._
     val e = Seq.empty[(Long, Long)].toDF("src", "dst")
