@@ -203,4 +203,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     GraftSession.releaseAllCaches(spark)
   }
+
+  test("q113/q116: PageRank rounds stay equi-join shaped — no cartesian, no Window, edges cached once") {
+    for (q <- Seq("q113_pagerank", "q116_weighted_pagerank")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(1500)}")
+      // Ranking needs no Window — ordering is TakeOrderedAndProject.
+      assert(!p.contains("Window"), s"$q: ${p.take(1500)}")
+      assert(p.contains("TakeOrderedAndProject"), s"$q: ${p.take(1500)}")
+      // The edge/sender frames are persisted — rounds must read the
+      // cache, not replay the orders⋈lineitem build per round.
+      assert(p.contains("InMemoryTableScan"), s"$q: ${p.take(1500)}")
+      GraftSession.releaseAllCaches(spark)
+    }
+  }
 }
