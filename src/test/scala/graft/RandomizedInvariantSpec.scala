@@ -129,17 +129,21 @@ class RandomizedInvariantSpec extends AnyFunSuite {
     // stacking. Graphs include danglers (nodes with no out-edge),
     // self-loops (kept in directed mode), and duplicate edges.
     def replay(
-        edges: Seq[(Long, Long)],
+        edges: Seq[(Long, Long, Long)],
         iters: Int,
-        seeds: Option[Set[Long]]): Map[Long, Long] = {
-      val e = edges.distinct
-      val nodes = e.flatMap { case (a, b) => Seq(a, b) }.distinct
-      val out = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        seeds: Option[Set[Long]],
+        weighted: Boolean): Map[Long, Long] = {
+      // parallel edges: sum weights when weighted, collapse to 1 when not
+      val e = edges.groupBy(w => (w._1, w._2)).map { case ((a, b), es) =>
+        (a, b, if (weighted) es.map(_._3).sum else 1L)
+      }.toSeq
+      val nodes = e.flatMap { case (a, b, _) => Seq(a, b) }.distinct
+      val wsum = e.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
       val isSeed: Long => Boolean = seeds.map(s => s.contains(_)).getOrElse(_ => true)
       var rank = nodes.map(n => n -> (if (isSeed(n)) 1000000L else 0L)).toMap
       for (_ <- 1 to iters) {
         val in = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
-        e.foreach { case (s0, t) => in(t) += rank(s0) / out(s0) }
+        e.foreach { case (s0, t, w) => in(t) += rank(s0) * w / wsum(s0) }
         rank = nodes.map(n => n -> ((if (isSeed(n)) 150000L else 0L) + (85L * in(n)) / 100L)).toMap
       }
       rank
@@ -147,14 +151,19 @@ class RandomizedInvariantSpec extends AnyFunSuite {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(500 + seed)
       val n = 40
-      val edges = (1 to 90).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val edges = (1 to 90).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, 1L + rnd.nextInt(5)))
       val seedSet = (1 to 8).map(_ => rnd.nextInt(n).toLong).toSet
-      for (seeds <- Seq(None, Some(seedSet))) {
+      for {
+        seeds <- Seq(None, Some(seedSet))
+        weighted <- Seq(false, true)
+      } {
         val got = graft.operators.Graph
-          .integerPageRank(edges.toDF("a", "b"), iterations = 5,
-            seeds = seeds.map(ss => ss.toSeq.toDF("node")))
+          .integerPageRank(edges.toDF("a", "b", "wt"), iterations = 5,
+            seeds = seeds.map(ss => ss.toSeq.toDF("node")),
+            weightCol = if (weighted) Some("wt") else None)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got == replay(edges, 5, seeds), s"seed $seed seeds=$seeds")
+        assert(got == replay(edges, 5, seeds, weighted), s"seed $seed seeds=$seeds weighted=$weighted")
       }
     }
   }
