@@ -36,12 +36,50 @@ def load_bench(path):
     return data
 
 
+def compare_runs(cur_path, prev_path, threshold):
+    """Round-over-round diff of two Bench JSONs, calibration-normalized:
+    ratio = (sec / calib) / (prev_sec / prev_calib). This is how
+    post-ledger queries (no BASELINE.md row) get a like-for-like
+    comparison across containers of different speed."""
+    cur, prev = load_bench(cur_path), load_bench(prev_path)
+    ccal = float(cur.get("calib_md5") or 1.0)
+    pcal = float(prev.get("calib_md5") or 1.0)
+    print(f"current:  {cur_path}  total={cur.get('value')}s calib={ccal}")
+    print(f"previous: {prev_path}  total={prev.get('value')}s calib={pcal}")
+    print(f"machine factor (cur/prev): {ccal / pcal:.2f}x — ratios below are normalized\n")
+    rows = []
+    for q, sec in cur["queries"].items():
+        p = prev["queries"].get(q)
+        if p is None or p < 0 or sec < 0:
+            continue
+        rows.append(((sec / ccal) / (p / pcal), q, sec, p))
+    rows.sort(reverse=True)
+    over = [r for r in rows if r[0] > threshold]
+    print(f"{len(over)} / {len(rows)} common queries over {threshold}x (normalized):")
+    for ratio, q, sec, p in over:
+        print(f"  {q:6s} {sec:8.3f}s vs {p:8.3f}s = {ratio:5.2f}x")
+    if rows:
+        tot_c = sum(r[2] for r in rows)
+        tot_p = sum(r[3] for r in rows)
+        print(f"\ncommon total: {tot_c:.1f}s vs {tot_p:.1f}s "
+              f"= {tot_c / tot_p:.2f}x raw, {(tot_c / ccal) / (tot_p / pcal):.2f}x normalized")
+    only_c = sorted(set(cur["queries"]) - set(prev["queries"]))
+    if only_c:
+        print(f"\nnew since previous: {', '.join(only_c)}")
+
+
 def main():
     bench_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_r07.json"
     threshold = 2.0
+    prev_path = None
     for a in sys.argv[2:]:
         if a.startswith("--threshold="):
             threshold = float(a.split("=", 1)[1])
+        elif a.startswith("--prev="):
+            prev_path = a.split("=", 1)[1]
+    if prev_path:
+        compare_runs(bench_path, prev_path, threshold)
+        return
     base = load_baseline()
     bench = load_bench(bench_path)
     queries = bench["queries"]
