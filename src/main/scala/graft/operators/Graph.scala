@@ -209,13 +209,22 @@ object Graph {
         .select(col("dst").as("node"), expr(contribExpr).as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("csum"))
-      val next = nodes
-        .join(contrib, Seq("node"), "left")
-        .select(
-          col("node"),
-          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
-            expr(s"($dampingPct * coalesce(csum, CAST(0 AS BIGINT))) div 100"))
-            .as("rank"))
+      val damped = expr(s"($dampingPct * coalesce(csum, CAST(0 AS BIGINT))) div 100")
+      // Undirected + no seed set: the mirror guarantees every node an
+      // in-edge, so `contrib` already covers the full node universe
+      // and the teleport term is a constant — the anchor join would be
+      // a per-round no-op (one saved broadcast join + stage per round).
+      // Seeded or directed graphs keep the left join: it carries the
+      // per-node is_seed flag and re-anchors danglers' targets.
+      val next =
+        if (undirected && seeds.isEmpty)
+          contrib.select(col("node"), (lit(base) + damped).as("rank"))
+        else
+          nodes
+            .join(contrib, Seq("node"), "left")
+            .select(
+              col("node"),
+              (when(col("is_seed"), lit(base)).otherwise(lit(0L)) + damped).as("rank"))
       if (i % materializeEvery == 0 && i < iterations) {
         val (nextDf, nextRdd) = materialize(next)
         nextDf.count()
