@@ -248,8 +248,11 @@ object ExtQueries {
     * as md5 + length so the gate hashes content without megabyte rows.
     */
   val q48Chunk: Q = (s, d) =>
+    // Raw scan: sliding-window slicing is cheap per-row work (0.29 s
+    // pre-spread ledger) — the corpus spread's exchange is overhead,
+    // not parallelism, here.
     TextAnalysis
-      .chunk(Tables.documents(s, d).select(col("doc_id"), col("text")), "text", 200, 150)
+      .chunk(Tables.table(s, d, "documents").select(col("doc_id"), col("text")), "text", 200, 150)
       .select(
         col("doc_id"),
         col("chunk_id"),

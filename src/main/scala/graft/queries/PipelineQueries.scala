@@ -398,8 +398,11 @@ object PipelineQueries {
     * corpus actually contains).
     */
   val q29Fingerprint: Q = (s, d) =>
+    // Raw scan: one sort+md5 per doc is cheap per-row work (0.32 s
+    // pre-spread ledger) — the corpus spread's exchange is overhead,
+    // not parallelism, here.
     Tables
-      .documents(s, d)
+      .table(s, d, "documents")
       .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
       .groupBy(col("fp"))
       .agg(
@@ -423,8 +426,10 @@ object PipelineQueries {
     * dimensions) — the part of [[Multimodal]] the oracle can verify.
     */
   val q30MultimodalMeta: Q = (s, d) =>
+    // Raw scan: 200-row metadata slice, no heavy per-row compute —
+    // the corpus spread's exchange is pure overhead here.
     Multimodal
-      .attachPayload(Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id", "text")
+      .attachPayload(Tables.table(s, d, "documents").filter(col("doc_id") < 200), "doc_id", "text")
       .select(
         col("docId").as("doc_id"),
         col("meta.byteLen").as("byte_len"),

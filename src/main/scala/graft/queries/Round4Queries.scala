@@ -24,8 +24,10 @@ object Round4Queries {
     * descending `sequence()` previously fabricated phantom rows.
     */
   val q75EdgeText: Q = (s, d) => {
+    // Raw scan: substring/length edge cases are trivial per-row work —
+    // the corpus spread's exchange is overhead, not parallelism, here.
     val base = Tables
-      .documents(s, d)
+      .table(s, d, "documents")
       .select(
         col("doc_id"),
         col("text").substr(lit(1), (col("doc_id") % 7).cast("int")).as("t"))
@@ -336,8 +338,10 @@ object Round4Queries {
     */
   val q84HashSplit: Q = (s, d) => {
     val bucket = graft.functions.Hashing.h60(concat(lit("split:"), col("doc_id"))) % 100
+    // Raw scan: one hash per doc then a tiny aggregate — the corpus
+    // spread's exchange is overhead, not parallelism, here.
     Tables
-      .documents(s, d)
+      .table(s, d, "documents")
       .select(
         when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"),
         col("lang"))

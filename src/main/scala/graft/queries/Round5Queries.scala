@@ -104,8 +104,10 @@ object Round5Queries {
     */
   val q90WeightedSample: Q = (s, d) => {
     val C = 2882303761517117L // floor(2^60 / 400)
+    // Raw scan: one split-count + one md5 per doc — the corpus
+    // spread's exchange is overhead, not parallelism, here.
     Tables
-      .documents(s, d)
+      .table(s, d, "documents")
       .select(
         col("doc_id"),
         TextAnalysis.wsTokenCount(col("text")).as("n_tok"),
@@ -254,8 +256,10 @@ object Round5Queries {
     * side and the token stream never re-shuffles.
     */
   val q95OovRate: Q = (s, d) => {
+    // Raw scan: whitespace tokenize + counts, no heavy per-row pass —
+    // the corpus spread's exchange is overhead, not parallelism, here.
     val toks = Tables
-      .documents(s, d)
+      .table(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val vocab = toks
       .groupBy(col("tok"))
@@ -596,8 +600,10 @@ object Round5Queries {
   val q101MixtureRebalance: Q = (s, d) => {
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val twoPow60 = lit("1152921504606846976").cast("decimal(38,0)")
+    // Raw scan: metadata columns + one md5 coin per doc — the corpus
+    // spread's exchange is overhead, not parallelism, here.
     val base = Tables
-      .documents(s, d)
+      .table(s, d, "documents")
       .select(
         col("doc_id"),
         col("source"),
