@@ -29,8 +29,10 @@ object PipelineQueries {
     * (min doc_id per md5 group). One uniform shuffle on the hash.
     */
   val q19ExactDedup: Q = (s, d) =>
+    // Raw scan: one md5 per doc then a uniform hash shuffle — the
+    // corpus spread's exchange is overhead, not parallelism, here.
     Dedup
-      .exactDedup(Tables.documents(s, d), "doc_id", "text")
+      .exactDedup(Tables.table(s, d, "documents"), "doc_id", "text")
       .orderBy(col("text_md5"))
 
   val q19Sql: String =

@@ -271,8 +271,10 @@ object Round3Queries {
     * "preview" projection LLM-data curation UIs run over every shard).
     */
   val q60TokenSlice: Q = (s, d) =>
+    // Raw scan: a 400-row slice of cheap projections — the corpus
+    // spread's exchange is overhead, not parallelism, here.
     Tables
-      .documents(s, d)
+      .table(s, d, "documents")
       .filter(col("doc_id") < 400)
       .select(
         col("doc_id"),

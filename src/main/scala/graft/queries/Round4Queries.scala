@@ -401,8 +401,10 @@ object Round4Queries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("hv"), col("doc_id"))
+    // Raw scan: one hash per doc before the per-stratum window — the
+    // corpus spread's exchange is overhead, not parallelism, here.
     Tables
-      .documents(s, d)
+      .table(s, d, "documents")
       .select(col("lang"), col("doc_id"), h.as("hv"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 20)
