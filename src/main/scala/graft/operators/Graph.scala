@@ -241,4 +241,113 @@ object Graph {
     }
     (rank, release)
   }
+
+  /** Semi-supervised label propagation — spread integer labels from a
+    * labeled seed subset across a (typically similarity) graph: each
+    * round every node takes the MOST FREQUENT label among its
+    * neighbors' current labels, ties broken by the SMALLEST label, and
+    * seed nodes are clamped (never change). Fully deterministic — the
+    * argmax is `max(struct(count, -label))`, integer all the way, so
+    * the labeling is bit-identical across engines and partitionings.
+    * Nodes no labeled node can reach stay null.
+    *
+    * This is the corpus-curation "spread the audited labels" move:
+    * topic/quality labels exist for a small human-labeled subset, and
+    * the near-dup/similarity graph carries them to the rest.
+    *
+    * `edges` is a 2-column pair list, treated as undirected (mirrored
+    * from cache, like [[integerPageRank]]'s undirected mode — a
+    * similarity relation is symmetric). `seedLabels` is (node, label)
+    * with NON-NEGATIVE integral labels (the tie-break negates them);
+    * conflicting seed rows resolve to the smallest label. Each round
+    * is two aggregations and one equi-join on the
+    * persisted edge frame — rounds stack lazily with interval
+    * checkpoint-materialization, same as the PageRank loop.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      seedLabels: DataFrame,
+      iterations: Int = 3): DataFrame =
+    labelPropagationReleasable(edges, seedLabels, iterations)._1
+
+  /** [[labelPropagation]] plus the cache release handle. */
+  def labelPropagationReleasable(
+      edges: DataFrame,
+      seedLabels: DataFrame,
+      iterations: Int = 3,
+      materializeEvery: Int = 4): (DataFrame, () => Unit) = {
+    require(iterations >= 1, "labelPropagation: need at least one iteration")
+    require(materializeEvery >= 1, "materializeEvery is a round count")
+    val spark = edges.sparkSession
+    val srcName = edges.columns(0)
+    val dstName = edges.columns(1)
+    val canon = edges
+      .select(
+        least(col(srcName).cast("long"), col(dstName).cast("long")).as("src"),
+        greatest(col(srcName).cast("long"), col(dstName).cast("long")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    val canonRows = canon.count()
+    if (canonRows == 0L) {
+      canon.unpersist()
+      return (
+        canon.select(col("src").as("node"), lit(null).cast("long").as("label")),
+        () => ())
+    }
+    val e = canon.unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
+    // Conflicting seed rows for one node resolve to the smallest label
+    // (deterministic; also collapses exact duplicates) — a plain
+    // distinct would leave two rows and FAN OUT the node join below.
+    val seeds = seedLabels
+      .select(
+        col(seedLabels.columns(0)).cast("long").as("node"),
+        col(seedLabels.columns(1)).cast("long").as("seed_label"))
+      .groupBy(col("node"))
+      .agg(min(col("seed_label")).as("seed_label"))
+      .persist()
+    val nodes = canon.select(col("src").as("node"))
+      .unionByName(canon.select(col("dst").as("node")))
+      .distinct()
+      .join(seeds, Seq("node"), "left")
+      .persist()
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    var labels = nodes.select(col("node"), col("seed_label").as("label"))
+    var labelsRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    for (i <- 1 to iterations) {
+      // Votes: each labeled neighbor contributes one count to its label.
+      val votes = e
+        .join(
+          labels.filter(col("label").isNotNull).withColumnRenamed("node", "src"),
+          Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      // Deterministic argmax: max count, ties to the SMALLEST label
+      // (labels are non-negative, so -label orders ties correctly).
+      val pick = votes
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("picked"))
+      val next = nodes
+        .join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("seed_label"), col("picked")).as("label"))
+      if (i % materializeEvery == 0 && i < iterations) {
+        val (nextDf, nextRdd) = materialize(next)
+        nextDf.count()
+        labelsRdd.foreach(_.unpersist())
+        labels = nextDf
+        labelsRdd = Some(nextRdd)
+      } else {
+        labels = next
+      }
+    }
+    val lastRdd = labelsRdd
+    val release = { () =>
+      lastRdd.foreach(_.unpersist()); nodes.unpersist(); seeds.unpersist(); canon.unpersist(); ()
+    }
+    (labels, release)
+  }
 }

@@ -230,17 +230,78 @@ object Round8Queries {
       |SELECT node, r AS rank FROM r3
       |ORDER BY rank DESC NULLS FIRST, node NULLS FIRST LIMIT 25""".stripMargin
 
+  /** q117 — semi-supervised label spread ([[Graph.labelPropagation]]):
+    * the audited labels of a seed subset (every 3rd vector keeps its
+    * true label) spread across the exact-cosine near-dup graph (the
+    * q104 pair slice) for three majority-vote rounds, ties to the
+    * smallest label, seeds clamped. Unreached nodes stay null. The
+    * "propagate the human-labeled subset" curation move, bit-exact.
+    */
+  val q117LabelSpread: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 150)
+    val pairs = graft.operators.Similarity
+      .nearDupPairs(emb, "vec_id", "embedding", 0.35)
+      .select(col("vec_a"), col("vec_b"))
+    val seeds = emb
+      .filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("node"), col("label"))
+    Graph
+      .labelPropagation(pairs, seeds, iterations = 3)
+      .select(col("node").as("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: q104's exact-cosine pair CTEs, then three
+    * count → max-count → min-label rounds with the seed clamp.
+    */
+  val q117Sql: String =
+    """WITH emb AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 150),
+      |x AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding,1) AS pos FROM emb),
+      |n2 AS (SELECT vec_id, CAST(SUM(CAST(CAST(v AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS sq
+      |       FROM x GROUP BY vec_id),
+      |dp AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+      |        CAST(SUM(CAST(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS dot
+      |       FROM x a JOIN x b ON a.pos = b.pos AND a.vec_id < b.vec_id GROUP BY 1, 2),
+      |pairs AS (SELECT va, vb FROM dp JOIN n2 na ON dp.va = na.vec_id JOIN n2 nb ON dp.vb = nb.vec_id
+      |          WHERE dot/(sqrt(na.sq)*sqrt(nb.sq)) >= 0.35),
+      |e AS (SELECT va AS src, vb AS dst FROM pairs UNION SELECT vb AS src, va AS dst FROM pairs),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+      |sd AS (SELECT vec_id AS node, CAST(MIN(label) AS BIGINT) AS seed_label
+      |       FROM emb WHERE (vec_id % 3) = 0 GROUP BY 1),
+      |l0 AS (SELECT n.node, sd.seed_label AS label FROM nodes n LEFT JOIN sd ON sd.node = n.node),
+      |v1 AS (SELECT e.dst AS node, l.label, COUNT(*) AS c FROM e JOIN l0 l ON l.node = e.src
+      |       WHERE l.label IS NOT NULL GROUP BY 1, 2),
+      |m1 AS (SELECT node, MAX(c) AS mc FROM v1 GROUP BY 1),
+      |p1 AS (SELECT v1.node, MIN(v1.label) AS picked FROM v1 JOIN m1 ON v1.node = m1.node AND v1.c = m1.mc GROUP BY 1),
+      |l1 AS (SELECT n.node, COALESCE(sd.seed_label, p1.picked) AS label
+      |       FROM nodes n LEFT JOIN sd ON sd.node = n.node LEFT JOIN p1 ON p1.node = n.node),
+      |v2 AS (SELECT e.dst AS node, l.label, COUNT(*) AS c FROM e JOIN l1 l ON l.node = e.src
+      |       WHERE l.label IS NOT NULL GROUP BY 1, 2),
+      |m2 AS (SELECT node, MAX(c) AS mc FROM v2 GROUP BY 1),
+      |p2 AS (SELECT v2.node, MIN(v2.label) AS picked FROM v2 JOIN m2 ON v2.node = m2.node AND v2.c = m2.mc GROUP BY 1),
+      |l2 AS (SELECT n.node, COALESCE(sd.seed_label, p2.picked) AS label
+      |       FROM nodes n LEFT JOIN sd ON sd.node = n.node LEFT JOIN p2 ON p2.node = n.node),
+      |v3 AS (SELECT e.dst AS node, l.label, COUNT(*) AS c FROM e JOIN l2 l ON l.node = e.src
+      |       WHERE l.label IS NOT NULL GROUP BY 1, 2),
+      |m3 AS (SELECT node, MAX(c) AS mc FROM v3 GROUP BY 1),
+      |p3 AS (SELECT v3.node, MIN(v3.label) AS picked FROM v3 JOIN m3 ON v3.node = m3.node AND v3.c = m3.mc GROUP BY 1),
+      |l3 AS (SELECT n.node, COALESCE(sd.seed_label, p3.picked) AS label
+      |       FROM nodes n LEFT JOIN sd ON sd.node = n.node LEFT JOIN p3 ON p3.node = n.node)
+      |SELECT node AS vec_id, label FROM l3 ORDER BY vec_id NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q113_pagerank" -> q113PageRank,
     "q114_grouped_mad" -> q114GroupedMad,
     "q115_trustrank" -> q115TrustRank,
-    "q116_weighted_pagerank" -> q116WeightedPagerank
+    "q116_weighted_pagerank" -> q116WeightedPagerank,
+    "q117_label_spread" -> q117LabelSpread
   )
 
   val oracles: Map[String, String] = Map(
     "q113_pagerank" -> q113Sql,
     "q114_grouped_mad" -> q114Sql,
     "q115_trustrank" -> q115Sql,
-    "q116_weighted_pagerank" -> q116Sql
+    "q116_weighted_pagerank" -> q116Sql,
+    "q117_label_spread" -> q117Sql
   )
 }

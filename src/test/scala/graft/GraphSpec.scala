@@ -84,6 +84,31 @@ class GraphSpec extends AnyFunSuite {
     assert(ranks(Graph.integerPageRank(par, 1, weightCol = Some("w"))) == expected)
   }
 
+  test("labelPropagation: majority vote with min-label tie-break, seeds clamped") {
+    import spark.implicits._
+    def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // path 1-2-3-4 (unordered pairs), seeds: 1→7, 4→9
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L)).toDF("a", "b")
+    val seeds = Seq((1L, 7L), (4L, 9L)).toDF("node", "label")
+    // round 1: 2←{7}, 3←{9} → {1:7, 2:7, 3:9, 4:9}
+    assert(labels(graft.operators.Graph.labelPropagation(pairs, seeds, 1)) ==
+      Map(1L -> Some(7L), 2L -> Some(7L), 3L -> Some(9L), 4L -> Some(9L)))
+    // round 2: node 2 sees {7 from 1, 9 from 3} — tie → min 7;
+    //          node 3 sees {7 from 2, 9 from 4} — tie → min 7
+    assert(labels(graft.operators.Graph.labelPropagation(pairs, seeds, 2)) ==
+      Map(1L -> Some(7L), 2L -> Some(7L), 3L -> Some(7L), 4L -> Some(9L)))
+    // isolated-from-seeds component stays null
+    val pairs2 = Seq((2L, 1L), (5L, 6L)).toDF("a", "b")
+    val seeds2 = Seq((1L, 3L)).toDF("node", "label")
+    assert(labels(graft.operators.Graph.labelPropagation(pairs2, seeds2, 3)) ==
+      Map(1L -> Some(3L), 2L -> Some(3L), 5L -> None, 6L -> None))
+    // conflicting seed rows resolve to the smallest label, no fan-out
+    val seeds3 = Seq((1L, 7L), (1L, 5L), (4L, 9L)).toDF("node", "label")
+    assert(labels(graft.operators.Graph.labelPropagation(pairs, seeds3, 1)) ==
+      Map(1L -> Some(5L), 2L -> Some(5L), 3L -> Some(9L), 4L -> Some(9L)))
+  }
+
   test("empty edge list returns an empty (node, rank) frame") {
     import spark.implicits._
     val e = Seq.empty[(Long, Long)].toDF("src", "dst")
