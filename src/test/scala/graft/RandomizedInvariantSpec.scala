@@ -168,6 +168,46 @@ class RandomizedInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagation matches a driver-side majority-vote replay on random graphs") {
+    import spark.implicits._
+    def replay(
+        pairs: Seq[(Long, Long)],
+        seedMap: Map[Long, Long],
+        iters: Int): Map[Long, Option[Long]] = {
+      val canon = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.distinct
+      val e = canon ++ canon.map(_.swap)
+      val nodes = e.flatMap { case (a, b) => Seq(a, b) }.distinct
+      var lab: Map[Long, Option[Long]] = nodes.map(n => n -> seedMap.get(n)).toMap
+      for (_ <- 1 to iters) {
+        val votes = e.flatMap { case (s0, t) => lab(s0).map(l => (t, l)) }
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        lab = nodes.map { n =>
+          val mine = votes.collect { case ((t, l), c) if t == n => (l, c) }
+          val picked =
+            if (mine.isEmpty) None
+            else {
+              val mc = mine.map(_._2).max
+              Some(mine.collect { case (l, c) if c == mc => l }.min)
+            }
+          n -> seedMap.get(n).orElse(picked)
+        }.toMap
+      }
+      lab
+    }
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(900 + seed)
+      val n = 30
+      val pairs = (1 to 60).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val seedMap = (1 to 6).map(_ => rnd.nextInt(n).toLong -> rnd.nextInt(4).toLong).toMap
+      val got = graft.operators.Graph
+        .labelPropagation(pairs.toDF("a", "b"), seedMap.toSeq.toDF("node", "label"), iterations = 5)
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(got == replay(pairs, seedMap, 5), s"seed $seed")
+    }
+  }
+
   test("minHashSignatureFromHashes matches the affine formula evaluated on the driver") {
     import spark.implicits._
     val kSig = 6
