@@ -130,6 +130,22 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagation is invariant under adversarial input repartitioning") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    val pairs = (0 until 300)
+      .map(_ => (r.nextInt(35).toLong, r.nextInt(35).toLong))
+      .toDF("a", "b")
+    val seeds = (0 until 8).map(i => (i.toLong * 4, (i % 3).toLong)).toDF("node", "label")
+    def run(p: org.apache.spark.sql.DataFrame): Map[Long, Any] =
+      graft.operators.Graph.labelPropagation(p, seeds, 3)
+        .collect().map(r0 => r0.getLong(0) -> (if (r0.isNullAt(1)) null else r0.getLong(1))).toMap
+    val base = run(pairs)
+    for (parts <- Seq(1, 5, 64)) {
+      assert(run(pairs.repartition(parts, col("b"))) == base, s"parts=$parts")
+    }
+  }
+
   test("release handle unpersists every cached frame") {
     import spark.implicits._
     // Sweep first: sibling tests use the non-releasable wrapper, whose
