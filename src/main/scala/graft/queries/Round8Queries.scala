@@ -134,9 +134,13 @@ object Round8Queries {
     * most-trusted CUSTOMERS, i.e. nodes that earned rank purely
     * through links (non-seeds get NO teleport mass). Same integer
     * micro-unit arithmetic as q113, so the ranking is bit-exact.
+    * Gated on the same deterministic ¼ order slice as q116 — the
+    * gate's value is the seed-teleport semantics, not the volume;
+    * q113 already carries the full-graph line (the q49 precedent).
     */
   val q115TrustRank: Q = (s, d) => {
     val e0 = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 4 === 0)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(
         (col("o_custkey") * 2).as("src"),
@@ -157,7 +161,8 @@ object Round8Queries {
     */
   val q115Sql: String =
     """WITH e0 AS (SELECT DISTINCT (o_custkey * 2) AS src, ((l_suppkey * 2) + 1) AS dst
-      |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |            WHERE (o_orderkey % 4) = 0),
       |e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
       |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
       |sd AS (SELECT ((s_suppkey * 2) + 1) AS node FROM supplier WHERE s_nationkey < 5),
