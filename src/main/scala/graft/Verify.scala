@@ -28,6 +28,11 @@ object Verify {
         require(n > 0, "q99 vacuous: batch split selects 0 fixture rows")
         val dups = df.filter(col("is_dup")).count()
         require(dups > 0, s"q99 vacuous: $n batch rows but 0 is_dup=true — no candidate was exercised")
+      },
+      "q118_triangle_cohesion" -> { df =>
+        import org.apache.spark.sql.functions.col
+        val tri = df.filter(col("triangles") > 0).count()
+        require(tri > 0, "q118 vacuous: similarity slice closes 0 triangles — threshold drifted")
       })
     // Dev-only subset: --only=q90_weighted_sample,q99_incremental_dedup
     // (the driver passes no --only, so it always dumps the full surface).

@@ -294,12 +294,62 @@ object Round8Queries {
       |       FROM nodes n LEFT JOIN sd ON sd.node = n.node LEFT JOIN p3 ON p3.node = n.node)
       |SELECT node AS vec_id, label FROM l3 ORDER BY vec_id NULLS FIRST""".stripMargin
 
+  /** q118 — near-dup cluster cohesion ([[Graph.triangleCounts]]): per-
+    * vector triangle participation over the q104 exact-cosine pair
+    * slice. High counts = clique-like true-duplicate clusters; zero on
+    * a node with edges = transitive drift (A≈B≈C with no A≈C) — the
+    * diagnostic run before trusting a keep-one compaction. The
+    * operator is the degree-oriented wedge algorithm; the oracle is
+    * the naive a<b<c triple join (same result, different plan).
+    */
+  val q118TriangleCohesion: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 150)
+    // 0.25, not q104's 0.35: at 0.35 this slice has pair EDGES but no
+    // closed triangle at either gate SF — a vacuous gate (every count
+    // 0) proves nothing, the q99 lesson. At 0.25 the slice closes
+    // 19-26 triangles at sf0.001/sf0.01; Verify enforces >=1.
+    val pairs = graft.operators.Similarity
+      .nearDupPairs(emb, "vec_id", "embedding", 0.25)
+      .select(col("vec_a"), col("vec_b"))
+    Graph
+      .triangleCounts(pairs)
+      .select(col("node").as("vec_id"), col("triangles"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: q117's pair CTEs, then the canonical triple join
+    * (a,b)(b,c)(a,c) with a<b<c — each triangle counted once — and a
+    * per-node participation count with zeros for triangle-free nodes.
+    */
+  val q118Sql: String =
+    """WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
+      |x AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding,1) AS pos FROM emb),
+      |n2 AS (SELECT vec_id, CAST(SUM(CAST(CAST(v AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS sq
+      |       FROM x GROUP BY vec_id),
+      |dp AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+      |        CAST(SUM(CAST(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS dot
+      |       FROM x a JOIN x b ON a.pos = b.pos AND a.vec_id < b.vec_id GROUP BY 1, 2),
+      |pairs AS (SELECT va, vb FROM dp JOIN n2 na ON dp.va = na.vec_id JOIN n2 nb ON dp.vb = nb.vec_id
+      |          WHERE dot/(sqrt(na.sq)*sqrt(nb.sq)) >= 0.25),
+      |t AS (SELECT e1.va AS a, e1.vb AS b, e2.vb AS c
+      |      FROM pairs e1
+      |      JOIN pairs e2 ON e2.va = e1.vb
+      |      JOIN pairs e3 ON e3.va = e1.va AND e3.vb = e2.vb),
+      |nodes AS (SELECT va AS node FROM pairs UNION SELECT vb AS node FROM pairs),
+      |cnt AS (SELECT node, COUNT(*) AS t FROM
+      |        (SELECT a AS node FROM t UNION ALL SELECT b AS node FROM t UNION ALL SELECT c AS node FROM t)
+      |        GROUP BY 1)
+      |SELECT n.node AS vec_id, CAST(COALESCE(cnt.t, 0) AS BIGINT) AS triangles
+      |FROM nodes n LEFT JOIN cnt ON cnt.node = n.node
+      |ORDER BY vec_id NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q113_pagerank" -> q113PageRank,
     "q114_grouped_mad" -> q114GroupedMad,
     "q115_trustrank" -> q115TrustRank,
     "q116_weighted_pagerank" -> q116WeightedPagerank,
-    "q117_label_spread" -> q117LabelSpread
+    "q117_label_spread" -> q117LabelSpread,
+    "q118_triangle_cohesion" -> q118TriangleCohesion
   )
 
   val oracles: Map[String, String] = Map(
@@ -307,6 +357,7 @@ object Round8Queries {
     "q114_grouped_mad" -> q114Sql,
     "q115_trustrank" -> q115Sql,
     "q116_weighted_pagerank" -> q116Sql,
-    "q117_label_spread" -> q117Sql
+    "q117_label_spread" -> q117Sql,
+    "q118_triangle_cohesion" -> q118Sql
   )
 }

@@ -146,6 +146,47 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("triangleCounts: hand-computed cliques, shared edges, pendants, drift chains") {
+    import spark.implicits._
+    def tc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.operators.Graph.triangleCounts(pairs.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangle + pendant + disconnected drift edge
+    assert(tc(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L, 6L -> 0L))
+    // two triangles sharing edge 2-3 (K4 minus 1-4)
+    assert(tc(Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    // K4: every node in C(3,2)=3 triangles; dup edges and reversed
+    // orientation collapse
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+    assert(tc(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // empty
+    assert(tc(Seq.empty) == Map.empty)
+  }
+
+  test("triangleCounts matches a driver-side triple loop on random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(1300 + seed)
+      val n = 25
+      val pairs = (1 to 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val canon = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.distinct.toSet
+      val nodes = canon.toSeq.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val expected = nodes.map { v =>
+        v -> (for {
+          (a, b) <- canon.toSeq
+          c <- nodes
+          if c > b && canon((a, c)) && canon((b, c)) && (v == a || v == b || v == c)
+        } yield 1).size.toLong
+      }.toMap
+      val got = graft.operators.Graph.triangleCounts(pairs.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("release handle unpersists every cached frame") {
     import spark.implicits._
     // Sweep first: sibling tests use the non-releasable wrapper, whose
