@@ -5,12 +5,21 @@ import graft.Tables
 import graft.operators.{Graph, Relational}
 import graft.queries.CoreQueries.Q
 
-/** Round-8 surface: graph centrality (integer-exact PageRank over the
-  * customer⟷supplier transaction graph — the link-graph quality prior
-  * a web-corpus pipeline ranks documents by) and robust dispersion
-  * (grouped median absolute deviation — the outlier-resistant spread
-  * statistic behind quality-score winsorization), both deterministic
-  * by construction (integer micro-units; discrete order statistics).
+/** Round-8 surface — the graph-analytics family plus robust
+  * dispersion, all deterministic by construction (integer micro-units,
+  * integer argmax/counts, discrete order statistics):
+  *
+  *  - q113 integer-exact PageRank over the customer⟷supplier
+  *    transaction graph (the link-graph quality prior);
+  *  - q114 grouped median absolute deviation (outlier-resistant
+  *    spread behind quality-score winsorization);
+  *  - q115 seeded TrustRank (teleport mass only to a trusted
+  *    whitelist — proximity-to-trusted-set curation);
+  *  - q116 edge-weighted PageRank (mass splits by trade volume);
+  *  - q117 semi-supervised label propagation (spread audited labels
+  *    across the near-dup similarity graph);
+  *  - q118 triangle-count cluster cohesion (clique-like true-dup
+  *    clusters vs transitive drift chains).
   */
 object Round8Queries {
 
