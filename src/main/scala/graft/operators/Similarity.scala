@@ -432,4 +432,89 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
+
+  /** Deterministic Lloyd k-means assignment — the clustering stage
+    * behind cluster-balanced sampling and SemDeDup-style semantic
+    * curation (and the natural producer of [[ivfAnnTopK]]'s centroid
+    * set). FP k-means is seed- and order-sensitive; this variant is
+    * bit-reproducible end to end:
+    *
+    *  - seeds: the caller's predicate picks the round-0 centroids from
+    *    the data itself (no RNG);
+    *  - centroids are kept RATIONAL — (n, Σx_j) with the component
+    *    sums accumulated in DECIMAL(28,10) (order-independent), never
+    *    divided into a float mean;
+    *  - distance to centroid c is Σ(x_j − s_j/n)² evaluated as
+    *    Σ(n·x_j − s_j)² / n²: the inner term is one double subtract/
+    *    multiply rounded once to DECIMAL(28,10) (the engine-parity
+    *    recipe every cosine operator here uses), the sum is exact, and
+    *    the final /n² is a single IEEE division — identical in the SQL
+    *    oracle and across partitionings;
+    *  - argmin via `min(struct(dist, cid))`: map-side-combining
+    *    aggregate (no Window over the corpus), ties to the smaller
+    *    centroid id.
+    *
+    * Scale shape per round: centroids are k·dim values — ALWAYS the
+    * broadcast side; assignment is a map-side k-fold expansion folded
+    * back to one row per point by the combining argmin, so the only
+    * corpus-grain shuffles are that argmin and the posexplode
+    * centroid-update aggregate (both keyed, both partial-agg). Empty
+    * clusters drop out (no re-seeding), matching the oracle.
+    *
+    * @param seedFilter picks round-0 centroid rows; centroid id = that
+    *                   row's `idCol`
+    * @return one row per input point: (idCol, cluster) after `rounds`
+    *         assignment passes (centroid updates happen BETWEEN
+    *         passes, so rounds = 2 is assign → update → assign)
+    */
+  def kmeansAssign(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      seedFilter: Column,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1 (got $rounds)")
+    val points = Relational.spreadFewSplits(df, idCol).select(col(idCol), col(embCol))
+    require(!points.filter(seedFilter).isEmpty, "kmeansAssign: seedFilter selects no centroid rows")
+    // (cid, n, comps: array<decimal>) — round 0 is each seed row itself
+    // as a cluster of one, so ONE distance formula serves every round.
+    val cents0 = points
+      .filter(seedFilter)
+      .select(
+        col(idCol).as("cid"),
+        lit(1L).as("n"),
+        transform(col(embCol), x => dec(x.cast("double"))).as("comps"))
+    def assign(cents: DataFrame): DataFrame = {
+      val t = (x: Column, s: Column) => col("n").cast("double") * x.cast("double") - s.cast("double")
+      val distNum = aggregate(
+        zip_with(col(embCol), col("comps"), (x, s) => dec(t(x, s) * t(x, s))),
+        lit(0).cast(decT),
+        (acc, v) => dec(acc + v))
+      points
+        .crossJoin(broadcast(cents))
+        .groupBy(col(idCol))
+        .agg(min(struct(
+          (distNum.cast("double") / (col("n") * col("n")).cast("double")).as("d"),
+          col("cid"))).as("best"))
+        .select(col(idCol), col("best.cid").as("cluster"))
+    }
+    def update(assigned: DataFrame): DataFrame =
+      points
+        .join(assigned, Seq(idCol))
+        .select(col("cluster").as("cid"), posexplode(col(embCol)).as(Seq("pos", "__x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(dec(col("__x").cast("double"))).as("__s"), count(lit(1)).as("__np"))
+        .groupBy(col("cid"))
+        .agg(
+          max(col("__np")).as("n"),
+          array_sort(collect_list(struct(col("pos"), col("__s")))).as("__raw"))
+        .select(col("cid"), col("n"), transform(col("__raw"), p => p.getField("__s")).as("comps"))
+    var cents = cents0
+    var out = assign(cents)
+    for (_ <- 2 to rounds) {
+      cents = update(out)
+      out = assign(cents)
+    }
+    out
+  }
 }

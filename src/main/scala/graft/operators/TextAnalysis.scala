@@ -494,4 +494,80 @@ object TextAnalysis {
       .agg(count(lit(1)).as("overlap_k"))
     (out, () => sketches.unpersist(): Unit)
   }
+
+  /** Retrieval-based data selection: BM25 relevance of every document
+    * to a fixed query-term set — the "select pretraining data by
+    * similarity to a trusted seed query" move (the lexical twin of
+    * DSIR's hashed-n-gram importance rule, [[importanceKeepRule]]).
+    *
+    * INTEGER-EXACT variant of Robertson/Okapi BM25 with k1 = 6/5 and
+    * b = 3/4: with N docs, S total tokens (so avgdl = S/N), per-doc
+    * length dl and per-term tf/df, the textbook per-term score
+    *
+    *   idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/(S/N)))
+    *
+    * with the rational idf (N − df + ½)/(df + ½) = (2N−2df+1)/(2df+1)
+    * reduces to the single integer fraction
+    *
+    *   (2N−2df+1) · 44·S·tf  /  (2df+1) · (20·S·tf + 6·S + 18·dl·N)
+    *
+    * which this operator floors at `scale` fixed-point precision:
+    * per-term contribution `(scale·num) div den`, summed over the
+    * query terms as BIGINT. No logs, no floats — the ranking is
+    * bit-identical in the SQL oracle and across partitionings. (The
+    * usual log-idf is monotone in the rational idf per term; the
+    * fixed-point sum is the exactness-preserving aggregate.)
+    *
+    * Scale shape: ONE map-side corpus pass computes (dl, tf per term)
+    * — the tf counts are per-row array folds over the |Q| literal
+    * terms, no explode, no per-(doc,term) shuffle; ONE 1-row aggregate
+    * collects (N, S, df per term) and broadcasts back; the score is a
+    * pure projection. Nothing shuffles at corpus grain, so the plan is
+    * two linear scans at any scale. |Q| is bounded (`require ≤ 64`) —
+    * this is the "score against a seed query" operator, not a full
+    * inverted index.
+    *
+    * @return (idCol, bm25) — every corpus row, score 0 when no query
+    *         term occurs
+    */
+  def bm25Scores(
+      corpus: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      terms: Seq[String],
+      scale: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
+    require(terms.size <= 64, s"bm25Scores is the seed-query scorer (|Q| <= 64); got ${terms.size}")
+    val decStr = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(decStr)
+    val base = corpus
+      .withColumn("__toks", split(col(textCol), " "))
+      .select(
+        col(idCol) +:
+          size(col("__toks")).cast("long").as("__dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("__toks"), x => x === lit(t))).cast("long").as(s"__tf$i")
+          }: _*)
+    val aggs =
+      count(lit(1)).cast("long").as("__n") +:
+        sum(col("__dl")).cast("long").as("__s") +:
+        terms.indices.map(i => count_if(col(s"__tf$i") > 0).cast("long").as(s"__df$i"))
+    val totals = base.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n")
+    val sTot = col("__s")
+    val withNumDen = terms.indices.foldLeft(base.crossJoin(broadcast(totals))) { (df, i) =>
+      val tf = col(s"__tf$i")
+      val df_ = col(s"__df$i")
+      df.withColumn(
+          s"__num$i",
+          d(lit(scale)) * d(lit(2L) * n - lit(2L) * df_ + lit(1L)) * d(lit(44L)) * d(sTot) * d(tf))
+        .withColumn(
+          s"__den$i",
+          d(lit(2L) * df_ + lit(1L)) *
+            (d(lit(20L)) * d(sTot) * d(tf) + d(lit(6L)) * d(sTot) + d(lit(18L)) * d(col("__dl")) * d(n)))
+    }
+    val sumExpr = terms.indices.map(i => s"(__num$i div __den$i)").mkString(" + ")
+    withNumDen.selectExpr(idCol, s"CAST($sumExpr AS BIGINT) AS bm25")
+  }
 }

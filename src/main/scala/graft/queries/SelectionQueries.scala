@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Hashing
+import graft.operators.{Similarity, TextAnalysis}
+import graft.queries.CoreQueries.Q
+
+/** The data-SELECTION family — given a cleaned, deduped corpus, which
+  * documents go into the training mix and how is the mix balanced:
+  *
+  *  - q119 BM25 retrieval scoring against a seed query (lexical
+  *    relevance selection, integer-exact — the retrieval twin of
+  *    q111's DSIR importance rule);
+  *  - q120 deterministic Lloyd k-means over embeddings (the
+  *    clustering stage behind cluster-balanced sampling / SemDeDup
+  *    curation, rational centroids so it is bit-reproducible);
+  *  - q121 temperature-scaled mixture sampling over languages (the
+  *    multilingual α = 1/2 rebalance of Gopher/PaLM-style data
+  *    recipes, as a deterministic per-document hash coin).
+  */
+object SelectionQueries {
+
+  /** q119 — BM25 relevance of every document to the seed query
+    * {spark, join, filter, hash} ([[TextAnalysis.bm25Scores]]):
+    * rational-idf Okapi BM25 (k1 = 6/5, b = 3/4) reduced to one
+    * integer fraction per term and floored at 10⁻⁶ fixed point, so
+    * the ranking is bit-identical to the oracle with NO float in
+    * sight. One map-side corpus pass (per-row array folds, no
+    * explode), one broadcast 1-row totals/df aggregate, one scoring
+    * projection — nothing shuffles at corpus grain.
+    */
+  val q119Bm25: Q = (s, d) => {
+    TextAnalysis
+      .bm25Scores(Tables.documents(s, d), "text", "doc_id", Seq("spark", "join", "filter", "hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same integer fraction per term —
+    * `(2N−2df+1)·44·S·tf // ((2df+1)·(20·S·tf + 6·S + 18·dl·N))`
+    * at 10⁶ fixed point, HUGEINT to absorb the ~10¹⁸ numerator.
+    */
+  val q119Sql: String = {
+    val terms = Seq("spark", "join", "filter", "hash")
+    val tfCols = terms.indices
+      .map(i => s"len(list_filter(toks, x -> x = '${terms(i)}')) AS tf$i")
+      .mkString(",\n      |         ")
+    val dfCols = terms.indices
+      .map(i => s"COUNT(*) FILTER (WHERE tf$i > 0) AS df$i")
+      .mkString(",\n      |         ")
+    val scoreTerms = terms.indices
+      .map(i =>
+        s"((CAST(1000000 AS HUGEINT) * (((2 * n) - (2 * df$i)) + 1) * 44 * s * tf$i) // (((2 * df$i) + 1) * (((20 * s) * tf$i) + (6 * s) + ((18 * dl) * n))))")
+      .mkString("\n      |  + ")
+    s"""WITH base AS (
+      |  SELECT doc_id, len(toks) AS dl,
+      |         $tfCols
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |tot AS (
+      |  SELECT COUNT(*) AS n, SUM(dl) AS s,
+      |         $dfCols
+      |  FROM base)
+      |SELECT doc_id, CAST(
+      |  $scoreTerms
+      |  AS BIGINT) AS bm25
+      |FROM base, tot
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
+  /** q120 — deterministic 2-round Lloyd k-means over the embedding
+    * corpus ([[Similarity.kmeansAssign]]): seeds are every 50th
+    * vector (no RNG), centroids stay rational (n, Σx) in exact
+    * decimal, distances are the engine-parity double→decimal recipe,
+    * argmin is a combining `min(struct)` — so the final assignment is
+    * bit-identical in the oracle and under any partitioning. The
+    * clustering stage of cluster-balanced sampling.
+    */
+  val q120Kmeans: Q = (s, d) => {
+    Similarity
+      .kmeansAssign(
+        Tables.embeddings(s, d),
+        "vec_id",
+        "embedding",
+        col("vec_id") % 50 === 0,
+        rounds = 2)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: the same two rounds as chained CTEs — round-0 centroids
+    * are the seed rows as clusters of one ((n, s) = (1, dec(x))), the
+    * shared distance formula is Σ dec((n·x − s_double)²) / n², argmin
+    * via ROW_NUMBER ordered by (dist, cid).
+    */
+  val q120Sql: String =
+    """WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |                  generate_subscripts(embedding, 1) AS pos
+      |           FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, CAST(1 AS BIGINT) AS n, pos,
+      |              CAST(v AS DECIMAL(28,10)) AS s
+      |       FROM x WHERE (vec_id % 50) = 0),
+      |d1 AS (SELECT x.vec_id, c.cid,
+      |        CAST(SUM(CAST(((c.n * x.v) - CAST(c.s AS DOUBLE)) * ((c.n * x.v) - CAST(c.s AS DOUBLE)) AS DECIMAL(28,10))) AS DOUBLE) / (c.n * c.n) AS dist
+      |       FROM x JOIN c0 c ON c.pos = x.pos GROUP BY x.vec_id, c.cid, c.n),
+      |a1 AS (SELECT vec_id, cid FROM
+      |        (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+      |       WHERE rn = 1),
+      |n1 AS (SELECT cid, COUNT(*) AS n FROM a1 GROUP BY 1),
+      |s1 AS (SELECT a1.cid, x.pos, SUM(CAST(x.v AS DECIMAL(28,10))) AS s
+      |       FROM a1 JOIN x ON x.vec_id = a1.vec_id GROUP BY 1, 2),
+      |d2 AS (SELECT x.vec_id, s1.cid,
+      |        CAST(SUM(CAST(((n1.n * x.v) - CAST(s1.s AS DOUBLE)) * ((n1.n * x.v) - CAST(s1.s AS DOUBLE)) AS DECIMAL(28,10))) AS DOUBLE) / (n1.n * n1.n) AS dist
+      |       FROM x JOIN s1 ON s1.pos = x.pos JOIN n1 ON n1.cid = s1.cid GROUP BY x.vec_id, s1.cid, n1.n),
+      |a2 AS (SELECT vec_id, cid FROM
+      |        (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+      |       WHERE rn = 1)
+      |SELECT vec_id, cid AS cluster FROM a2 ORDER BY vec_id NULLS FIRST""".stripMargin
+
+  /** q121 — temperature-scaled mixture sampling over languages: at
+    * temperature α = 1/2 the per-language keep rate is
+    * τ_l = √(c_min/c_l) (heavier languages downsample toward the
+    * lightest — the multilingual rebalance move), applied as the
+    * deterministic coin `h60("tmix:"+doc_id) < τ_l·2⁶⁰`. τ is
+    * irrational, so the coin compares DOUBLES — but both engines
+    * compute the identical IEEE sqrt/divide/multiply from identical
+    * integers, so the verdict is still bit-stable (and rerun/shard-
+    * stable: the coin depends only on the document id). Generalizes
+    * q101's fixed target mix to the α-parameterized family.
+    */
+  val q121TemperatureMix: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cl"))
+    val cmin = counts.agg(min(col("cl")).as("cmin"))
+    docs
+      .join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(cmin))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        (Hashing.h60(concat(lit("tmix:"), col("doc_id").cast("string"))).cast("double") <
+          sqrt(col("cmin").cast("double") / col("cl").cast("double")) * lit(1152921504606846976L))
+          .as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same counts, the same √(c_min/c_l)·2⁶⁰ threshold,
+    * the same md5-derived 60-bit coin.
+    */
+  val q121Sql: String =
+    """WITH c AS (SELECT lang, COUNT(*) AS cl FROM documents GROUP BY 1),
+      |m AS (SELECT MIN(cl) AS cmin FROM c)
+      |SELECT d.doc_id, d.lang,
+      |  (CAST(CAST('0x' || substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+      |    < (sqrt(CAST(m.cmin AS DOUBLE) / CAST(c.cl AS DOUBLE)) * 1152921504606846976)) AS kept
+      |FROM documents d JOIN c ON c.lang = d.lang, m
+      |ORDER BY d.doc_id NULLS FIRST""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q119_bm25_select" -> q119Bm25,
+    "q120_kmeans" -> q120Kmeans,
+    "q121_temperature_mix" -> q121TemperatureMix
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q119_bm25_select" -> q119Sql,
+    "q120_kmeans" -> q120Sql,
+    "q121_temperature_mix" -> q121Sql
+  )
+}

@@ -164,4 +164,18 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       docs)
     GraftSession.releaseAllCaches(spark)
   }
+
+  test("BM25 scoring (q119 shape) is partitioning-invariant") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    invariant(
+      d => TextAnalysis.bm25Scores(d, "text", "doc_id", Seq("spark", "join", "filter", "hash")),
+      docs)
+  }
+
+  test("k-means assignment (q120 shape) is partitioning-invariant") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    invariant(
+      e => operators.Similarity.kmeansAssign(e, "vec_id", "embedding", col("vec_id") % 10 === 0, rounds = 2),
+      emb)
+  }
 }

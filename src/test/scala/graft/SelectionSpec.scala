@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Similarity, TextAnalysis}
+
+/** Hand-verified semantics of the data-selection operators (BM25
+  * retrieval scoring, deterministic k-means).
+  */
+class SelectionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("bm25Scores: hand-computed integer scores, zero for term-free docs") {
+    import spark.implicits._
+    // Corpus: doc1 "a a b" (dl=3), doc2 "a c" (dl=2), doc3 "c c c"
+    // (dl=3). N=3, S=8. Terms (a, b): df(a)=2, df(b)=1.
+    //   idf(a) = (2·3−2·2+1)/(2·2+1) = 3/5; idf(b) = 5/3.
+    // doc1·a (tf=2): 10⁶·3·44·8·2 // 5·(20·8·2+6·8+18·3·3)
+    //   = 2112000000 // 2650 = 796981
+    // doc1·b (tf=1): 10⁶·5·44·8 // 3·(160+48+162) = 1760000000 // 1110
+    //   = 1585585
+    // doc2·a (tf=1, dl=2): 10⁶·3·44·8 // 5·(160+48+108)
+    //   = 1056000000 // 1580 = 668354
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c")).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .bm25Scores(docs, "text", "doc_id", Seq("a", "b"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out == Map(1L -> (796981L + 1585585L), 2L -> 668354L, 3L -> 0L))
+  }
+
+  test("bm25Scores: guards reject empty, duplicate, and oversized term sets") {
+    import spark.implicits._
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](TextAnalysis.bm25Scores(docs, "text", "doc_id", Seq.empty))
+    intercept[IllegalArgumentException](TextAnalysis.bm25Scores(docs, "text", "doc_id", Seq("a", "a")))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25Scores(docs, "text", "doc_id", (1 to 65).map(i => s"t$i")))
+  }
+
+  test("kmeansAssign: tie to smaller centroid id, round-2 update flips the boundary point") {
+    import spark.implicits._
+    // 1-D geometry embedded in dim 2. Seeds: id0 at 0, id50 at 20.
+    // Low-side mass at 8, 9 pulls centroid A to 17/3 after round 1;
+    // id9 at 10.5 starts closer to B (90.25 < 110.25) but flips to A
+    // in round 2 (23.36 < 50.77). id10 at exactly 10 is equidistant
+    // in round 1 — the tie must go to the smaller centroid id.
+    val pts = Seq(
+      (0L, Seq(0f, 0f)),
+      (50L, Seq(20f, 0f)),
+      (1L, Seq(20f, 0f)),
+      (2L, Seq(20f, 0f)),
+      (3L, Seq(8f, 0f)),
+      (4L, Seq(9f, 0f)),
+      (9L, Seq(10.5f, 0f))
+    ).toDF("vec_id", "embedding")
+    val seed = col("vec_id").isin(0L, 50L)
+    val r1 = Similarity
+      .kmeansAssign(pts, "vec_id", "embedding", seed, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(0L -> 0L, 3L -> 0L, 4L -> 0L, 9L -> 50L, 1L -> 50L, 2L -> 50L, 50L -> 50L))
+    val r2 = Similarity
+      .kmeansAssign(pts, "vec_id", "embedding", seed, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(0L -> 0L, 3L -> 0L, 4L -> 0L, 9L -> 0L, 1L -> 50L, 2L -> 50L, 50L -> 50L))
+
+    val tie = pts.union(Seq((10L, Seq(10f, 0f))).toDF("vec_id", "embedding"))
+    val rt = Similarity
+      .kmeansAssign(tie, "vec_id", "embedding", seed, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rt(10L) == 0L, "equidistant point must pick the smaller centroid id")
+  }
+
+  test("kmeansAssign: empty seed set is rejected") {
+    import spark.implicits._
+    val pts = Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](
+      Similarity.kmeansAssign(pts, "vec_id", "embedding", col("vec_id") < 0, rounds = 1))
+  }
+
+  test("kmeansAssign: matches a driver-side double replay on seeded random points") {
+    import spark.implicits._
+    // Values are small integers scaled by 1/4 — exactly representable
+    // in float, double AND decimal(28,10), so the operator's decimal
+    // path and this double replay compute identical distances.
+    val rnd = new scala.util.Random(11)
+    val pts = (0L until 60L).map(i => (i, Seq.fill(4)(rnd.nextInt(41).toFloat / 4f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val out = Similarity
+      .kmeansAssign(df, "vec_id", "embedding", col("vec_id") % 20 === 0, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay: rational centroids (n, sum), dist = sum((n·x − s)²)/n²
+    var cents: Map[Long, (Long, Seq[Double])] =
+      pts.filter(_._1 % 20 == 0).map { case (id, v) => id -> ((1L, v.map(_.toDouble))) }.toMap
+    var assign: Map[Long, Long] = Map.empty
+    for (r <- 1 to 3) {
+      assign = pts.map { case (id, v) =>
+        val best = cents.toSeq.map { case (cid, (n, s)) =>
+          val d = v.zip(s).map { case (x, si) => val t = n * x.toDouble - si; t * t }.sum / (n.toDouble * n)
+          (d, cid)
+        }.min
+        id -> best._2
+      }.toMap
+      if (r < 3) {
+        cents = assign.groupBy(_._2).map { case (cid, m) =>
+          val members = m.keys.toSeq.map(id => pts(id.toInt)._2.map(_.toDouble))
+          cid -> ((members.size.toLong, members.transpose.map(_.sum)))
+        }
+      }
+    }
+    assert(out == assign)
+  }
+}
