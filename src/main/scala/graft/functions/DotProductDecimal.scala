@@ -9,10 +9,13 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression: DECIMAL-exact dot product of two
-  * `array<float>` columns — the codegen'd twin of the interpreted
-  * higher-order-function fold `aggregate(zip_with(a, b, (x,y) =>
-  * CAST(x·y AS DECIMAL(28,10))), 0, (acc,x) => acc+x)` that
-  * [[graft.operators.Similarity]] originally used.
+  * `array<float>` (or `array<double>`, any mix) columns — the
+  * codegen'd twin of the interpreted higher-order-function fold
+  * `aggregate(zip_with(a, b, (x,y) => CAST(x·y AS DECIMAL(28,10))),
+  * 0, (acc,x) => acc+x)` that [[graft.operators.Similarity]]
+  * originally used. The double-element form serves derived vectors
+  * (e.g. k-means difference vectors n·x − s) whose components are no
+  * longer floats.
   *
   * Bit-parity contract (what makes this oracle-gateable where
   * [[DotProductFloat]]'s sequential double accumulation is not): each
@@ -42,25 +45,32 @@ case class DotProductDecimal(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) =>
         TypeCheckResult.TypeCheckFailure(
-          s"graft_dot_dec requires (array<float>, array<float>), got ($l, $r)")
+          s"graft_dot_dec requires (array<float|double>, array<float|double>), got ($l, $r)")
     }
+
+  private def isDoubleArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
+  }
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_dot_dec"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    DotProductDecimal.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    DotProductDecimal.compute(
+      a.asInstanceOf[ArrayData], isDoubleArr(left),
+      b.asInstanceOf[ArrayData], isDoubleArr(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val tmp = ctx.freshName("dotDec")
       s"""
-         |java.lang.Double $tmp = graft.functions.DotProductDecimal.compute($a, $b);
+         |java.lang.Double $tmp = graft.functions.DotProductDecimal.compute($a, ${isDoubleArr(left)}, $b, ${isDoubleArr(right)});
          |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
        """.stripMargin
     })
@@ -76,7 +86,7 @@ object DotProductDecimal {
     * null-producing shapes (length mismatch, null element) so the
     * wrapper can propagate SQL null.
     */
-  def compute(x: ArrayData, y: ArrayData): java.lang.Double = {
+  def compute(x: ArrayData, xDouble: Boolean, y: ArrayData, yDouble: Boolean): java.lang.Double = {
     val n = x.numElements()
     if (n != y.numElements()) return null
     var accLong = 0L
@@ -84,7 +94,9 @@ object DotProductDecimal {
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (xDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (yDouble) y.getDouble(i) else y.getFloat(i).toDouble
+      val p = xv * yv
       // Exactly Spark's Cast(double -> DECIMAL(28,10)): shortest decimal
       // representation, then HALF_UP to 10 fractional digits.
       val scaled = JBigDecimal.valueOf(p).setScale(10, RoundingMode.HALF_UP)

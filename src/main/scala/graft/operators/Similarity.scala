@@ -485,16 +485,22 @@ object Similarity {
         lit(1L).as("n"),
         transform(col(embCol), x => dec(x.cast("double"))).as("comps"))
     def assign(cents: DataFrame): DataFrame = {
-      val t = (x: Column, s: Column) => col("n").cast("double") * x.cast("double") - s.cast("double")
-      val distNum = aggregate(
-        zip_with(col(embCol), col("comps"), (x, s) => dec(t(x, s) * t(x, s))),
-        lit(0).cast(decT),
-        (acc, v) => dec(acc + v))
+      // Difference vector n·x − s staged as a materialized column
+      // (referenced twice below, so CollapseProject keeps it computed
+      // once); the Σ dec(t·t) fold is the native graft_dot_dec of the
+      // vector with itself — same per-element decimal rounding, ~10×
+      // cheaper than the interpreted HOF aggregate.
       points
         .crossJoin(broadcast(cents))
+        .withColumn(
+          "__u",
+          zip_with(
+            col(embCol),
+            col("comps"),
+            (x, s) => col("n").cast("double") * x.cast("double") - s.cast("double")))
         .groupBy(col(idCol))
         .agg(min(struct(
-          (distNum.cast("double") / (col("n") * col("n")).cast("double")).as("d"),
+          (dot(col("__u"), col("__u")) / (col("n") * col("n")).cast("double")).as("d"),
           col("cid"))).as("best"))
         .select(col(idCol), col("best.cid").as("cluster"))
     }
