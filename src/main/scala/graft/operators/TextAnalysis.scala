@@ -570,4 +570,32 @@ object TextAnalysis {
     val sumExpr = terms.indices.map(i => s"(__num$i div __den$i)").mkString(" + ")
     withNumDen.selectExpr(idCol, s"CAST($sumExpr AS BIGINT) AS bm25")
   }
+
+  /** Longest run of consecutive identical tokens — the degenerate-text
+    * / looping-generation detector (model-generated spam and broken
+    * scrapes repeat a token or phrase; C4-style pipelines drop docs
+    * whose max run crosses a threshold). Complements q68's
+    * unique-token ratio (global repetition) with ADJACENCY: "a b a b"
+    * is fine here, "b b b" is not.
+    *
+    * One left fold over the token array per row — struct state
+    * (prev, cur, best), O(len), no explode, no shuffle, no window: the
+    * SQL gaps-and-islands formulation needs a per-token ROW_NUMBER
+    * over the exploded corpus (that is the ORACLE's plan); at corpus
+    * scale the fold is the one you want.
+    */
+  def maxTokenRun(text: Column): Column = {
+    val toks = split(text, " ")
+    aggregate(
+      toks,
+      struct(lit("").as("prev"), lit(0L).as("cur"), lit(0L).as("best")),
+      (acc, x) => {
+        val cur = when(x === acc.getField("prev"), acc.getField("cur") + 1L).otherwise(1L)
+        struct(
+          x.as("prev"),
+          cur.as("cur"),
+          greatest(acc.getField("best"), cur).as("best"))
+      },
+      acc => acc.getField("best"))
+  }
 }

@@ -17,7 +17,11 @@ import graft.queries.CoreQueries.Q
   *    curation, rational centroids so it is bit-reproducible);
   *  - q121 temperature-scaled mixture sampling over languages (the
   *    multilingual α = 1/2 rebalance of Gopher/PaLM-style data
-  *    recipes, as a deterministic per-document hash coin).
+  *    recipes, as a deterministic per-document hash coin);
+  *  - q122 cluster-balanced sampling (q120's learned clusters ×
+  *    q86's md5-ordered exact-N quota draw);
+  *  - q123 degenerate-text screen (longest consecutive-token run —
+  *    the looping-generation filter).
   */
 object SelectionQueries {
 
@@ -154,15 +158,103 @@ object SelectionQueries {
       |FROM documents d JOIN c ON c.lang = d.lang, m
       |ORDER BY d.doc_id NULLS FIRST""".stripMargin
 
+  /** q122 — cluster-balanced sampling: the q120 k-means assignment
+    * composed with a per-cluster exact-N quota draw (at most 20 rows
+    * per cluster, picked in md5-hash order — the q86 stratified-draw
+    * pattern over LEARNED strata instead of a given column). The
+    * "balance the training mix across embedding-space clusters" move
+    * (cluster-balanced selection): head clusters downsample to the
+    * quota, tail clusters survive whole. Rerun/shard-stable: the draw
+    * order depends only on vec_id.
+    */
+  val q122ClusterBalance: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val assign = Similarity.kmeansAssign(
+      Tables.embeddings(s, d), "vec_id", "embedding", col("vec_id") % 50 === 0, rounds = 2)
+    val w = Window
+      .partitionBy(col("cluster"))
+      .orderBy(Hashing.h60(concat(lit("cbal:"), col("vec_id").cast("string"))), col("vec_id"))
+    assign
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .filter(col("pick") <= 20)
+      .orderBy(col("cluster"), col("pick"))
+  }
+
+  /** Oracle: q120's two k-means rounds, then the same md5-ordered
+    * ROW_NUMBER quota per cluster.
+    */
+  val q122Sql: String =
+    """WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |                  generate_subscripts(embedding, 1) AS pos
+      |           FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, CAST(1 AS BIGINT) AS n, pos,
+      |              CAST(v AS DECIMAL(28,10)) AS s
+      |       FROM x WHERE (vec_id % 50) = 0),
+      |d1 AS (SELECT x.vec_id, c.cid,
+      |        CAST(SUM(CAST(((c.n * x.v) - CAST(c.s AS DOUBLE)) * ((c.n * x.v) - CAST(c.s AS DOUBLE)) AS DECIMAL(28,10))) AS DOUBLE) / (c.n * c.n) AS dist
+      |       FROM x JOIN c0 c ON c.pos = x.pos GROUP BY x.vec_id, c.cid, c.n),
+      |a1 AS (SELECT vec_id, cid FROM
+      |        (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+      |       WHERE rn = 1),
+      |n1 AS (SELECT cid, COUNT(*) AS n FROM a1 GROUP BY 1),
+      |s1 AS (SELECT a1.cid, x.pos, SUM(CAST(x.v AS DECIMAL(28,10))) AS s
+      |       FROM a1 JOIN x ON x.vec_id = a1.vec_id GROUP BY 1, 2),
+      |d2 AS (SELECT x.vec_id, s1.cid,
+      |        CAST(SUM(CAST(((n1.n * x.v) - CAST(s1.s AS DOUBLE)) * ((n1.n * x.v) - CAST(s1.s AS DOUBLE)) AS DECIMAL(28,10))) AS DOUBLE) / (n1.n * n1.n) AS dist
+      |       FROM x JOIN s1 ON s1.pos = x.pos JOIN n1 ON n1.cid = s1.cid GROUP BY x.vec_id, s1.cid, n1.n),
+      |a2 AS (SELECT vec_id, cid AS cluster FROM
+      |        (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+      |       WHERE rn = 1),
+      |p AS (SELECT vec_id, cluster,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+      |         ORDER BY CAST('0x' || substr(md5('cbal:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) AS BIGINT) AS pick
+      |      FROM a2)
+      |SELECT vec_id, cluster, pick FROM p WHERE pick <= 20
+      |ORDER BY cluster NULLS FIRST, pick NULLS FIRST""".stripMargin
+
+  /** q123 — degenerate-text (looping-generation) screen
+    * ([[TextAnalysis.maxTokenRun]]): longest run of consecutive
+    * identical tokens per document, verdict at run ≥ 3. One HOF fold
+    * per row in the operator; the oracle takes the classic
+    * gaps-and-islands route (per-token ROW_NUMBER difference) —
+    * different plan, identical integers. At sf0.01 the corpus has 25
+    * loopy docs (max_run 3–4), so the gate is non-vacuous.
+    */
+  val q123LoopScreen: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        TextAnalysis.maxTokenRun(col("text")).as("max_run"))
+      .withColumn("loopy", col("max_run") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: gaps-and-islands — island id = position minus per-token
+    * rank, island sizes, per-doc max.
+    */
+  val q123Sql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |                  generate_subscripts(string_split(text, ' '), 1) AS ord
+      |           FROM documents),
+      |i AS (SELECT doc_id, tok, ord - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY ord) AS g FROM t),
+      |r AS (SELECT doc_id, COUNT(*) AS run FROM i GROUP BY doc_id, tok, g)
+      |SELECT doc_id, MAX(run) AS max_run, (MAX(run) >= 3) AS loopy
+      |FROM r GROUP BY doc_id
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q119_bm25_select" -> q119Bm25,
     "q120_kmeans" -> q120Kmeans,
-    "q121_temperature_mix" -> q121TemperatureMix
+    "q121_temperature_mix" -> q121TemperatureMix,
+    "q122_cluster_balance" -> q122ClusterBalance,
+    "q123_loop_screen" -> q123LoopScreen
   )
 
   val oracles: Map[String, String] = Map(
     "q119_bm25_select" -> q119Sql,
     "q120_kmeans" -> q120Sql,
-    "q121_temperature_mix" -> q121Sql
+    "q121_temperature_mix" -> q121Sql,
+    "q122_cluster_balance" -> q122Sql,
+    "q123_loop_screen" -> q123Sql
   )
 }

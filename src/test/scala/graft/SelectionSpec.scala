@@ -79,6 +79,21 @@ class SelectionSpec extends AnyFunSuite {
       Similarity.kmeansAssign(pts, "vec_id", "embedding", col("vec_id") < 0, rounds = 1))
   }
 
+  test("maxTokenRun: hand cases — runs, non-adjacent repeats, single token, empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"), //       run of 3
+      (2L, "a b a b a"), //     alternating: never adjacent -> 1
+      (3L, "x"), //             single token -> 1
+      (4L, "b b c c c c a"), // best run is the c block -> 4
+      (5L, "") //               split("") = [""] -> one run of 1
+    ).toDF("doc_id", "text")
+    val out = docs
+      .select(col("doc_id"), operators.TextAnalysis.maxTokenRun(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 1L))
+  }
+
   test("kmeansAssign: matches a driver-side double replay on seeded random points") {
     import spark.implicits._
     // Values are small integers scaled by 1/4 — exactly representable
