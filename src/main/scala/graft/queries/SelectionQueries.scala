@@ -35,8 +35,12 @@ object SelectionQueries {
     * projection — nothing shuffles at corpus grain.
     */
   val q119Bm25: Q = (s, d) => {
+    // Raw scan, not Tables.documents: the per-row work is four cheap
+    // array folds, so the spreadFewSplits shuffle would cost more than
+    // the single-split serialization it prevents (the round-8 rule for
+    // cheap per-row corpus queries).
     TextAnalysis
-      .bm25Scores(Tables.documents(s, d), "text", "doc_id", Seq("spark", "join", "filter", "hash"))
+      .bm25Scores(Tables.table(s, d, "documents"), "text", "doc_id", Seq("spark", "join", "filter", "hash"))
       .orderBy(col("doc_id"))
   }
 
@@ -131,7 +135,7 @@ object SelectionQueries {
     * q101's fixed target mix to the α-parameterized family.
     */
   val q121TemperatureMix: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.table(s, d, "documents") // cheap per-row coin — raw scan
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cl"))
     val cmin = counts.agg(min(col("cl")).as("cmin"))
     docs
@@ -221,7 +225,8 @@ object SelectionQueries {
     * loopy docs (max_run 3–4), so the gate is non-vacuous.
     */
   val q123LoopScreen: Q = (s, d) => {
-    Tables.documents(s, d)
+    // Raw scan: one cheap O(len) fold per row (round-8 rule).
+    Tables.table(s, d, "documents")
       .select(
         col("doc_id"),
         TextAnalysis.maxTokenRun(col("text")).as("max_run"))

@@ -218,4 +218,32 @@ class PlanAuditSpec extends AnyFunSuite {
       GraftSession.releaseAllCaches(spark)
     }
   }
+
+  test("q119: BM25 never shuffles at corpus grain — totals broadcast back, no sort-merge join") {
+    val p = plan("q119_bm25_select")
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the 1-row totals aggregate re-enters as a broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(1500))
+    // no hash repartitioning keyed on the document id: per-doc tf
+    // columns are map-side array folds, not an explode + shuffle
+    assert(!p.contains("hashpartitioning(doc_id"), p.take(2000))
+  }
+
+  test("q120: k-means argmin is a combining aggregate — no Window, centroids broadcast") {
+    val p = plan("q120_kmeans")
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    // per-round centroid set enters each assignment as a broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // partial (map-side) min(struct) before the exchange
+    assert(p.indexOf("HashAggregate") != p.lastIndexOf("HashAggregate"), p.take(2000))
+  }
+
+  test("q123: token-run screen is one map-side fold — no explode, no Window, no join") {
+    val p = plan("q123_loop_screen")
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("Generate"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+  }
 }
