@@ -106,6 +106,19 @@ object ScaleCheck {
           bound(Tables.documents(spark, sfDir), "doc_id")
             .select(col("source"), col("text")),
           "text", "source", 3, 64))
+      ,
+      // q120 shape at FIXED k: the first 40 vectors seed regardless of
+      // the corpus bound, so the slope isolates n-growth at constant
+      // cluster count — the realistic regime (k does not track corpus
+      // size; the gate query's %50 seeds would grow k with n and
+      // measure the O(n·k) product instead).
+      "kmeans" -> (() =>
+        Similarity.kmeansAssign(emb, "vec_id", "embedding", col("vec_id") < 40, rounds = 2)),
+      // q119 shape: seed-query BM25 over the growing corpus (two
+      // linear scans + a broadcast totals row).
+      "bm25" -> (() =>
+        graft.operators.TextAnalysis.bm25Scores(
+          docs, "text", "doc_id", Seq("spark", "join", "filter", "hash")))
     )
 
     // Same inter-region protocol as Bench: sweep caches, force a GC so
