@@ -21,7 +21,11 @@ import graft.queries.CoreQueries.Q
   *  - q122 cluster-balanced sampling (q120's learned clusters ×
   *    q86's md5-ordered exact-N quota draw);
   *  - q123 degenerate-text screen (longest consecutive-token run —
-  *    the looping-generation filter).
+  *    the looping-generation filter);
+  *  - q124 quality-tiered epoch upsampling (deterministic "repeat
+  *    the best data k×" replication);
+  *  - q125 winsorized per-language quality mean (discrete-P05/P95
+  *    clip + decimal-exact robust mean — q114 MAD's sibling).
   */
 object SelectionQueries {
 
@@ -247,12 +251,126 @@ object SelectionQueries {
       |FROM r GROUP BY doc_id
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** Shared q27 quality-score fragment (identical arithmetic to the
+    * q27/q92 gates, so the double is parity-stable): computed here at
+    * document grain for the upsampling and winsorization consumers.
+    */
+  private def scoredDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import TextAnalysis._
+    Tables
+      .table(s, d, "documents")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        length(col("text")).cast("long").as("__nc"),
+        wsTokenCount(col("text")).as("__nt"),
+        alphaCount(col("text")).as("__na"),
+        markerHits(col("text"), markers("en")).as("__ns"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        qualityScore(
+          col("__na").cast("double") / col("__nc").cast("double"),
+          col("__nt"),
+          col("__ns").cast("double") / col("__nt").cast("double")).as("score"))
+  }
+
+  private def scoredSql: String = {
+    val stop = TextAnalysis.markers("en").map(v => s"'$v'").mkString("(", ", ", ")")
+    s"""SELECT doc_id, lang,
+       |  0.4*(CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/CAST(len(text) AS DOUBLE))
+       |  + 0.3*least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100.0)
+       |  + 0.3*(1.0 - CAST(len(list_filter(string_split(text,' '), t -> t IN $stop)) AS DOUBLE)
+       |               / CAST(len(string_split(text,' ')) AS DOUBLE)) AS score
+       |FROM documents""".stripMargin
+  }
+
+  /** q124 — quality-tiered epoch upsampling: the "repeat the best data
+    * up to k× per epoch" move of LLaMA-style data recipes, as a
+    * deterministic row replication — score ≥ 0.8 → 3 copies, ≥ 0.7 →
+    * 2, else 1, each copy tagged with its ordinal (the downstream
+    * shuffle key disambiguator). No RNG: the multiplicity is a pure
+    * function of the document, so re-runs and shards agree. The
+    * explode is `posexplode(sequence(...))` — row replication inside
+    * the scan stage, no join, no shuffle.
+    */
+  val q124EpochUpsample: Q = (s, d) => {
+    scoredDocs(s, d)
+      .withColumn(
+        "copies",
+        when(col("score") >= 0.8, 3L).when(col("score") >= 0.7, 2L).otherwise(1L))
+      .select(
+        col("doc_id"),
+        col("copies"),
+        explode(sequence(lit(1L), col("copies"))).as("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+  }
+
+  /** Oracle: the same tier CASE and a `generate_series` unnest. */
+  val q124Sql: String =
+    s"""WITH sc AS ($scoredSql),
+       |t AS (SELECT doc_id,
+       |        CAST(CASE WHEN score >= 0.8 THEN 3 WHEN score >= 0.7 THEN 2 ELSE 1 END AS BIGINT) AS copies
+       |      FROM sc)
+       |SELECT doc_id, copies, CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy_idx
+       |FROM t
+       |ORDER BY doc_id NULLS FIRST, copy_idx NULLS FIRST""".stripMargin
+
+  /** q125 — winsorized per-language quality mean: clip every score to
+    * its language's discrete [P05, P95] (the
+    * [[graft.operators.Relational.groupedDiscreteQuantiles]] no-Window
+    * plan — interpolation-free, so both engines pick actual data
+    * values) and report the robust mean. The mean accumulates in
+    * DECIMAL(28,10) (order-independent) and divides once as a double —
+    * a plain double SUM would be addition-order-sensitive and
+    * un-gateable. The q114 MAD's sibling: winsorization is how the
+    * quality prior actually gets regularized before mixing.
+    */
+  val q125Winsorize: Q = (s, d) => {
+    val sc = scoredDocs(s, d).select(col("lang"), col("score"))
+    val qs = graft.operators.Relational
+      .groupedDiscreteQuantiles(sc, "lang", "score", Seq(0.05, 0.95), numPartitions = 32)
+      .withColumnRenamed("q0", "p05")
+      .withColumnRenamed("q1", "p95")
+    sc.join(broadcast(qs), Seq("lang"))
+      .select(
+        col("lang"),
+        col("p05"),
+        col("p95"),
+        greatest(col("p05"), least(col("p95"), col("score"))).as("__clip"))
+      .groupBy(col("lang"), col("p05"), col("p95"))
+      .agg(
+        (sum(col("__clip").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("wins_mean"))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: the q36-style window-rank discrete quantiles at ⌈n·p⌉,
+    * the same clip, the same decimal-accumulated mean.
+    */
+  val q125Sql: String =
+    s"""WITH sc AS ($scoredSql),
+       |r AS (SELECT lang, score,
+       |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score) AS rn,
+       |        COUNT(*) OVER (PARTITION BY lang) AS n
+       |      FROM sc),
+       |qq AS (SELECT lang,
+       |        MAX(CASE WHEN rn = CAST(CEIL(n * 0.05) AS BIGINT) THEN score END) AS p05,
+       |        MAX(CASE WHEN rn = CAST(CEIL(n * 0.95) AS BIGINT) THEN score END) AS p95
+       |       FROM r GROUP BY lang)
+       |SELECT sc.lang, qq.p05, qq.p95,
+       |  CAST(SUM(CAST(greatest(qq.p05, least(qq.p95, sc.score)) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS wins_mean
+       |FROM sc JOIN qq ON sc.lang = qq.lang
+       |GROUP BY sc.lang, qq.p05, qq.p95
+       |ORDER BY sc.lang NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q119_bm25_select" -> q119Bm25,
     "q120_kmeans" -> q120Kmeans,
     "q121_temperature_mix" -> q121TemperatureMix,
     "q122_cluster_balance" -> q122ClusterBalance,
-    "q123_loop_screen" -> q123LoopScreen
+    "q123_loop_screen" -> q123LoopScreen,
+    "q124_epoch_upsample" -> q124EpochUpsample,
+    "q125_winsorized_mean" -> q125Winsorize
   )
 
   val oracles: Map[String, String] = Map(
@@ -260,6 +378,8 @@ object SelectionQueries {
     "q120_kmeans" -> q120Sql,
     "q121_temperature_mix" -> q121Sql,
     "q122_cluster_balance" -> q122Sql,
-    "q123_loop_screen" -> q123Sql
+    "q123_loop_screen" -> q123Sql,
+    "q124_epoch_upsample" -> q124Sql,
+    "q125_winsorized_mean" -> q125Sql
   )
 }
