@@ -33,6 +33,18 @@ object Verify {
         import org.apache.spark.sql.functions.col
         val tri = df.filter(col("triangles") > 0).count()
         require(tri > 0, "q118 vacuous: similarity slice closes 0 triangles — threshold drifted")
+      },
+      "q123_loop_screen" -> { df =>
+        import org.apache.spark.sql.functions.col
+        require(
+          df.filter(col("loopy")).count() > 0,
+          "q123 vacuous: no document crosses the run>=3 loop threshold — corpus drifted")
+      },
+      "q127_phrase_search" -> { df =>
+        import org.apache.spark.sql.functions.col
+        require(
+          df.filter(col("n_phrase") > 0).count() > 0,
+          "q127 vacuous: the probe phrase never aligns — every candidate is conjunctive-only")
       })
     // Dev-only subset: --only=q90_weighted_sample,q99_incremental_dedup
     // (the driver passes no --only, so it always dumps the full surface).

@@ -571,6 +571,48 @@ object TextAnalysis {
     withNumDen.selectExpr(idCol, s"CAST($sumExpr AS BIGINT) AS bm25")
   }
 
+  /** Exact phrase search over the corpus — the targeted-inspection /
+    * decontamination probe ("which documents contain this exact
+    * n-word phrase, how often"). Two stages, both scan-local:
+    *
+    *  1. conjunctive prefilter: `array_contains` per distinct phrase
+    *     term — a cheap per-row scan that drops every document
+    *     missing ANY term before position work happens (at corpus
+    *     scale this is the posting-intersection step, done as a
+    *     map-side predicate instead of an inverted-index join);
+    *  2. positional verify: count alignment positions i where
+    *     `toks[i+j] = phrase[j]` for all j — one `filter` over the
+    *     1..len−k+1 index range per surviving row. No explode, no
+    *     self-join on positions, no shuffle anywhere.
+    *
+    * Returns every conjunctive candidate with its exact phrase count
+    * (candidates where the terms never align report 0 — the
+    * conjunctive-vs-phrase distinction is part of the result).
+    */
+  def phraseMatch(
+      corpus: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      phrase: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(phrase.size >= 2, s"phraseMatch wants a multi-word phrase (got $phrase)")
+    require(phrase.forall(_.nonEmpty), s"empty phrase term in $phrase")
+    val k = phrase.size
+    val toks = col("__toks")
+    // `when` guard: sequence() is DESCENDING when stop < start (the
+    // q75 policy) — possible despite the prefilter when the phrase
+    // repeats a word (distinct contains-checks < k tokens).
+    val range = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    val aligned = (i: Column) =>
+      phrase.zipWithIndex
+        .map { case (t, j) => element_at(toks, i + j) === lit(t) }
+        .reduce(_ && _)
+    corpus
+      .withColumn("__toks", split(col(textCol), " "))
+      .filter(phrase.distinct.map(t => array_contains(toks, lit(t))).reduce(_ && _))
+      .select(col(idCol), size(filter(range, aligned)).cast("long").as("n_phrase"))
+  }
+
   /** Longest run of consecutive identical tokens — the degenerate-text
     * / looping-generation detector (model-generated spam and broken
     * scrapes repeat a token or phrase; C4-style pipelines drop docs

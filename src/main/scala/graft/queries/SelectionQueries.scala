@@ -25,7 +25,11 @@ import graft.queries.CoreQueries.Q
   *  - q124 quality-tiered epoch upsampling (deterministic "repeat
   *    the best data k×" replication);
   *  - q125 winsorized per-language quality mean (discrete-P05/P95
-  *    clip + decimal-exact robust mean — q114 MAD's sibling).
+  *    clip + decimal-exact robust mean — q114 MAD's sibling);
+  *  - q126 eval-anchored centroid relevance selection (decimal-exact
+  *    embedding dot with the target centroid direction);
+  *  - q127 exact phrase search (conjunctive prefilter + positional
+  *    alignment count — the targeted-decontamination probe).
   */
 object SelectionQueries {
 
@@ -363,6 +367,74 @@ object SelectionQueries {
        |GROUP BY sc.lang, qq.p05, qq.p95
        |ORDER BY sc.lang NULLS FIRST""".stripMargin
 
+  /** q126 — eval-anchored centroid relevance selection: score every
+    * non-eval vector by its exact dot product with the SUM of the eval
+    * subset's embeddings (the centroid direction; ranking by `x·s` is
+    * ranking by centroid cosine-numerator with the /n dropped — a
+    * monotone, division-free surrogate, so the order is decimal-exact
+    * end to end). The "pick pretraining data closest to the target
+    * distribution's embedding centroid" move (the embedding-space
+    * sibling of q111's DSIR rule and q119's BM25 rule). The centroid
+    * is a 1-row broadcast; the scoring pass is one [[Similarity.dot]]
+    * per corpus row — no shuffle at corpus grain, then top-50.
+    */
+  val q126CentroidSelect: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cent = emb
+      .filter(col("vec_id") % 10 === 0)
+      .select(posexplode(col("embedding")).as(Seq("pos", "__x")))
+      .groupBy(col("pos"))
+      .agg(sum(col("__x").cast("double").cast("decimal(28,10)")).as("__s"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("__s")))).as("__raw"))
+      .select(transform(col("__raw"), p => p.getField("__s").cast("double")).as("cent"))
+    emb
+      .filter(col("vec_id") % 10 =!= 0)
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), Similarity.dot(col("embedding"), col("cent")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(50)
+  }
+
+  /** Oracle: per-position decimal sums over the eval slice, then the
+    * same per-element double→decimal rounded dot.
+    */
+  val q126Sql: String =
+    """WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |                  generate_subscripts(embedding, 1) AS pos
+      |           FROM embeddings),
+      |ev AS (SELECT pos, SUM(CAST(v AS DECIMAL(28,10))) AS s FROM x WHERE (vec_id % 10) = 0 GROUP BY pos),
+      |sc AS (SELECT x.vec_id,
+      |        CAST(SUM(CAST(x.v * CAST(ev.s AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS rel
+      |       FROM x JOIN ev ON ev.pos = x.pos WHERE (x.vec_id % 10) <> 0 GROUP BY x.vec_id)
+      |SELECT vec_id, rel FROM sc
+      |ORDER BY rel DESC NULLS FIRST, vec_id NULLS FIRST LIMIT 50""".stripMargin
+
+  /** q127 — exact phrase search ([[TextAnalysis.phraseMatch]] for
+    * "hash join"): conjunctive `array_contains` prefilter, then a
+    * positional alignment count per surviving document — the
+    * targeted-decontamination probe, with the conjunctive-but-not-
+    * adjacent candidates reporting 0. 27 documents carry the phrase
+    * at sf0.01; Verify enforces ≥ 1 (the q118 anti-vacuity rule).
+    */
+  val q127PhraseSearch: Q = (s, d) => {
+    TextAnalysis
+      .phraseMatch(Tables.table(s, d, "documents"), "text", "doc_id", Seq("hash", "join"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same contains prefilter and a `list_filter` over the
+    * alignment index range.
+    */
+  val q127Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, toks FROM d
+      |      WHERE list_contains(toks, 'hash') AND list_contains(toks, 'join'))
+      |SELECT doc_id,
+      |  CAST(len(list_filter(generate_series(1, len(toks) - 1),
+      |                       i -> (toks[i] = 'hash') AND (toks[i + 1] = 'join'))) AS BIGINT) AS n_phrase
+      |FROM c ORDER BY doc_id NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q119_bm25_select" -> q119Bm25,
     "q120_kmeans" -> q120Kmeans,
@@ -370,7 +442,9 @@ object SelectionQueries {
     "q122_cluster_balance" -> q122ClusterBalance,
     "q123_loop_screen" -> q123LoopScreen,
     "q124_epoch_upsample" -> q124EpochUpsample,
-    "q125_winsorized_mean" -> q125Winsorize
+    "q125_winsorized_mean" -> q125Winsorize,
+    "q126_centroid_select" -> q126CentroidSelect,
+    "q127_phrase_search" -> q127PhraseSearch
   )
 
   val oracles: Map[String, String] = Map(
@@ -380,6 +454,8 @@ object SelectionQueries {
     "q122_cluster_balance" -> q122Sql,
     "q123_loop_screen" -> q123Sql,
     "q124_epoch_upsample" -> q124Sql,
-    "q125_winsorized_mean" -> q125Sql
+    "q125_winsorized_mean" -> q125Sql,
+    "q126_centroid_select" -> q126Sql,
+    "q127_phrase_search" -> q127Sql
   )
 }

@@ -94,6 +94,32 @@ class SelectionSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 1L))
   }
 
+  test("phraseMatch: alignment counts, overlap, conjunctive-only zero, short-doc guard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"), // two alignments of "a b"
+      (2L, "b a"), //       both terms present, never adjacent -> 0
+      (3L, "x y"), //       missing terms -> filtered out entirely
+      (4L, "a b") //        exactly the phrase -> 1
+    ).toDF("doc_id", "text")
+    val out = operators.TextAnalysis
+      .phraseMatch(docs, "text", "doc_id", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 0L, 4L -> 1L))
+
+    // repeated-word phrase: overlapping occurrences each count, and a
+    // doc shorter than the phrase survives the (distinct) prefilter
+    // but must hit the descending-sequence guard, not throw
+    val rep = Seq((1L, "a a a"), (2L, "a")).toDF("doc_id", "text")
+    val out2 = operators.TextAnalysis
+      .phraseMatch(rep, "text", "doc_id", Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == Map(1L -> 2L, 2L -> 0L))
+
+    intercept[IllegalArgumentException](
+      operators.TextAnalysis.phraseMatch(docs, "text", "doc_id", Seq("a")))
+  }
+
   test("kmeansAssign: matches a driver-side double replay on seeded random points") {
     import spark.implicits._
     // Values are small integers scaled by 1/4 — exactly representable
