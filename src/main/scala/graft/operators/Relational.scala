@@ -629,4 +629,63 @@ object Relational {
     val schema = StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = false))
     spark.createDataFrame(numbered, schema)
   }
+
+  /** Grouped HyperLogLog distinct-count estimate (Flajolet et al.
+    * 2007; m = 64 registers, α₆₄ = 0.709) — the OTHER production
+    * cardinality sketch next to the exact-bottom-k KMV family
+    * ([[graft.functions.KMinValues]]/`sourceOverlapKmv`): constant
+    * 64-registers state per group where KMV keeps k hashes, and
+    * mergeable across shards by register-max.
+    *
+    * Deterministic and engine-replicable with NO floating point until
+    * the final estimate: the item hash is the md5-derived
+    * [[graft.functions.Hashing.h60]]; register = h mod 64; the ρ rank
+    * is leading-zeros-of-(h div 64)-plus-1, computed from the BINARY
+    * STRING length (`bin()` here, `format('{:b}')` in DuckDB — no
+    * float log2 whose last-ulp could misround a boundary); the
+    * harmonic denominator Σ2^−Mⱼ is carried as the INTEGER
+    * Σ2^(Mmax−Mⱼ) over 2^Mmax (≤ 64·2^55, long-safe); the one double
+    * division happens at the very end from identical integers.
+    *
+    * Scale shape: duplicates are absorbed by the register-max
+    * map-side combine — NO distinct shuffle, unlike the exact
+    * `countDistinct` twin; the only shuffles are keyed on
+    * (group, register) and group (≤ 64·G rows). Raw estimate only
+    * (no small-range linear-counting correction — that needs `ln`,
+    * which engines round differently; callers in the n ≲ 2.5·m
+    * regime should use the exact twin, which is cheap exactly there).
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    import graft.functions.Hashing
+    val rk = df
+      .select(col(groupCol), Hashing.h60(col(keyCol)).as("__h"))
+      .select(
+        col(groupCol),
+        (col("__h") % 64).as("__r"),
+        expr("__h div 64").as("__w"))
+      .select(
+        col(groupCol),
+        col("__r"),
+        when(col("__w") === 0, lit(55)).otherwise(lit(55) - length(bin(col("__w")))).as("__rk"))
+      .groupBy(col(groupCol), col("__r"))
+      .agg(max(col("__rk")).as("__m"))
+    // every group carries all 64 registers — absent ones are M = 0
+    val grid = df
+      .select(col(groupCol))
+      .distinct()
+      .select(col(groupCol), explode(sequence(lit(0L), lit(63L))).as("__r"))
+    val regs = grid
+      .join(rk, Seq(groupCol, "__r"), "left")
+      .select(col(groupCol), coalesce(col("__m"), lit(0)).as("__m"))
+    val mx = regs.groupBy(col(groupCol)).agg(max(col("__m")).as("__mx"))
+    regs
+      .join(broadcast(mx), Seq(groupCol))
+      .groupBy(col(groupCol), col("__mx"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(__mx - __m AS INT))")).as("__num"))
+      .select(
+        col(groupCol),
+        (lit(0.709) * lit(4096.0) *
+          expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(__mx AS INT)) AS DOUBLE)") /
+          col("__num").cast("double")).as("hll_est"))
+  }
 }

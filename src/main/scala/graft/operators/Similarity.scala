@@ -433,6 +433,43 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Johnson–Lindenstrauss ±1 random projection — dimensionality
+    * reduction for embedding corpora (Achlioptas 2003: ±1 entries
+    * preserve pairwise distances like Gaussian projections; the move
+    * that turns 100 TB of dim-D float vectors into dim-k sketches
+    * before clustering/ANN). Deterministic and engine-replicable: the
+    * projection matrix is ±1 by the parity of `h60("jl_j_i")` — the
+    * same md5-derived literal-weight trick as [[srpSignature]], which
+    * keeps the SIGN bit only; JL keeps the magnitudes.
+    *
+    * Each output component is one native [[graft.functions
+    * .DotProductDecimal]] call against the literal weight row
+    * (float×double inputs — per-product rounded once to
+    * DECIMAL(28,10), exactly summed), so the projected coordinates
+    * are bit-identical across engines and partitionings, fused into
+    * whole-stage codegen, no explode, no shuffle.
+    *
+    * Unscaled on purpose (no 1/√k): downstream consumers compare
+    * distances RELATIVELY, and the integer-free scale factor would be
+    * irrational. `E‖y‖² = k·‖x‖²` — audit ratio in the spec.
+    */
+  def jlProject(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      outDim: Int,
+      dim: Int,
+      family: String = "jl"): DataFrame = {
+    require(outDim >= 1 && dim >= 1, s"need positive dims (got $outDim of $dim)")
+    val ys = (0 until outDim).map { j =>
+      val w = typedLit((0 until dim).map { p =>
+        if (h60Local(s"${family}_${j}_$p") % 2 == 0) 1.0 else -1.0
+      })
+      dot(col(embCol), w).as(s"y$j")
+    }
+    df.select(col(idCol) +: ys: _*)
+  }
+
   /** Deterministic Lloyd k-means assignment — the clustering stage
     * behind cluster-balanced sampling and SemDeDup-style semantic
     * curation (and the natural producer of [[ivfAnnTopK]]'s centroid

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Hashing
-import graft.operators.{Similarity, TextAnalysis}
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
 import graft.queries.CoreQueries.Q
 
 /** The data-SELECTION family — given a cleaned, deduped corpus, which
@@ -29,7 +29,13 @@ import graft.queries.CoreQueries.Q
   *  - q126 eval-anchored centroid relevance selection (decimal-exact
   *    embedding dot with the target centroid direction);
   *  - q127 exact phrase search (conjunctive prefilter + positional
-  *    alignment count — the targeted-decontamination probe).
+  *    alignment count — the targeted-decontamination probe);
+  *  - q128 Johnson–Lindenstrauss ±1 projection (decimal-exact
+  *    compress-before-cluster dimensionality reduction);
+  *  - q129 hard-negative mining (per-anchor top-k inside the
+  *    near-but-not-duplicate cosine band);
+  *  - q130 HyperLogLog vocabulary cardinality (constant-state
+  *    register sketch beside its exact twin).
   */
 object SelectionQueries {
 
@@ -435,6 +441,149 @@ object SelectionQueries {
       |                       i -> (toks[i] = 'hash') AND (toks[i + 1] = 'join'))) AS BIGINT) AS n_phrase
       |FROM c ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** q128 — Johnson–Lindenstrauss projection to 16 dims
+    * ([[Similarity.jlProject]]): the compress-before-cluster move for
+    * embedding corpora, deterministic ±1 md5-parity weights, every
+    * output coordinate a decimal-exact native dot. Wide output (one
+    * column per projected dim) keeps the gate column-name-strict.
+    */
+  val q128JlProject: Q = (s, d) => {
+    Similarity
+      .jlProject(
+        Tables.embeddings(s, d).filter(col("vec_id") < 100),
+        "vec_id", "embedding", outDim = 16, dim = 64)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: the SAME ±1 weights inlined as a 1024-row VALUES table
+    * (computed from the identical md5 parity at SQL-build time), the
+    * same per-element double→decimal rounding, pivoted back to wide.
+    */
+  val q128Sql: String = {
+    val weights = for (j <- 0 until 16; p <- 0 until 64) yield {
+      val w = if (graft.functions.Hashing.h60Local(s"jl_${j}_$p") % 2 == 0) "1.0" else "-1.0"
+      s"($j, ${p + 1}, $w)"
+    }
+    val pivot = (0 until 16)
+      .map(j => s"MAX(CASE WHEN j = $j THEN y END) AS y$j")
+      .mkString(",\n      |  ")
+    s"""WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |                  generate_subscripts(embedding, 1) AS pos
+       |           FROM embeddings WHERE vec_id < 100),
+       |w(j, pos, wv) AS (VALUES ${weights.mkString(", ")}),
+       |yl AS (SELECT x.vec_id, w.j,
+       |        CAST(SUM(CAST(x.v * CAST(w.wv AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS y
+       |       FROM x JOIN w ON w.pos = x.pos GROUP BY x.vec_id, w.j)
+       |SELECT vec_id,
+       |  $pivot
+       |FROM yl GROUP BY vec_id ORDER BY vec_id NULLS FIRST""".stripMargin
+  }
+
+  /** q129 — hard-negative mining for contrastive training: for each
+    * anchor vector (every 25th id), the 5 most-similar corpus vectors
+    * INSIDE the "near but not duplicate" cosine band [0.05, 0.35) —
+    * above it they are positives/duplicates (q23's threshold), below
+    * it they are easy negatives that teach nothing. Exact decimal
+    * cosine, ties to the smaller neighbor id — the mined set is
+    * bit-stable across reruns and shards. Anchors broadcast; the
+    * corpus streams (the q24 brute-force shape with a band filter
+    * before the per-anchor top-k).
+    */
+  val q129NegativeMine: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+    val n = Similarity.withSqNorm(emb, "embedding")
+    val anchors = n.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"), col("sq_norm").as("a_sq"))
+    val corpus = n
+      .select(col("vec_id").as("neg_id"), col("embedding").as("c_emb"), col("sq_norm").as("c_sq"))
+    val w = Window.partitionBy(col("anchor_id")).orderBy(col("cos").desc, col("neg_id"))
+    broadcast(anchors)
+      .join(corpus, col("anchor_id") =!= col("neg_id"))
+      .select(
+        col("anchor_id"),
+        col("neg_id"),
+        Similarity.cosine(Similarity.dot(col("a_emb"), col("c_emb")), col("a_sq"), col("c_sq")).as("cos"))
+      .filter(col("cos") >= 0.05 && col("cos") < 0.35)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("anchor_id"), col("neg_id"), col("rank"), col("cos"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
+  /** Oracle: the q117-style exact-cosine CTE over the slice, the same
+    * band, the same per-anchor ROW_NUMBER pick.
+    */
+  val q129Sql: String =
+    """WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+      |x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |             generate_subscripts(embedding, 1) AS pos FROM emb),
+      |n2 AS (SELECT vec_id, CAST(SUM(CAST(v*v AS DECIMAL(28,10))) AS DOUBLE) AS sq
+      |       FROM x GROUP BY vec_id),
+      |dp AS (SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+      |        CAST(SUM(CAST(a.v * b.v AS DECIMAL(28,10))) AS DOUBLE) AS dot
+      |       FROM x a JOIN x b ON a.pos = b.pos AND (a.vec_id % 25) = 0 AND a.vec_id <> b.vec_id
+      |       GROUP BY 1, 2),
+      |sc AS (SELECT anchor_id, neg_id, dot / (sqrt(na.sq) * sqrt(nb.sq)) AS cos
+      |       FROM dp JOIN n2 na ON dp.anchor_id = na.vec_id JOIN n2 nb ON dp.neg_id = nb.vec_id),
+      |b AS (SELECT anchor_id, neg_id, cos,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos DESC, neg_id) AS BIGINT) AS rank
+      |      FROM sc WHERE cos >= 0.05 AND cos < 0.35)
+      |SELECT anchor_id, neg_id, rank, cos FROM b WHERE rank <= 5
+      |ORDER BY anchor_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+
+  /** q130 — per-source vocabulary cardinality via HyperLogLog
+    * ([[Relational.hllDistinct]] over word trigrams) next to its
+    * exact `countDistinct` twin — the q43 sketch-vs-exact pattern for
+    * the constant-state register sketch. The sketch side absorbs
+    * duplicate grams map-side (no distinct shuffle); the exact side
+    * pays it — at 100 TB the sketch column is the one that still
+    * runs. Trigram cardinality (~1,100/source) sits well past the
+    * 2.5·m small-range regime, so the uncorrected raw estimate is the
+    * right estimator (σ ≈ 1.04/√64 ≈ 13%).
+    */
+  val q130HllVocab: Q = (s, d) => {
+    val tri = Tables
+      .table(s, d, "documents")
+      .select(col("source"), explode(Dedup.wordNGramsAll(col("text"), 3)).as("tri"))
+    val est = Relational.hllDistinct(tri, "source", "tri")
+    val exact = tri.groupBy(col("source")).agg(countDistinct(col("tri")).as("exact_distinct"))
+    est
+      .join(exact, Seq("source"))
+      .select(col("source"), col("hll_est"), col("exact_distinct"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the same md5 registers, binary-string ρ ranks, integer
+    * harmonic numerator, and one final double division.
+    */
+  val q130Sql: String =
+    """WITH c AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT source, unnest(CASE WHEN len(ws) >= 3
+      |        THEN [ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws) - 1)]
+      |        ELSE [] END) AS tri FROM c),
+      |h AS (SELECT source, CAST('0x' || substr(md5(tri), 1, 15) AS BIGINT) AS hv FROM t),
+      |rr AS (SELECT source, (hv % 64) AS r,
+      |        (CASE WHEN (hv // 64) = 0 THEN 55
+      |              ELSE 55 - length(format('{:b}', (hv // 64))) END) AS rk
+      |       FROM h),
+      |mr AS (SELECT source, r, MAX(rk) AS m FROM rr GROUP BY 1, 2),
+      |srcs AS (SELECT DISTINCT source FROM t),
+      |grid AS (SELECT s.source, g.r FROM srcs s
+      |         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS r) g),
+      |regs AS (SELECT grid.source, COALESCE(mr.m, 0) AS m
+      |         FROM grid LEFT JOIN mr ON mr.source = grid.source AND mr.r = grid.r),
+      |mx AS (SELECT source, MAX(m) AS mx FROM regs GROUP BY 1),
+      |nm AS (SELECT regs.source, MAX(mx.mx) AS mx,
+      |        SUM((CAST(1 AS BIGINT) << (mx.mx - regs.m))) AS num
+      |       FROM regs JOIN mx ON mx.source = regs.source GROUP BY regs.source),
+      |ex AS (SELECT source, COUNT(DISTINCT tri) AS exact_distinct FROM t GROUP BY 1)
+      |SELECT nm.source,
+      |  ((0.709 * 4096.0 * CAST((CAST(1 AS BIGINT) << nm.mx) AS DOUBLE)) / CAST(nm.num AS DOUBLE)) AS hll_est,
+      |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+      |FROM nm JOIN ex ON ex.source = nm.source
+      |ORDER BY nm.source NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q119_bm25_select" -> q119Bm25,
     "q120_kmeans" -> q120Kmeans,
@@ -444,7 +593,10 @@ object SelectionQueries {
     "q124_epoch_upsample" -> q124EpochUpsample,
     "q125_winsorized_mean" -> q125Winsorize,
     "q126_centroid_select" -> q126CentroidSelect,
-    "q127_phrase_search" -> q127PhraseSearch
+    "q127_phrase_search" -> q127PhraseSearch,
+    "q128_jl_project" -> q128JlProject,
+    "q129_negative_mine" -> q129NegativeMine,
+    "q130_hll_vocab" -> q130HllVocab
   )
 
   val oracles: Map[String, String] = Map(
@@ -456,6 +608,9 @@ object SelectionQueries {
     "q124_epoch_upsample" -> q124Sql,
     "q125_winsorized_mean" -> q125Sql,
     "q126_centroid_select" -> q126Sql,
-    "q127_phrase_search" -> q127Sql
+    "q127_phrase_search" -> q127Sql,
+    "q128_jl_project" -> q128Sql,
+    "q129_negative_mine" -> q129Sql,
+    "q130_hll_vocab" -> q130Sql
   )
 }

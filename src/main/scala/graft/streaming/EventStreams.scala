@@ -49,6 +49,42 @@ object EventStreams {
         col("n"),
         col("sum_value"))
 
+  /** Tumbling-window distinct-user cardinality via the bounded KMV
+    * sketch ([[graft.functions.KMinList]]) — streaming observability
+    * ("unique users per window per event type") with CONSTANT state
+    * per group where `approx_count_distinct` keeps an opaque HLL++
+    * and exact distinct keeps every key. Duplicate user hashes are
+    * absorbed map-side by the sketch insert, the watermark bounds the
+    * group state lifetime, and the k-th-minimum estimator
+    * `(k−1)·2⁶⁰ / kth_min` (Beyer et al. 2007) — or the EXACT filled
+    * size when the window saw fewer than k distinct users — is pure
+    * integer-derived arithmetic, so streaming and batch runs of the
+    * same data agree bit-for-bit (StreamingSpec asserts the parity).
+    */
+  def windowedDistinctUsers(
+      events: DataFrame,
+      windowDur: String,
+      watermarkDelay: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2 (got $k)")
+    val kml = udaf(new graft.functions.KMinList(k))
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(kml(graft.functions.Hashing.h60(col("user_id").cast("string"))).as("__sk"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        size(col("__sk")).cast("long").as("k_filled"),
+        when(
+          size(col("__sk")) < k,
+          size(col("__sk")).cast("double"))
+          .otherwise(
+            lit((k - 1).toDouble) * lit(1152921504606846976e0) /
+              element_at(col("__sk"), k).cast("double"))
+          .as("distinct_est"))
+  }
+
   /** One event on the session timeline (µs event time — the precision
     * contract shared with the batch path, Tables.events/ts_us).
     */

@@ -178,4 +178,15 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       e => operators.Similarity.kmeansAssign(e, "vec_id", "embedding", col("vec_id") % 10 === 0, rounds = 2),
       emb)
   }
+
+  test("HLL distinct sketch (q130 shape) is partitioning-invariant") {
+    val tri = Tables.documents(spark, sf)
+      .select(col("source"), explode(operators.Dedup.wordNGramsAll(col("text"), 3)).as("tri"))
+    invariant(t => operators.Relational.hllDistinct(t, "source", "tri"), tri)
+  }
+
+  test("JL projection (q128 shape) is partitioning-invariant") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    invariant(e => operators.Similarity.jlProject(e, "vec_id", "embedding", 8, 64), emb)
+  }
 }

@@ -120,6 +120,63 @@ class SelectionSpec extends AnyFunSuite {
       operators.TextAnalysis.phraseMatch(docs, "text", "doc_id", Seq("a")))
   }
 
+  test("jlProject: bit-equal to the interpreted decimal fold; norms preserved in expectation") {
+    val emb = Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 50)
+    val out = operators.Similarity.jlProject(emb, "vec_id", "embedding", 8, 64)
+    // parity twin for one output row: the HOF decimal fold with the
+    // same md5-parity weights (the contract graft_dot_dec replaces)
+    val w3 = (0 until 64).map(p =>
+      if (functions.Hashing.h60Local(s"jl_3_$p") % 2 == 0) 1.0 else -1.0)
+    val dec = "decimal(28,10)"
+    val twin = emb.select(
+      col("vec_id"),
+      aggregate(
+        zip_with(col("embedding"), typedLit(w3), (x, wv) => (x.cast("double") * wv).cast(dec)),
+        lit(0).cast(dec),
+        (a, v) => (a + v).cast(dec)).cast("double").as("t"))
+    out.select(col("vec_id"), col("y3")).join(twin, "vec_id").collect().foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"vec ${r.getLong(0)}")
+    }
+    // JL contract: E||y||^2 = k*||x||^2 for +-1 rows — the mean ratio
+    // over 50 fixture vectors should sit near 1
+    val rows = out
+      .join(operators.Similarity.withSqNorm(emb, "embedding").select(col("vec_id"), col("sq_norm")), "vec_id")
+      .collect()
+    val ratios = rows.map { r =>
+      val y2 = (1 to 8).map(i => math.pow(r.getDouble(i), 2)).sum
+      y2 / (8.0 * r.getAs[Double]("sq_norm"))
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3, s"norm-preservation ratio drifted: $mean")
+  }
+
+  test("hllDistinct: duplicate-insensitive, within the m=64 error envelope, replay-exact") {
+    import spark.implicits._
+    val keys = (1 to 2000).map(i => ("g", s"key_$i")) ++ (1 to 50).map(i => ("h", s"other_$i"))
+    val df = keys.toDF("grp", "k")
+    val est = operators.Relational.hllDistinct(df, "grp", "k")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // raw-regime group: 2000 distinct, sigma ~ 1.04/sqrt(64) = 13% — allow 3 sigma
+    assert(math.abs(est("g") - 2000) / 2000.0 < 0.4, s"estimate drifted: ${est("g")}")
+    // duplicates must not move a register: the sketch of df UNION df
+    // is bit-identical (max of the same ranks)
+    val dup = operators.Relational.hllDistinct(df.union(df), "grp", "k")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dup == est)
+    // driver-side replay of the register algebra (same md5 hash path)
+    val ranks = keys.filter(_._1 == "g").map { case (_, k) =>
+      val h = functions.Hashing.h60Local(k)
+      (h % 64, { val w = h / 64; if (w == 0) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w)) })
+    }
+    val regs = (0L until 64L).map(r => ranks.filter(_._1 == r).map(_._2).foldLeft(0)(math.max))
+    val mx = regs.max
+    val num = regs.map(m => 1L << (mx - m)).sum
+    val expect = 0.709 * 4096.0 * (1L << mx).toDouble / num.toDouble
+    assert(est("g") == expect)
+  }
+
   test("kmeansAssign: matches a driver-side double replay on seeded random points") {
     import spark.implicits._
     // Values are small integers scaled by 1/4 — exactly representable

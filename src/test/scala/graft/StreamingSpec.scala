@@ -104,6 +104,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("windowedDistinctUsers: streaming sketch matches batch bit-for-bit; sub-k windows exact") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("events_kmv_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val toTs = expr("timestamp_micros(ts_us)")
+    val stream = Tables.withTsUs(graft.streaming.EventStreams
+        .readEventStream(spark, dir.toString))
+      .withColumn("ts", toTs)
+    val q = graft.streaming.EventStreams
+      .windowedDistinctUsers(stream, "6 hours", "1 minute", k = 16)
+      .writeStream
+      .format("memory")
+      .queryName("kmv_windows")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("kmv_windows")
+    val batch = graft.streaming.EventStreams
+      .windowedDistinctUsers(
+        Tables.events(spark, sf).withColumn("ts", toTs), "6 hours", "1 minute", k = 16)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+    // estimator contract: sub-k windows report their exact filled size;
+    // full windows a positive kth-min estimate
+    val rows = batch.collect()
+    rows.foreach { r =>
+      val filled = r.getAs[Long]("k_filled")
+      val est = r.getAs[Double]("distinct_est")
+      if (filled < 16) assert(est == filled.toDouble) else assert(est > 0.0)
+    }
+  }
+
   test("dedupStream: re-deliveries within the watermark are dropped; state evicts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
