@@ -630,6 +630,38 @@ object Relational {
     spark.createDataFrame(numbered, schema)
   }
 
+  /** Mergeable aggregate-state combine — the incremental-materialized-
+    * view maintenance primitive: a standing per-key report (count /
+    * decimal sum / min / max) is kept as a STATE table, and each new
+    * data increment contributes its own small aggregate which merges
+    * state-to-state (counts add, decimal sums add, min/min, max/max)
+    * instead of recomputing over the full history. At 100 TB the
+    * increment is the only thing scanned per refresh; the gate proves
+    * merged(base ⊎ delta) ≡ full recompute bit-for-bit (the sum is
+    * DECIMAL — a double sum would make the identity order-sensitive
+    * and false).
+    *
+    * Both inputs must carry `keys ++ (n, sum_v, min_v, max_v)` — the
+    * shape [[aggState]] produces. Keys present in only one side pass
+    * through (full outer merge).
+    */
+  def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(28,10)")).as("sum_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+
+  def mergeAggStates(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("n")).cast("long").as("n"),
+        sum(col("sum_v")).cast("decimal(28,10)").as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+
   /** Grouped HyperLogLog distinct-count estimate (Flajolet et al.
     * 2007; m = 64 registers, α₆₄ = 0.709) — the OTHER production
     * cardinality sketch next to the exact-bottom-k KMV family

@@ -35,7 +35,9 @@ import graft.queries.CoreQueries.Q
   *  - q129 hard-negative mining (per-anchor top-k inside the
   *    near-but-not-duplicate cosine band);
   *  - q130 HyperLogLog vocabulary cardinality (constant-state
-  *    register sketch beside its exact twin).
+  *    register sketch beside its exact twin);
+  *  - q131 incremental materialized-view maintenance (mergeable
+  *    agg states; the gate is the merge ≡ recompute identity).
   */
 object SelectionQueries {
 
@@ -584,6 +586,43 @@ object SelectionQueries {
       |FROM nm JOIN ex ON ex.source = nm.source
       |ORDER BY nm.source NULLS FIRST""".stripMargin
 
+  /** q131 — incremental materialized-view maintenance
+    * ([[Relational.aggState]]/[[Relational.mergeAggStates]]): the
+    * standing per-event-type report is maintained as a mergeable
+    * state (count / DECIMAL sum / min / max); an arriving increment
+    * (every 5th event here) contributes its own small aggregate and
+    * merges state-to-state. The oracle recomputes over the FULL
+    * history — the gate IS the maintenance identity
+    * `merge(agg(base), agg(delta)) ≡ agg(base ⊎ delta)`, which only
+    * holds bit-for-bit because the sum is decimal (a double sum is
+    * addition-order-sensitive and the identity would be false).
+    */
+  val q131IncrementalView: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+    val base = ev.filter(col("event_id") % 5 =!= 0)
+    val delta = ev.filter(col("event_id") % 5 === 0)
+    Relational
+      .mergeAggStates(
+        Relational.aggState(base, Seq("event_type"), "value"),
+        Relational.aggState(delta, Seq("event_type"), "value"),
+        Seq("event_type"))
+      .select(
+        col("event_type"),
+        col("n"),
+        col("sum_v").cast("double").as("sum_v"),
+        col("min_v"),
+        col("max_v"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle: the full recompute — no split, no merge. */
+  val q131Sql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_v,
+      |  MIN(value) AS min_v, MAX(value) AS max_v
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q119_bm25_select" -> q119Bm25,
     "q120_kmeans" -> q120Kmeans,
@@ -596,7 +635,8 @@ object SelectionQueries {
     "q127_phrase_search" -> q127PhraseSearch,
     "q128_jl_project" -> q128JlProject,
     "q129_negative_mine" -> q129NegativeMine,
-    "q130_hll_vocab" -> q130HllVocab
+    "q130_hll_vocab" -> q130HllVocab,
+    "q131_incremental_view" -> q131IncrementalView
   )
 
   val oracles: Map[String, String] = Map(
@@ -611,6 +651,7 @@ object SelectionQueries {
     "q127_phrase_search" -> q127Sql,
     "q128_jl_project" -> q128Sql,
     "q129_negative_mine" -> q129Sql,
-    "q130_hll_vocab" -> q130Sql
+    "q130_hll_vocab" -> q130Sql,
+    "q131_incremental_view" -> q131Sql
   )
 }

@@ -177,6 +177,28 @@ class SelectionSpec extends AnyFunSuite {
     assert(est("g") == expect)
   }
 
+  test("mergeAggStates: merge ≡ recompute, associative, single-side keys pass through") {
+    import spark.implicits._
+    val df = Seq(("a", 1.5), ("a", 2.25), ("b", -3.0), ("c", 7.0), ("a", 0.125))
+      .toDF("k", "v")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSet
+    val full = operators.Relational.aggState(df, Seq("k"), "v")
+    val s1 = df.filter(col("v") >= 2.0) // a:2.25, c:7 — c exists ONLY here
+    val s2 = df.filter(col("v") < 2.0 && col("k") === "a")
+    val s3 = df.filter(col("v") < 2.0 && col("k") =!= "a")
+    def st(d: org.apache.spark.sql.DataFrame) = operators.Relational.aggState(d, Seq("k"), "v")
+    val m12 = operators.Relational.mergeAggStates(st(s1), st(s2), Seq("k"))
+    val m123 = operators.Relational.mergeAggStates(m12, st(s3), Seq("k"))
+    val m321 = operators.Relational.mergeAggStates(
+      st(s3), operators.Relational.mergeAggStates(st(s2), st(s1), Seq("k")), Seq("k"))
+    // normalize the decimal sum to double for set compare (aggState's
+    // first-level sum is decimal(38,10), merged re-casts to (28,10))
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      rows(d.select(col("k"), col("n").cast("long"), col("sum_v").cast("double"), col("min_v"), col("max_v")))
+    assert(norm(m123) == norm(full))
+    assert(norm(m321) == norm(full))
+  }
+
   test("kmeansAssign: matches a driver-side double replay on seeded random points") {
     import spark.implicits._
     // Values are small integers scaled by 1/4 — exactly representable
