@@ -115,5 +115,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_dot_dec"),
         new ExpressionInfo(classOf[DotProductDecimal].getCanonicalName, "graft_dot_dec"),
         (exprs: Seq[Expression]) => DotProductDecimal(exprs.head, exprs(1))))
+    // The whole-operator extension stack: GRAFT_TOPK hint → custom
+    // logical node → custom physical operator (graft.plans.TopKPerGroup).
+    ext.injectResolutionRule(spark => graft.plans.ResolveTopKHint(spark))
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

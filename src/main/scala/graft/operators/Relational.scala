@@ -630,6 +630,24 @@ object Relational {
     spark.createDataFrame(numbered, schema)
   }
 
+  /** Grouped top-k through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.TopKPerGroupExec]] — one bounded k-heap per group,
+    * O(n log k), no per-group sort) instead of the `Window
+    * row_number ≤ k` formulation (which sorts every group in full).
+    * Requires the GraftExtensions session (every [[graft.GraftSession]]
+    * is one); `(orderCol DESC, tieCol ASC)` must totally order each
+    * group or the kept set is ill-defined.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      k: Int,
+      groupCol: String,
+      orderCol: String,
+      tieCol: String): DataFrame = {
+    require(k >= 1, s"need k >= 1 (got $k)")
+    df.hint("GRAFT_TOPK", k, groupCol, orderCol, tieCol)
+  }
+
   /** Mergeable aggregate-state combine — the incremental-materialized-
     * view maintenance primitive: a standing per-key report (count /
     * decimal sum / min / max) is kept as a STATE table, and each new

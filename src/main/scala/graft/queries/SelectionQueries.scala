@@ -37,7 +37,9 @@ import graft.queries.CoreQueries.Q
   *  - q130 HyperLogLog vocabulary cardinality (constant-state
   *    register sketch beside its exact twin);
   *  - q131 incremental materialized-view maintenance (mergeable
-  *    agg states; the gate is the merge ≡ recompute identity).
+  *    agg states; the gate is the merge ≡ recompute identity);
+  *  - q132 grouped top-k via the custom-physical-operator stack
+  *    (hint → logical node → strategy → bounded-heap exec).
   */
 object SelectionQueries {
 
@@ -623,6 +625,38 @@ object SelectionQueries {
       |FROM events GROUP BY event_type
       |ORDER BY event_type NULLS FIRST""".stripMargin
 
+  /** q132 — grouped top-k through the whole-operator Catalyst
+    * extension stack ([[Relational.topKPerGroup]] → GRAFT_TOPK hint →
+    * `graft.plans.TopKPerGroupNode/Strategy/Exec`): top-5 line items
+    * per return flag by extended price, totally ordered by a unique
+    * tie key. The physical plan is ONE hash exchange plus a bounded
+    * k-heap pass — no Window, no per-group sort (PlanAuditSpec
+    * asserts the shape); the oracle is the Window formulation the
+    * operator replaces, so the gate is the rewrite's soundness.
+    */
+  val q132TopkOperator: Q = (s, d) => {
+    val li = Tables
+      .lineitem(s, d)
+      .select(
+        col("l_returnflag"),
+        col("l_extendedprice"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("tie"))
+    Relational
+      .topKPerGroup(li, 5, "l_returnflag", "l_extendedprice", "tie")
+      .orderBy(col("l_returnflag"), col("l_extendedprice").desc, col("tie"))
+  }
+
+  /** Oracle: the classic ROW_NUMBER window pick. */
+  val q132Sql: String =
+    """SELECT l_returnflag, l_extendedprice, tie FROM (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    ((l_orderkey * 10) + l_linenumber) AS tie,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice DESC, ((l_orderkey * 10) + l_linenumber)) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 5
+      |ORDER BY l_returnflag NULLS FIRST, l_extendedprice DESC NULLS FIRST, tie NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q119_bm25_select" -> q119Bm25,
     "q120_kmeans" -> q120Kmeans,
@@ -636,7 +670,8 @@ object SelectionQueries {
     "q128_jl_project" -> q128JlProject,
     "q129_negative_mine" -> q129NegativeMine,
     "q130_hll_vocab" -> q130HllVocab,
-    "q131_incremental_view" -> q131IncrementalView
+    "q131_incremental_view" -> q131IncrementalView,
+    "q132_topk_operator" -> q132TopkOperator
   )
 
   val oracles: Map[String, String] = Map(
@@ -652,6 +687,7 @@ object SelectionQueries {
     "q128_jl_project" -> q128Sql,
     "q129_negative_mine" -> q129Sql,
     "q130_hll_vocab" -> q130Sql,
-    "q131_incremental_view" -> q131Sql
+    "q131_incremental_view" -> q131Sql,
+    "q132_topk_operator" -> q132Sql
   )
 }

@@ -246,4 +246,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), p.take(1500))
     assert(!p.contains("Join"), p.take(1500))
   }
+
+  test("q132: grouped top-k plans as the custom bounded-heap exec — no Window, no Sort before it") {
+    val p = plan("q132_topk_operator")
+    assert(p.contains("TopKPerGroup"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    // exactly one clustering exchange feeds the operator
+    assert(p.contains("hashpartitioning(l_returnflag"), p.take(2000))
+  }
 }
