@@ -119,6 +119,24 @@ object ScaleCheck {
       "bm25" -> (() =>
         graft.operators.TextAnalysis.bm25Scores(
           docs, "text", "doc_id", Seq("spark", "join", "filter", "hash")))
+      ,
+      // q132 head-to-head: top-3 line items per PART (high-cardinality
+      // groups — where the bounded-heap operator's O(n log k) beats the
+      // Window plan's full per-group sort). Same result set, two plans.
+      "topk_heap" -> (() => {
+        val li = Tables.lineitem(spark, sfDir)
+          .select(col("l_partkey"), col("l_extendedprice"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("tie"))
+        graft.operators.Relational.topKPerGroup(li, 3, "l_partkey", "l_extendedprice", "tie")
+      }),
+      "topk_window" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(spark, sfDir)
+          .select(col("l_partkey"), col("l_extendedprice"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("tie"))
+        val w = Window.partitionBy(col("l_partkey")).orderBy(col("l_extendedprice").desc, col("tie"))
+        li.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 3).drop("__rn")
+      })
     )
 
     // Same inter-region protocol as Bench: sweep caches, force a GC so
