@@ -39,7 +39,9 @@ import graft.queries.CoreQueries.Q
   *  - q131 incremental materialized-view maintenance (mergeable
   *    agg states; the gate is the merge ≡ recompute identity);
   *  - q132 grouped top-k via the custom-physical-operator stack
-  *    (hint → logical node → strategy → bounded-heap exec).
+  *    (hint → logical node → strategy → bounded-heap exec);
+  *  - q133 declarative data-quality expectation suite (one-pass
+  *    integer-fraction constraint verdicts, Deequ-shape).
   */
 object SelectionQueries {
 
@@ -657,6 +659,53 @@ object SelectionQueries {
       |WHERE rn <= 5
       |ORDER BY l_returnflag NULLS FIRST, l_extendedprice DESC NULLS FIRST, tie NULLS FIRST""".stripMargin
 
+  /** q133 — declarative data-quality expectation suite
+    * ([[graft.operators.Expectations]], the Deequ/Great-Expectations
+    * shape generalizing the reference's single Q1 threshold gate):
+    * six named constraints over `orders` — completeness, key
+    * uniqueness, two value-domain rates, two bound checks — evaluated
+    * in ONE aggregation pass and reported as integer-fraction
+    * verdicts. Two constraints FAIL by construction (`status_strict`
+    * excludes the real 'P' status; `price_capped` sits under the real
+    * max), so the gate proves verdicts in both directions.
+    */
+  val q133Expectations: Q = (s, d) => {
+    import graft.operators.Expectations
+    import graft.operators.Expectations._
+    Expectations
+      .report(
+        Tables.orders(s, d),
+        Seq(
+          NotNull("custkey_not_null", "o_custkey"),
+          Unique("orderkey_unique", "o_orderkey"),
+          InSet("status_strict", "o_orderstatus", Seq("O", "F")),
+          InSet("status_domain", "o_orderstatus", Seq("O", "F", "P")),
+          Bounded("price_capped", "o_totalprice", 0.0, 400000.0),
+          Bounded("price_positive", "o_totalprice", 0.0, 1.0e9)))
+      .orderBy(col("check"))
+  }
+
+  /** Oracle: the same one-pass aggregates unioned into report rows
+    * with the identical integer cross-product verdicts.
+    */
+  val q133Sql: String =
+    """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(*) FILTER (WHERE o_custkey IS NOT NULL) AS BIGINT) AS m0,
+      |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS m1,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderstatus IN ('O', 'F')) AS BIGINT) AS m2,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderstatus IN ('O', 'F', 'P')) AS BIGINT) AS m3,
+      |  CAST(COUNT(*) FILTER (WHERE o_totalprice >= 0.0 AND o_totalprice <= 400000.0) AS BIGINT) AS m4,
+      |  CAST(COUNT(*) FILTER (WHERE o_totalprice >= 0.0 AND o_totalprice <= 1000000000.0) AS BIGINT) AS m5
+      | FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'custkey_not_null' AS "check", m0 AS metric_num, n AS metric_den, ((m0 * 1) >= (n * 1)) AS pass FROM a
+      |  UNION ALL SELECT 'orderkey_unique', m1, n, ((m1 * 1) >= (n * 1)) FROM a
+      |  UNION ALL SELECT 'status_strict', m2, n, ((m2 * 1) >= (n * 1)) FROM a
+      |  UNION ALL SELECT 'status_domain', m3, n, ((m3 * 1) >= (n * 1)) FROM a
+      |  UNION ALL SELECT 'price_capped', m4, n, ((m4 * 1) >= (n * 1)) FROM a
+      |  UNION ALL SELECT 'price_positive', m5, n, ((m5 * 1) >= (n * 1)) FROM a)
+      |ORDER BY "check" NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q119_bm25_select" -> q119Bm25,
     "q120_kmeans" -> q120Kmeans,
@@ -671,7 +720,8 @@ object SelectionQueries {
     "q129_negative_mine" -> q129NegativeMine,
     "q130_hll_vocab" -> q130HllVocab,
     "q131_incremental_view" -> q131IncrementalView,
-    "q132_topk_operator" -> q132TopkOperator
+    "q132_topk_operator" -> q132TopkOperator,
+    "q133_expectations" -> q133Expectations
   )
 
   val oracles: Map[String, String] = Map(
@@ -688,6 +738,7 @@ object SelectionQueries {
     "q129_negative_mine" -> q129Sql,
     "q130_hll_vocab" -> q130Sql,
     "q131_incremental_view" -> q131Sql,
-    "q132_topk_operator" -> q132Sql
+    "q132_topk_operator" -> q132Sql,
+    "q133_expectations" -> q133Sql
   )
 }

@@ -199,6 +199,37 @@ class SelectionSpec extends AnyFunSuite {
     assert(norm(m321) == norm(full))
   }
 
+  test("Expectations.report: hand verdicts — nulls, fractional thresholds, both directions") {
+    import spark.implicits._
+    import operators.Expectations
+    import operators.Expectations._
+    val df = Seq(
+      (Some("a"), Some(1L)),
+      (Some("a"), Some(2L)),
+      (Some("b"), None: Option[Long]),
+      (None: Option[String], Some(5L))
+    ).toDF("k", "v")
+    val out = Expectations
+      .report(df, Seq(
+        NotNull("k_nn_3of4", "k", 3, 4), //    3/4 ≥ 3/4 → pass at the boundary
+        NotNull("k_nn_all", "k"), //           3/4 < 1   → fail
+        Unique("k_half_unique", "k", 1, 2), // 2 distinct / 4 rows ≥ 1/2 → pass
+        InSet("k_mostly_a", "k", Seq("a"), 1, 2), // 2/4 ≥ 1/2 → pass
+        Bounded("v_in_1_4", "v", 1.0, 4.0) //  1,2 in bounds; null+5 out → 2/4 fail
+      ))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out("k_nn_3of4") == ((3L, 4L, true)))
+    assert(out("k_nn_all") == ((3L, 4L, false)))
+    assert(out("k_half_unique") == ((2L, 4L, true)))
+    assert(out("k_mostly_a") == ((2L, 4L, true)))
+    assert(out("v_in_1_4") == ((2L, 4L, false)))
+    intercept[IllegalArgumentException](Expectations.report(df, Seq.empty))
+    intercept[IllegalArgumentException](
+      Expectations.report(df, Seq(NotNull("x", "k"), NotNull("x", "v"))))
+  }
+
   test("kmeansAssign: matches a driver-side double replay on seeded random points") {
     import spark.implicits._
     // Values are small integers scaled by 1/4 — exactly representable
