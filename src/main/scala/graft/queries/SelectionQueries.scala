@@ -41,7 +41,11 @@ import graft.queries.CoreQueries.Q
   *  - q132 grouped top-k via the custom-physical-operator stack
   *    (hint → logical node → strategy → bounded-heap exec);
   *  - q133 declarative data-quality expectation suite (one-pass
-  *    integer-fraction constraint verdicts, Deequ-shape).
+  *    integer-fraction constraint verdicts, Deequ-shape);
+  *  - q134 corpus snapshot diff (added/removed/changed/same between
+  *    dataset versions by content hash);
+  *  - q135 split-balance contingency audit (per-cell chi-square
+  *    ingredients as exact integer fractions).
   */
 object SelectionQueries {
 
@@ -706,6 +710,107 @@ object SelectionQueries {
       |  UNION ALL SELECT 'price_positive', m5, n, ((m5 * 1) >= (n * 1)) FROM a)
       |ORDER BY "check" NULLS FIRST""".stripMargin
 
+  /** q134 — corpus snapshot diff (dataset versioning observability):
+    * given two corpus versions, classify every document id as added /
+    * removed / changed / same by full-outer-joining content hashes.
+    * The "what moved between v1 and v2" report every versioned data
+    * release ships with. The new version is synthesized
+    * deterministically from the fixture (every 11th doc removed,
+    * every 13th rewritten, every 17th cloned under a new id) so all
+    * four verdicts are exercised.
+    */
+  val q134SnapshotDiff: Q = (s, d) => {
+    val docs = Tables.table(s, d, "documents").select(col("doc_id"), col("text"))
+    val newV = docs
+      .filter(col("doc_id") % 11 =!= 0)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 13 === 0, upper(col("text"))).otherwise(col("text")).as("text"))
+      .unionByName(
+        docs
+          .filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    docs
+      .select(col("doc_id"), md5(col("text")).as("h_old"))
+      .join(newV.select(col("doc_id"), md5(col("text")).as("h_new")), Seq("doc_id"), "full_outer")
+      .select(
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("same")
+          .as("verdict"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("verdict"))
+  }
+
+  val q134Sql: String =
+    """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |nw AS (
+      |  SELECT doc_id, md5(CASE WHEN (doc_id % 13) = 0 THEN upper(text) ELSE text END) AS h
+      |  FROM documents WHERE (doc_id % 11) <> 0
+      |  UNION ALL
+      |  SELECT (doc_id + 100000) AS doc_id, md5(text) AS h
+      |  FROM documents WHERE (doc_id % 17) = 0),
+      |j AS (SELECT o.h AS ho, nw.h AS hn FROM o FULL OUTER JOIN nw ON nw.doc_id = o.doc_id)
+      |SELECT CASE WHEN ho IS NULL THEN 'added' WHEN hn IS NULL THEN 'removed'
+      |            WHEN ho <> hn THEN 'changed' ELSE 'same' END AS verdict,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM j GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
+
+  /** q135 — split-balance contingency audit: the q84 hash split
+    * crossed with language, every (split, lang) cell reported with
+    * its observed count and the chi-square ingredients as EXACT
+    * integer fractions — `E = r·c/N` as (r·c, N) and the cell's
+    * chi-square term `(O·N − r·c)²/(N·r·c)` as (num, den) — so "is
+    * the split language-balanced" is auditable per cell without a
+    * float statistic whose summation order engines could disagree on.
+    */
+  val q135SplitBalance: Q = (s, d) => {
+    val bucket = Hashing.h60(concat(lit("split:"), col("doc_id"))) % 100
+    val cells = Tables
+      .table(s, d, "documents")
+      .select(
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"),
+        col("lang"))
+    val o = cells.groupBy(col("split"), col("lang")).agg(count(lit(1)).as("o"))
+    val r = cells.groupBy(col("split")).agg(count(lit(1)).as("r"))
+    val c = cells.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+    val n = cells.agg(count(lit(1)).as("n"))
+    val dec = "decimal(38,0)"
+    o.join(broadcast(r), Seq("split"))
+      .join(broadcast(c), Seq("lang"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("split"),
+        col("lang"),
+        col("o"),
+        (col("r") * col("c")).as("e_num"),
+        col("n").as("e_den"),
+        ((col("o").cast(dec) * col("n").cast(dec) - col("r").cast(dec) * col("c").cast(dec)) *
+          (col("o").cast(dec) * col("n").cast(dec) - col("r").cast(dec) * col("c").cast(dec)))
+          .cast("long")
+          .as("chi_num"),
+        (col("n").cast(dec) * col("r").cast(dec) * col("c").cast(dec)).cast("long").as("chi_den"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val q135Sql: String =
+    """WITH cells AS (SELECT
+      |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split, lang
+      | FROM (SELECT (CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100) AS b, lang
+      |       FROM documents)),
+      |o AS (SELECT split, lang, COUNT(*) AS o FROM cells GROUP BY 1, 2),
+      |r AS (SELECT split, COUNT(*) AS r FROM cells GROUP BY 1),
+      |c AS (SELECT lang, COUNT(*) AS c FROM cells GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM cells)
+      |SELECT o.split, o.lang, CAST(o.o AS BIGINT) AS o,
+      |  CAST((r.r * c.c) AS BIGINT) AS e_num, CAST(n.n AS BIGINT) AS e_den,
+      |  CAST(((o.o * n.n) - (r.r * c.c)) * ((o.o * n.n) - (r.r * c.c)) AS BIGINT) AS chi_num,
+      |  CAST((n.n * r.r * c.c) AS BIGINT) AS chi_den
+      |FROM o JOIN r ON r.split = o.split JOIN c ON c.lang = o.lang, n
+      |ORDER BY o.split NULLS FIRST, o.lang NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q119_bm25_select" -> q119Bm25,
     "q120_kmeans" -> q120Kmeans,
@@ -721,7 +826,9 @@ object SelectionQueries {
     "q130_hll_vocab" -> q130HllVocab,
     "q131_incremental_view" -> q131IncrementalView,
     "q132_topk_operator" -> q132TopkOperator,
-    "q133_expectations" -> q133Expectations
+    "q133_expectations" -> q133Expectations,
+    "q134_snapshot_diff" -> q134SnapshotDiff,
+    "q135_split_balance" -> q135SplitBalance
   )
 
   val oracles: Map[String, String] = Map(
@@ -739,6 +846,8 @@ object SelectionQueries {
     "q130_hll_vocab" -> q130Sql,
     "q131_incremental_view" -> q131Sql,
     "q132_topk_operator" -> q132Sql,
-    "q133_expectations" -> q133Sql
+    "q133_expectations" -> q133Sql,
+    "q134_snapshot_diff" -> q134Sql,
+    "q135_split_balance" -> q135Sql
   )
 }
