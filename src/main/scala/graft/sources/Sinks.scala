@@ -98,6 +98,32 @@ object Sinks {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Dynamic partition overwrite — the idempotent partitioned-refresh
+    * sink (Hive's `INSERT OVERWRITE ... PARTITION` semantics): only
+    * the partitions PRESENT IN THIS BATCH are replaced; every other
+    * partition of the table survives untouched. The default
+    * (`partitionOverwriteMode=STATIC`) truncates the whole table on
+    * Overwrite — the classic reprocessing foot-gun when a daily job
+    * rewrites one day. At 100 TB a refresh touches a handful of
+    * date/source partitions out of thousands; this is the only
+    * Overwrite that is safe to retry per-increment.
+    *
+    * The mode is set per-WRITE via the DataFrameWriter option (not the
+    * session conf), so concurrent writers with different intents never
+    * race on a global setting.
+    */
+  def overwritePartitionsDynamic(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "dynamic overwrite needs at least one partition column")
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Small-file compaction — the table-maintenance job every
     * landing-zone dataset needs: streaming ingest (one file per
     * micro-batch) and fine-grained partitioning accumulate thousands

@@ -130,4 +130,23 @@ class SinksSpec extends AnyFunSuite {
     assert(new java.io.File(out).listFiles().map(_.getName).count(_.startsWith("part=")) == 2)
     assert(back.filter(col("part") === "a").count() == 2)
   }
+
+  test("overwritePartitionsDynamic: only the batch's partitions are replaced") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("dynpart").toString
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "b", 30.0)).toDF("id", "part", "v")
+    Sinks.overwritePartitionsDynamic(v1, out, Seq("part"))
+    // refresh ONLY partition b — a must survive untouched
+    val v2 = Seq((9L, "b", 99.0)).toDF("id", "part", "v")
+    Sinks.overwritePartitionsDynamic(v2, out, Seq("part"))
+    val back = spark.read.parquet(out)
+    assert(back.filter(col("part") === "a").collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(back.filter(col("part") === "b").collect().map(_.getLong(0)).toSet == Set(9L))
+    // the foot-gun this sink exists to avoid: a STATIC overwrite of the
+    // same batch truncates partition a as well
+    val staticOut = java.nio.file.Files.createTempDirectory("statpart").toString
+    Sinks.writeParquet(v1, staticOut, Seq("part"))
+    Sinks.writeParquet(v2, staticOut, Seq("part"))
+    assert(spark.read.parquet(staticOut).filter(col("part") === "a").count() == 0)
+  }
 }
