@@ -738,4 +738,106 @@ object Relational {
           expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(__mx AS INT)) AS DOUBLE)") /
           col("__num").cast("double")).as("hll_est"))
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over one item
+    * occurrence per input row: `depth` rows of `width` counters,
+    * counter (j, b) = number of occurrences whose j-th hash lands in
+    * bucket b. The third mergeable sketch in the family (KMV =
+    * bottom-k hashes, HLL = register max, CMS = counter sums): shards
+    * merge by plain counter addition, so a 100 TB corpus reduces to a
+    * constant `depth·width`-row table with NO distinct shuffle and no
+    * per-item state — the frequency-estimation complement of
+    * [[hllDistinct]]'s cardinality estimate.
+    *
+    * Deterministic by construction: the row hashes are the salted
+    * md5-derived [[graft.functions.Hashing.h60]] (`"cms<j>:" + item`)
+    * mod `width`, and counter sums are order-independent integers —
+    * bit-identical across engines and partitionings.
+    *
+    * Scale shape: one corpus pass, an `explode` fan-out of `depth`
+    * (constant) per occurrence, one agg keyed on (j, bucket) whose
+    * map-side combine collapses everything to ≤ `depth·width` rows
+    * per task before the (tiny) shuffle.
+    */
+  def countMinSketch(occurrences: DataFrame, itemCol: String, depth: Int, width: Int): DataFrame = {
+    import graft.functions.Hashing
+    require(depth >= 1 && depth <= 8, s"CMS depth must be in [1,8]; got $depth")
+    require(width >= 2, s"CMS width must be >= 2; got $width")
+    val rows = (0 until depth).map { j =>
+      struct(
+        lit(j.toLong).as("j"),
+        (Hashing.h60(concat(lit("cms" + j + ":"), col(itemCol))) % width).as("bucket"))
+    }
+    occurrences
+      .select(explode(array(rows: _*)).as("__jb"))
+      .groupBy(col("__jb.j").as("j"), col("__jb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch: est(item) = min over the `depth` rows of
+    * the counter the item hashes into — an overestimate by
+    * construction (collisions only ever ADD), which the q136 gate
+    * verifies against the exact twin. `probes` is the small frame
+    * (the sketch itself is ≤ depth·width rows and is broadcast), so
+    * nothing here touches corpus grain.
+    */
+  def cmsEstimate(
+      sketch: DataFrame,
+      probes: DataFrame,
+      itemCol: String,
+      depth: Int,
+      width: Int): DataFrame = {
+    import graft.functions.Hashing
+    val probeCols = probes.columns.map(col).toSeq
+    val hashed = probes
+      .select(probeCols :+ explode(sequence(lit(0L), lit(depth - 1L))).as("j"): _*)
+      .withColumn(
+        "bucket",
+        (Hashing.h60(concat(lit("cms"), col("j"), lit(":"), col(itemCol))) % width))
+    hashed
+      .join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy(probeCols: _*)
+      .agg(min(col("cnt")).as("cms_est"))
+  }
+
+  /** Ordered-funnel stage times: for each user, the time of the
+    * FIRST occurrence of `steps(0)`, then the first occurrence of
+    * `steps(1)` STRICTLY AFTER that, and so on — the strictly-after
+    * recurrence every product-analytics funnel runs (a per-type
+    * global `min` is wrong: a click before the first view must not
+    * count). One row per user who completed stage 1, with `t1..tn`
+    * epoch columns and nulls from the first dropped stage onward.
+    *
+    * Scale shape: stage i is one filtered scan of `events` hash-joined
+    * on the user key against the (shrinking) survivor frame, then one
+    * map-side-combined `min` agg — no Window over the event stream, no
+    * per-user sort, no collect. At 100 TB each per-stage frame is
+    * partitioned by `userCol`, and survivors only ever shrink, so the
+    * join's build side gets cheaper each stage.
+    */
+  def funnelStages(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    var acc = events
+      .filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("t1"))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val prev = s"t$i"
+      val cur = s"t${i + 1}"
+      val next = events
+        .filter(col(typeCol) === st)
+        .join(acc.select(col(userCol), col(prev)), userCol)
+        .filter(col(tsCol) > col(prev))
+        .groupBy(col(userCol))
+        .agg(min(col(tsCol)).as(cur))
+      acc = acc.join(next, Seq(userCol), "left")
+    }
+    acc
+  }
 }
