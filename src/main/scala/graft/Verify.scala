@@ -45,6 +45,17 @@ object Verify {
         require(
           df.filter(col("n_phrase") > 0).count() > 0,
           "q127 vacuous: the probe phrase never aligns — every candidate is conjunctive-only")
+      },
+      "q139_kcore" -> { df =>
+        require(
+          df.count() > 0,
+          "q139 vacuous: the 2-core is empty — the 0.35 cosine slice lost its cyclic clusters")
+      },
+      "q141_ingest_anomaly" -> { df =>
+        import org.apache.spark.sql.functions.col
+        require(
+          df.filter(col("flagged")).count() > 0,
+          "q141 vacuous: no hour crosses the 3-sigma threshold — ingest rate flattened")
       })
     // Dev-only subset: --only=q90_weighted_sample,q99_incremental_dedup
     // (the driver passes no --only, so it always dumps the full surface).

@@ -429,4 +429,165 @@ object Graph {
     val release = { () => oriented.unpersist(); canon.unpersist(); () }
     (out, release)
   }
+
+  /** k-core decomposition by iterated peeling (Seidman 1983): drop
+    * every node whose degree among SURVIVORS is < k, recompute, repeat
+    * to fixpoint. The maximal subgraph with minimum degree ≥ k — on a
+    * near-dup graph the 2-core is exactly the cycle-containing cluster
+    * set (stars and transitive drift chains peel away), the structural
+    * complement of [[triangleCounts]]' per-node diagnostic.
+    *
+    * Returns (node, deg) for the surviving core, `deg` the in-core
+    * degree. Throws if the peel has not reached its fixpoint within
+    * `maxRounds` — a silent truncation would return a superset of the
+    * core, not the core.
+    *
+    * Scale shape: each round is two semi-shaped equi-joins of the
+    * (persisted, canonicalized) edge list against the shrinking
+    * survivor frame plus one map-side-combined degree count — no
+    * Window, no collect beyond the one-row survivor COUNT that drives
+    * the convergence test. Survivors only shrink, so rounds get
+    * cheaper; convergence needs O(peel depth) rounds, bounded by the
+    * longest chain the graph hangs off its core.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame =
+    kCoreReleasable(edges, k, maxRounds)._1
+
+  /** [[kCore]] plus the cache release handle. */
+  def kCoreReleasable(edges: DataFrame, k: Int, maxRounds: Int = 12): (DataFrame, () => Unit) = {
+    require(k >= 1, s"kCore: k must be >= 1; got $k")
+    require(maxRounds >= 1, s"kCore: need at least one round; got $maxRounds")
+    val spark = edges.sparkSession
+    val srcName = edges.columns(0)
+    val dstName = edges.columns(1)
+    val canon = edges
+      .select(
+        least(col(srcName).cast("long"), col(dstName).cast("long")).as("src"),
+        greatest(col(srcName).cast("long"), col(dstName).cast("long")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    if (canon.count() == 0L) {
+      canon.unpersist()
+      return (canon.select(col("src").as("node"), lit(0L).as("deg")).limit(0), () => ())
+    }
+    val e = canon.unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
+    // Each round materializes through an RDD-backed LEAF (the PageRank
+    // loop's checkpoint trick): a plain DataFrame.persist/unpersist
+    // chain CASCADES — unpersisting round r-1 invalidates round r's
+    // cached plan, and every later consumption recomputes the whole
+    // lineage including the (possibly O(n²)) pair generator feeding
+    // `edges`, doubling work per round. The leaf cuts lineage, so an
+    // unpersisted predecessor can never be re-demanded.
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    var (alive, aliveRdd) = materialize(
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+    var aliveCount = alive.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val (next, nextRdd) = materialize(
+        e.join(alive.select(col("node").as("src")), Seq("src"))
+          .join(alive.select(col("node").as("dst")), Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k))
+      val nextCount = next.count()
+      // next ⊆ alive by construction (peeling only removes), so equal
+      // cardinality IS set equality — the fixpoint test needs no join.
+      converged = nextCount == aliveCount
+      aliveRdd.unpersist()
+      alive = next
+      aliveRdd = nextRdd
+      aliveCount = nextCount
+    }
+    if (!converged) {
+      aliveRdd.unpersist(); canon.unpersist()
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not converge in $maxRounds rounds ($aliveCount survivors) — raise maxRounds")
+    }
+    val lastRdd = aliveRdd
+    (alive, () => { lastRdd.unpersist(); canon.unpersist(); () })
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
+    * list — the mutual-reinforcement centrality pair PageRank's
+    * single score can't express: auth(i) = Σ hub(j) over j→i,
+    * hub(j) = Σ auth(i) over j→i, alternating. On a bipartite
+    * buyer→seller graph the split is exactly the two business roles
+    * (hubby buyers spread across many authoritative sellers).
+    *
+    * Integer-exact like [[integerPageRank]] (float HITS is
+    * addition-order-sensitive and un-gateable): scores live in
+    * `scale` micro-units, and the usual L2 normalization — whose
+    * `sqrt` engines round differently — is replaced by max-rescaling
+    * `s · scale div max(s)`, which preserves the RANKING (the only
+    * thing HITS output means) and keeps every value an exact
+    * integer. Overflow-safe by construction: raw ≤ maxdeg·scale and
+    * the rescale multiplies by `scale` once (≲ 10¹⁵ at scale = 10⁶
+    * for maxdeg ≲ 10³; callers with larger fan-in lower `scale`).
+    *
+    * Returns (node, hub, auth). Scale shape: per half-round one
+    * equi-join of the persisted edge list with the current score
+    * frame + a map-side-combined sum, plus a 1-row broadcast max —
+    * rounds stack lazily (callers run 2–4; HITS converges fast).
+    */
+  def hits(edges: DataFrame, iterations: Int = 2, scale: Long = 1000000L): DataFrame =
+    hitsReleasable(edges, iterations, scale)._1
+
+  /** [[hits]] plus the cache release handle. */
+  def hitsReleasable(
+      edges: DataFrame,
+      iterations: Int = 2,
+      scale: Long = 1000000L): (DataFrame, () => Unit) = {
+    require(iterations >= 1 && iterations <= 6,
+      s"hits: iterations in [1,6] (rounds stack lazily); got $iterations")
+    require(scale >= 1L, s"hits: scale must be positive; got $scale")
+    val srcName = edges.columns(0)
+    val dstName = edges.columns(1)
+    val e = edges
+      .select(col(srcName).cast("long").as("src"), col(dstName).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    if (nodes.count() == 0L) {
+      e.unpersist(); nodes.unpersist()
+      return (
+        nodes.select(col("node"), lit(0L).as("hub"), lit(0L).as("auth")).limit(0),
+        () => ())
+    }
+    def rescaled(raw: DataFrame, outCol: String): DataFrame = {
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      nodes
+        .join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(
+          col("node"),
+          coalesce(expr(s"(raw * $scale) div mx"), lit(0L)).as(outCol))
+    }
+    var hub = nodes.select(col("node"), lit(scale).as("hub"))
+    var auth = nodes.select(col("node"), lit(0L).as("auth"))
+    for (_ <- 1 to iterations) {
+      auth = rescaled(
+        e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("hub")).as("raw")),
+        "auth")
+      hub = rescaled(
+        e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("auth")).as("raw")),
+        "hub")
+    }
+    val out = hub.join(auth, Seq("node"))
+    (out, () => { e.unpersist(); nodes.unpersist(); () })
+  }
 }

@@ -187,6 +187,111 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("kCore: triangle survives, chains and stars peel; k=3 empties it") {
+    import spark.implicits._
+    // triangle {1,2,3} + chain 3-4-5-6 hanging off it + star at 7
+    val e = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 5L), (5L, 6L),
+      (7L, 8L), (7L, 9L), (7L, 10L)).toDF("a", "b")
+    val core2 = Graph.kCore(e, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(Graph.kCore(e, k = 3).count() == 0L)
+    // two triangles sharing node 3: all six nodes survive, 3 has deg 4
+    val e2 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L)).toDF("a", "b")
+    val c2 = Graph.kCore(e2, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2 == Map(1L -> 2L, 2L -> 2L, 3L -> 4L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("kCore: throws past maxRounds instead of returning a superset of the core") {
+    import spark.implicits._
+    // a pure path peels one end-pair per round — depth ~ length/2
+    val path = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a", "b")
+    intercept[IllegalStateException](Graph.kCore(path, k = 2, maxRounds = 2))
+    assert(Graph.kCore(path, k = 2, maxRounds = 12).count() == 0L)
+    intercept[IllegalArgumentException](Graph.kCore(path, k = 0))
+    assert(Graph.kCore(path.limit(0), k = 2).count() == 0L)
+  }
+
+  test("kCore matches a driver-side peel on random graphs, under repartitioning") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(2600 + seed)
+      val n = 30
+      val pairs = (1 to 55).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val canon = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.distinct
+      // driver replay: peel to fixpoint
+      var alive = canon.flatMap { case (a, b) => Seq(a, b) }.toSet
+      var changed = true
+      while (changed) {
+        val deg = canon.filter { case (a, b) => alive(a) && alive(b) }
+          .flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+        val next = alive.filter(v => deg.getOrElse(v, 0L) >= 2L)
+        changed = next != alive
+        alive = next
+      }
+      val finalDeg = canon.filter { case (a, b) => alive(a) && alive(b) }
+        .flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+      val got = Graph.kCore(pairs.toDF("a", "b").repartition(7), k = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == finalDeg, s"seed $seed")
+    }
+  }
+
+  test("kCore release handle unpersists its cached frames") {
+    import spark.implicits._
+    GraftSession.releaseAllCaches(spark)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
+    val (out, release) = Graph.kCoreReleasable(e, k = 2)
+    out.count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("hits: hand-computed alternating rounds with max-rescaling") {
+    import spark.implicits._
+    // 1→3, 1→4, 2→3 at scale 100.
+    // r1 auth: raw(3)=200, raw(4)=100, mx=200 → a(3)=100, a(4)=50
+    // r1 hub:  raw(1)=150, raw(2)=100, mx=150 → h(1)=100, h(2)=66
+    // r2 auth: raw(3)=166, raw(4)=100, mx=166 → a(3)=100, a(4)=60
+    // r2 hub:  raw(1)=160, raw(2)=100, mx=160 → h(1)=100, h(2)=62
+    val e = Seq((1L, 3L), (1L, 4L), (2L, 3L), (1L, 3L), (5L, 5L)).toDF("src", "dst")
+    val out = Graph.hits(e, iterations = 2, scale = 100L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // duplicate edge 1→3 collapses; self-loop 5→5 drops entirely
+    assert(out == Map(
+      1L -> ((100L, 0L)),
+      2L -> ((62L, 0L)),
+      3L -> ((0L, 100L)),
+      4L -> ((0L, 60L))))
+  }
+
+  test("hits: guards, empty graph, repartition invariance, release handle") {
+    import spark.implicits._
+    val e = Seq((1L, 3L), (1L, 4L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](Graph.hits(e, iterations = 0))
+    intercept[IllegalArgumentException](Graph.hits(e, iterations = 7))
+    intercept[IllegalArgumentException](Graph.hits(e, scale = 0L))
+    assert(Graph.hits(e.limit(0)).count() == 0L)
+    val a = Graph.hits(e.repartition(1), iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Graph.hits(e.repartition(11), iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b && a.nonEmpty)
+    GraftSession.releaseAllCaches(spark)
+    val (out, release) = Graph.hitsReleasable(e, 2)
+    out.count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("release handle unpersists every cached frame") {
     import spark.implicits._
     // Sweep first: sibling tests use the non-releasable wrapper, whose
