@@ -254,4 +254,52 @@ class PlanAuditSpec extends AnyFunSuite {
     // exactly one clustering exchange feeds the operator
     assert(p.contains("hashpartitioning(l_returnflag"), p.take(2000))
   }
+
+  test("q136: CMS sketch pass has partial aggregation and no join at corpus grain") {
+    val p = plan("q136_cms_freq")
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    // counter sums combine map-side before the (j, bucket) exchange
+    assert(p.indexOf("partial_count") != p.lastIndexOf("partial_count"), p.take(2000))
+    // the sketch enters the probe join as a broadcast
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+  }
+
+  test("q137: RRF plan has no WindowExec — ranks come from the bounded numbering") {
+    val p = plan("q137_rrf_fusion")
+    assert(!p.contains("Window"), p.take(2000))
+    // both lists cut by TakeOrderedAndProject before any rank work
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q142: Gram matrix is generate-only — no self-join, no corpus shuffle before the cell agg") {
+    val p = plan("q142_gram_matrix")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // two stacked generates over the same row
+    assert(p.indexOf("Generate") != p.lastIndexOf("Generate"), p.take(2000))
+    // map-side partial sums before the (p, q) exchange
+    assert(p.contains("partial_sum"), p.take(2000))
+  }
+
+  test("q143: FK orphan audits are broadcast anti-joins — fact tables never shuffle") {
+    val p = plan("q143_fk_audit")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q144: decile binning has no Window — boundaries broadcast back into the scan pass") {
+    val p = plan("q144_curriculum_deciles")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q145: sorted-neighborhood adjacency is an equi-join on the rank block — no inequality-only join") {
+    val p = plan("q145_sorted_neighbors")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the w-band pairing hits as a hash join keyed on the block id
+    assert(p.contains("hashpartitioning(blk") || p.contains("BroadcastHashJoin"), p.take(2500))
+  }
 }
