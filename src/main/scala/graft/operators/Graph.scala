@@ -442,13 +442,18 @@ object Graph {
     * `maxRounds` — a silent truncation would return a superset of the
     * core, not the core.
     *
-    * Scale shape: each round is two semi-shaped equi-joins of the
-    * (persisted, canonicalized) edge list against the shrinking
-    * survivor frame plus one map-side-combined degree count — no
-    * Window, no collect beyond the one-row survivor COUNT that drives
-    * the convergence test. Survivors only shrink, so rounds get
-    * cheaper; convergence needs O(peel depth) rounds, bounded by the
-    * longest chain the graph hangs off its core.
+    * Scale shape: each round is one map-side-combined degree count
+    * over the CURRENT edge list plus two semi-shaped equi-joins that
+    * shrink that edge list to the survivors — no Window, no collect
+    * beyond the one-row survivor COUNT that drives the convergence
+    * test. The peeled edge list (not just the survivor set) carries
+    * forward, materialized as an RDD leaf each round, so round r
+    * scans only the edges still alive after round r-1 — dropping an
+    * edge once means never scanning it again (filtering the round-r
+    * edge set from the round-(r-1) edges is equivalent to filtering
+    * from the full list, because survivors only shrink). Convergence
+    * needs O(peel depth) rounds, bounded by the longest chain the
+    * graph hangs off its core.
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame =
     kCoreReleasable(edges, k, maxRounds)._1
@@ -483,35 +488,49 @@ object Graph {
       val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
-    var (alive, aliveRdd) = materialize(
-      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+    // Only the EDGE list is leaf-materialized; the survivor frame
+    // stays a lazy aggregate over the cached edge leaf. The survivor
+    // frame is consumed three times per round (two semi-joins + the
+    // convergence count), but each consumption just re-runs one
+    // map-side-combined agg over the cached leaf — cheap, bounded,
+    // and it keeps each round at ONE action (the count), so the
+    // per-round scheduler latency that dominated the 3-job-per-round
+    // variant on small rounds is paid once, not three times.
+    def degrees(ed: DataFrame): DataFrame =
+      ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    var (eCur, eRdd) = materialize(e)
+    var alive = degrees(eCur)
     var aliveCount = alive.count()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
-      val (next, nextRdd) = materialize(
-        e.join(alive.select(col("node").as("src")), Seq("src"))
-          .join(alive.select(col("node").as("dst")), Seq("dst"))
-          .groupBy(col("src").as("node"))
-          .agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= k))
+      // Peel the EDGES to the current survivors first, then count
+      // degrees over the shrunken list — identical recurrence to
+      // re-filtering the full list (see scaladoc), but round cost
+      // tracks the live subgraph instead of the original graph.
+      val (nextE, nextERdd) = materialize(
+        eCur
+          .join(alive.select(col("node").as("src")), Seq("src"))
+          .join(alive.select(col("node").as("dst")), Seq("dst")))
+      val next = degrees(nextE).filter(col("deg") >= k)
       val nextCount = next.count()
       // next ⊆ alive by construction (peeling only removes), so equal
       // cardinality IS set equality — the fixpoint test needs no join.
       converged = nextCount == aliveCount
-      aliveRdd.unpersist()
+      eRdd.unpersist()
       alive = next
-      aliveRdd = nextRdd
+      eCur = nextE
+      eRdd = nextERdd
       aliveCount = nextCount
     }
     if (!converged) {
-      aliveRdd.unpersist(); canon.unpersist()
+      eRdd.unpersist(); canon.unpersist()
       throw new IllegalStateException(
         s"kCore(k=$k) did not converge in $maxRounds rounds ($aliveCount survivors) — raise maxRounds")
     }
-    val lastRdd = aliveRdd
-    (alive, () => { lastRdd.unpersist(); canon.unpersist(); () })
+    val lastERdd = eRdd
+    (alive, () => { lastERdd.unpersist(); canon.unpersist(); () })
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
@@ -533,8 +552,15 @@ object Graph {
     *
     * Returns (node, hub, auth). Scale shape: per half-round one
     * equi-join of the persisted edge list with the current score
-    * frame + a map-side-combined sum, plus a 1-row broadcast max —
-    * rounds stack lazily (callers run 2–4; HITS converges fast).
+    * frame + a map-side-combined sum, plus a 1-row broadcast max.
+    * Unlike the PageRank loop, rounds must NOT stack lazily here:
+    * each rescale reads its raw-sum frame twice (max + join) and the
+    * final output joins hub AND auth, so an unmaterialized stack
+    * re-derives the base edge join ~2^(2·iterations) times. Every
+    * double-consumed frame is therefore cached (held until release)
+    * while the rounds themselves still stack lazily into one action —
+    * the score frames are node-sized, not edge-sized, so the cached
+    * footprint is trivial at any scale.
     */
   def hits(edges: DataFrame, iterations: Int = 2, scale: Long = 1000000L): DataFrame =
     hitsReleasable(edges, iterations, scale)._1
@@ -564,14 +590,37 @@ object Graph {
         nodes.select(col("node"), lit(0L).as("hub"), lit(0L).as("auth")).limit(0),
         () => ())
     }
-    def rescaled(raw: DataFrame, outCol: String): DataFrame = {
-      val mx = raw.agg(max(col("raw")).as("mx"))
-      nodes
-        .join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(mx))
-        .select(
-          col("node"),
-          coalesce(expr(s"(raw * $scale) div mx"), lit(0L)).as(outCol))
+    val cachedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // Cut the fan-out with plain DataFrame caches held until release:
+    // every double-consumed frame (raw → max + join; the final-round
+    // hub/auth → output join) computes once into its cache and is
+    // re-read from there. No RDD leaf and no per-frame count() — the
+    // whole stack still evaluates in ONE final action (no per-round
+    // scheduler latency), and no mid-loop unpersist means the cascade
+    // the PageRank/kCore loops guard against can't start. The cached
+    // frames are node-sized, so holding all 4·iterations of them is
+    // trivial at any scale.
+    def cached(df: DataFrame): DataFrame = {
+      df.persist()
+      cachedFrames += df
+      df
+    }
+    def rescaled(rawPlan: DataFrame, outCol: String): DataFrame = {
+      val raw = cached(rawPlan)
+      // The rescale denominator is a 1-row aggregate — collect it as a
+      // driver scalar (scalable: it's a max, not data) instead of a
+      // crossJoin(broadcast(...)), which cost a broadcast-exchange job
+      // per half-round. This action also materializes raw's cache, so
+      // its two consumers (this max, the join below) compute it once.
+      val mxRow = raw.agg(max(col("raw")).as("mx")).first()
+      val mx = if (mxRow.isNullAt(0)) 1L else mxRow.getLong(0)
+      require(mx > 0L, s"hits: non-positive rescale max $mx — degenerate graph")
+      cached(
+        nodes
+          .join(raw, Seq("node"), "left")
+          .select(
+            col("node"),
+            coalesce(expr(s"(raw * $scale) div $mx"), lit(0L)).as(outCol)))
     }
     var hub = nodes.select(col("node"), lit(scale).as("hub"))
     var auth = nodes.select(col("node"), lit(0L).as("auth"))
@@ -588,6 +637,80 @@ object Graph {
         "hub")
     }
     val out = hub.join(auth, Seq("node"))
-    (out, () => { e.unpersist(); nodes.unpersist(); () })
+    (out, () => { cachedFrames.foreach(_.unpersist()); e.unpersist(); nodes.unpersist(); () })
+  }
+
+  /** Multi-source BFS hop distance over an UNDIRECTED edge list: the
+    * graph family's distance primitive — [[integerPageRank]] ranks,
+    * [[Dedup.connectedComponents]] partitions, this MEASURES (hops to
+    * the nearest seed: "how far is each document from the trusted
+    * set", the distance analogue of TrustRank's mass-propagation
+    * prior). Exact small-integer output — no floating point anywhere.
+    *
+    * Returns (node, dist) for every node within `maxHops` of a seed,
+    * including the seeds at dist 0; unreachable nodes are absent (the
+    * caller left-joins if it wants NULLs). Seeds not present in the
+    * edge list still appear at dist 0 — a seed is trusted whether or
+    * not it has neighbors.
+    *
+    * Scale shape: classic frontier expansion — round r is one
+    * equi-join of the (persisted, mirrored) edge list with the
+    * round-(r-1) frontier plus an anti-join against the visited set,
+    * ONE action per round. The visited set is a lazy union of the
+    * per-round RDD-leaf frontiers (each already cached), so no
+    * re-materialization compounds; rounds stop early when a frontier
+    * comes back empty. O(min(maxHops, diameter)) rounds total — the
+    * frontier never revisits a node, so total join work across ALL
+    * rounds is O(|E|), not O(rounds·|E|).
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame =
+    bfsDistancesReleasable(edges, seeds, maxHops)._1
+
+  /** [[bfsDistances]] plus the cache release handle. */
+  def bfsDistancesReleasable(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int): (DataFrame, () => Unit) = {
+    require(maxHops >= 1 && maxHops <= 64,
+      s"bfsDistances: maxHops in [1,64] (one materialized round each); got $maxHops")
+    val spark = edges.sparkSession
+    val srcName = edges.columns(0)
+    val dstName = edges.columns(1)
+    val canon = edges
+      .select(
+        least(col(srcName).cast("long"), col(dstName).cast("long")).as("src"),
+        greatest(col(srcName).cast("long"), col(dstName).cast("long")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    val e = canon.unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
+    val leaves = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    def materialize(df: DataFrame): DataFrame = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      leaves += rdd
+      spark.createDataFrame(rdd, df.schema)
+    }
+    val seedCol = seeds.columns(0)
+    var frontier = materialize(
+      seeds.select(col(seedCol).cast("long").as("node")).distinct().withColumn("dist", lit(0L)))
+    val rounds = scala.collection.mutable.ArrayBuffer(frontier)
+    var frontierSize = frontier.count()
+    var hop = 0
+    while (frontierSize > 0L && hop < maxHops) {
+      hop += 1
+      val visited = rounds.reduce(_ unionByName _).select(col("node"))
+      val next = materialize(
+        e.join(frontier.select(col("node").as("src")), Seq("src"))
+          .select(col("dst").as("node"))
+          .distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("dist", lit(hop.toLong)))
+      frontierSize = next.count()
+      if (frontierSize > 0L) rounds += next
+      frontier = next
+    }
+    val out = rounds.reduce(_ unionByName _)
+    (out, () => { leaves.foreach(_.unpersist()); canon.unpersist(); () })
   }
 }
