@@ -56,6 +56,17 @@ object Verify {
         require(
           df.filter(col("flagged")).count() > 0,
           "q141 vacuous: no hour crosses the 3-sigma threshold — ingest rate flattened")
+      },
+      "q146_copurchase_lift" -> { df =>
+        require(
+          df.count() > 0,
+          "q146 vacuous: no part pair reaches support 3 — basket overlap drifted")
+      },
+      "q148_bfs_dist" -> { df =>
+        import org.apache.spark.sql.functions.col
+        require(
+          df.filter(col("dist") >= 1).count() > 0,
+          "q148 vacuous: BFS reached no non-seed node — the similarity graph misses every seed")
       })
     // Dev-only subset: --only=q90_weighted_sample,q99_incremental_dedup
     // (the driver passes no --only, so it always dumps the full surface).

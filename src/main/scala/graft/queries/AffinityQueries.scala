@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Coverage, Graph, Similarity}
+import graft.queries.CoreQueries.Q
+
+/** Round-8 affinity/distance/selection batch:
+  *
+  *  - q146 market-basket co-purchase lift (parts co-ordered in the
+  *    same order, support-filtered, integer lift_ppm — the item-item
+  *    affinity mining q109 does for word bigrams, lifted to the
+  *    transactional star schema);
+  *  - q147 time-decay engagement scoring (per-user freshness-weighted
+  *    value sums with EXACT power-of-two day weights — the recency
+  *    prior reweighting schemes need, with none of the float-exp
+  *    cross-engine drift);
+  *  - q148 multi-source BFS hop distance over the near-dup graph
+  *    ([[graft.operators.Graph.bfsDistances]] — hops to the nearest
+  *    trusted seed, the DISTANCE analogue of q115 TrustRank's mass
+  *    propagation, recursive-CTE oracle);
+  *  - q149 greedy maximum-coverage corpus selection
+  *    ([[graft.operators.Coverage.greedyMaxCoverage]] — submodular
+  *    diversity pick the per-document scorers q119–q127 can't
+  *    express; k-step unrolled oracle).
+  *
+  * Same determinism contract as the rest of the catalog: integer
+  * counts/weights/ranks, `div`-vs-`//` on non-negative operands only,
+  * ties always broken by unique ids.
+  */
+object AffinityQueries {
+
+  /** q146 — co-purchase lift: distinct (order, part) incidence
+    * self-joined on the order key (`pa < pb` halves the pair space),
+    * support floor 3, lift in exact parts-per-million:
+    * `(n_ab · N_orders · 10^6) div (n_a · n_b)`. Top 25 by lift.
+    *
+    * Scale shape: the self-join is a co-located shuffle join on the
+    * order key (baskets are small — the per-order pair fan-out is
+    * C(items,2) with items ≈ 4); counts are map-side-combined aggs;
+    * the per-part counts and the 1-row order total join back
+    * broadcast. No step is quadratic in parts or orders.
+    */
+  val q146CoPurchase: Q = (s, d) => {
+    val b = Tables
+      .lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = b.agg(countDistinct(col("ok")).as("n_orders"))
+    val perPart = b.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val pairs = b
+      .select(col("ok"), col("pk").as("pa"))
+      .join(b.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    pairs
+      .join(broadcast(perPart.select(col("pk").as("pa"), col("n").as("n_a"))), Seq("pa"))
+      .join(broadcast(perPart.select(col("pk").as("pb"), col("n").as("n_b"))), Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .select(
+        col("pa"),
+        col("pb"),
+        col("n_ab"),
+        expr("(n_ab * n_orders * 1000000) div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("pa"), col("pb"))
+      .limit(25)
+  }
+
+  val q146Sql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM b),
+      |c AS (SELECT pk, COUNT(*) AS cnt FROM b GROUP BY 1),
+      |p AS (SELECT a.pk AS pa, bb.pk AS pb, COUNT(*) AS n_ab
+      |      FROM b a JOIN b bb ON a.ok = bb.ok AND a.pk < bb.pk
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT pa, pb, n_ab,
+      |       (n_ab * n.n_orders * 1000000) // (ca.cnt * cb.cnt) AS lift_ppm
+      |FROM p JOIN c ca ON ca.pk = p.pa JOIN c cb ON cb.pk = p.pb, n
+      |ORDER BY lift_ppm DESC, pa, pb LIMIT 25""".stripMargin
+
+  /** q147 — time-decay engagement: per-user sum of event values
+    * weighted by 2^(29 − day) (day 0 = 2024-01-01, the generator's
+    * fixed window; out-of-window events are excluded, documented).
+    * Cents × power-of-two weights keep every product and sum an exact
+    * BIGINT — no float exp, no addition-order sensitivity, identical
+    * in any engine under any partitioning. Top 20 users.
+    */
+  val q147DecayScore: Q = (s, d) => {
+    val day = expr("(ts_us - 1704067200000000) div 86400000000")
+    Tables
+      .events(s, d)
+      .withColumn("day", day)
+      .filter(col("day").between(0, 29))
+      .withColumn("w", expr("shiftleft(CAST(1 AS BIGINT), CAST(29 - day AS INT))"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents") * col("w")).as("decay_score"), count(lit(1)).as("n_events"))
+      .orderBy(col("decay_score").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val q147Sql: String =
+    """WITH e AS (SELECT user_id, value,
+      |                  (epoch_us(ts) - 1704067200000000) // 86400000000 AS day
+      |           FROM events),
+      |w AS (SELECT user_id,
+      |             CAST(round(value * 100) AS BIGINT)
+      |               * (CAST(1 AS BIGINT) << CAST(29 - day AS INTEGER)) AS wv
+      |      FROM e WHERE day BETWEEN 0 AND 29)
+      |SELECT user_id, SUM(wv) AS decay_score, COUNT(*) AS n_events
+      |FROM w GROUP BY 1 ORDER BY decay_score DESC, user_id LIMIT 20""".stripMargin
+
+  /** q148 — hops to the nearest trusted document over the near-dup
+    * similarity graph ([[Similarity.nearDupPairs]] ≥ 0.35, the q139
+    * edge build): seeds are every 7th vector, frontier BFS to 6 hops.
+    * Verify enforces ≥ 1 non-seed reached (dist ≥ 1) — the q99
+    * non-vacuity lesson.
+    */
+  val q148BfsDist: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val pairs = Similarity
+      .nearDupPairs(emb, "vec_id", "embedding", threshold = 0.35)
+      .select(col("vec_a"), col("vec_b"))
+    val seeds = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    Graph.bfsDistances(pairs, seeds, maxHops = 6).orderBy(col("node"))
+  }
+
+  /** Oracle: the q139 pair build + a recursive min-hop CTE (the same
+    * WITH RECURSIVE discipline as q51's components oracle; UNION
+    * dedups (node, dist) states so the recursion is finite).
+    */
+  val q148Sql: String =
+    """WITH RECURSIVE
+      |x AS MATERIALIZED (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding,1) AS pos FROM embeddings),
+      |n AS MATERIALIZED (SELECT vec_id, CAST(SUM(CAST(CAST(v AS DOUBLE)*CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS sq
+      |      FROM x GROUP BY vec_id),
+      |dp AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb,
+      |        CAST(SUM(CAST(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS dot
+      |       FROM x a JOIN x b ON a.pos = b.pos AND a.vec_id < b.vec_id GROUP BY 1, 2),
+      |pairs AS MATERIALIZED (SELECT va, vb FROM dp JOIN n na ON dp.va = na.vec_id JOIN n nb ON dp.vb = nb.vec_id
+      |          WHERE dot/(sqrt(na.sq)*sqrt(nb.sq)) >= 0.35),
+      |e AS MATERIALIZED (SELECT va AS src, vb AS dst FROM pairs UNION SELECT vb AS src, va AS dst FROM pairs),
+      |seeds AS MATERIALIZED (SELECT vec_id AS node FROM embeddings WHERE vec_id % 7 = 0),
+      |bfs AS (SELECT node, 0 AS dist FROM seeds
+      |        UNION
+      |        SELECT e.dst, b.dist + 1 FROM bfs b JOIN e ON e.src = b.node WHERE b.dist < 6)
+      |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM bfs GROUP BY 1
+      |ORDER BY node NULLS FIRST""".stripMargin
+
+  /** q149 — greedy maximum-coverage selection: pick 5 documents
+    * maximizing cumulative distinct-token coverage
+    * ([[Coverage.greedyMaxCoverage]]; whitespace tokens, the corpus
+    * convention). The oracle unrolls the same 5 greedy steps with the
+    * identical (gain DESC, doc) tie-break.
+    */
+  val q149GreedyCover: Q = (s, d) => {
+    val items = Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("item"))
+    Coverage.greedyMaxCoverage(items, k = 5).orderBy(col("step"))
+  }
+
+  val q149Sql: String = {
+    val steps = (1 to 5).map { i =>
+      val prior = (1 until i).map(j => s"SELECT doc FROM p$j").mkString(" UNION ALL ")
+      val notPicked = if (i == 1) "" else s"WHERE d.doc NOT IN ($prior)"
+      val uncovered =
+        if (i == 1) "w"
+        else s"(SELECT w.doc, w.item FROM w WHERE w.item NOT IN (SELECT item FROM c${i - 1}))"
+      val cover =
+        s"""c$i AS MATERIALIZED (SELECT DISTINCT w.item FROM w
+      |      WHERE w.doc IN (${(1 to i).map(j => s"SELECT doc FROM p$j").mkString(" UNION ALL ")}))"""
+      s"""p$i AS MATERIALIZED (SELECT d.doc, COALESCE(g.gain, 0) AS gain
+      |      FROM docs d LEFT JOIN (SELECT doc, COUNT(*) AS gain FROM $uncovered u GROUP BY 1) g
+      |      ON g.doc = d.doc $notPicked ORDER BY gain DESC, d.doc LIMIT 1),
+      |$cover"""
+    }.mkString(",\n      |")
+    val rows = (1 to 5).map { i =>
+      val cum = (1 to i).map(j => s"(SELECT gain FROM p$j)").mkString(" + ")
+      s"SELECT CAST($i AS BIGINT) AS step, doc AS doc_id, CAST(gain AS BIGINT) AS new_items, CAST($cum AS BIGINT) AS cum_items FROM p$i"
+    }.mkString("\n      |UNION ALL\n      |")
+    s"""WITH w0 AS MATERIALIZED (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS item FROM documents),
+      |w AS MATERIALIZED (SELECT DISTINCT doc, item FROM w0),
+      |docs AS MATERIALIZED (SELECT DISTINCT doc FROM w),
+      |$steps
+      |$rows
+      |ORDER BY step""".stripMargin
+  }
+
+  def all: Map[String, Q] = Map(
+    "q146_copurchase_lift" -> q146CoPurchase,
+    "q147_decay_score" -> q147DecayScore,
+    "q148_bfs_dist" -> q148BfsDist,
+    "q149_greedy_cover" -> q149GreedyCover)
+
+  def oracles: Map[String, String] = Map(
+    "q146_copurchase_lift" -> q146Sql,
+    "q147_decay_score" -> q147Sql,
+    "q148_bfs_dist" -> q148Sql,
+    "q149_greedy_cover" -> q149Sql)
+}

@@ -306,4 +306,72 @@ class GraphSpec extends AnyFunSuite {
     release()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  private def dists(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+    import spark.implicits._
+    df.select(col("node"), col("dist")).as[(Long, Long)].collect().toMap
+  }
+
+  test("bfsDistances: hand-computed hops on a path + branch, unreachable absent") {
+    import spark.implicits._
+    // 1-2-3-4-5 path, 3-6 branch, 8-9 disconnected; seed {1}.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L), (8L, 9L)).toDF("a", "b")
+    val seeds = Seq(1L).toDF("n")
+    assert(dists(Graph.bfsDistances(e, seeds, maxHops = 6)) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 6L -> 3L, 5L -> 4L))
+    // maxHops truncates: 5 (dist 4) drops at maxHops = 3
+    assert(dists(Graph.bfsDistances(e, seeds, maxHops = 3)) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 6L -> 3L))
+  }
+
+  test("bfsDistances: multi-source takes the MIN hop; isolated seed stays at 0") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    // seeds at both ends + one not in the graph at all
+    val seeds = Seq(1L, 5L, 99L).toDF("n")
+    assert(dists(Graph.bfsDistances(e, seeds, maxHops = 6)) ==
+      Map(1L -> 0L, 5L -> 0L, 99L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsDistances: undirected mirroring, duplicate/self edges, repartition invariance, release") {
+    import spark.implicits._
+    // edges arrive in mixed orientation with dups and a self-loop
+    val e = Seq((2L, 1L), (1L, 2L), (3L, 2L), (3L, 3L), (3L, 4L)).toDF("a", "b")
+    val seeds = Seq(4L).toDF("n")
+    val expected = Map(4L -> 0L, 3L -> 1L, 2L -> 2L, 1L -> 3L)
+    assert(dists(Graph.bfsDistances(e.repartition(1), seeds, maxHops = 8)) == expected)
+    assert(dists(Graph.bfsDistances(e.repartition(7), seeds.repartition(3), maxHops = 8)) == expected)
+    intercept[IllegalArgumentException](Graph.bfsDistances(e, seeds, maxHops = 0))
+    GraftSession.releaseAllCaches(spark)
+    val (out, release) = Graph.bfsDistancesReleasable(e, seeds, maxHops = 4)
+    out.count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("bfsDistances matches a driver-side BFS on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 1 to 3) {
+      val n = 40
+      val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val seedIds = Seq.fill(4)(rnd.nextInt(n).toLong).distinct
+      val adj = edges.filter(p => p._1 != p._2)
+        .flatMap(p => Seq(p, p.swap)).distinct
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      var dist = seedIds.map(_ -> 0L).toMap
+      var frontier = seedIds.toSet
+      var h = 0L
+      while (frontier.nonEmpty && h < 10) {
+        h += 1
+        val next = frontier.flatMap(x => adj.getOrElse(x, Set.empty)) -- dist.keySet
+        dist = dist ++ next.map(_ -> h)
+        frontier = next
+      }
+      val got = dists(Graph.bfsDistances(
+        edges.toDF("a", "b"), seedIds.toDF("n"), maxHops = 10))
+      assert(got == dist)
+    }
+  }
 }
