@@ -58,6 +58,33 @@ object GraphProbe {
       release(); pairs.unpersist()
     }
 
+    if (only("bfs")) {
+      val emb = Tables.embeddings(spark, sfDir)
+      val pairs = Similarity
+        .nearDupPairs(emb, "vec_id", "embedding", threshold = 0.35)
+        .select(col("vec_a"), col("vec_b"))
+        .persist()
+      val nEdges = timed("bfs: pair build")(pairs.count())
+      println(s"[probe] bfs: $nEdges undirected edges")
+      val seeds = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")).persist()
+      val nSeeds = timed("bfs: seed build")(seeds.count())
+      println(s"[probe] bfs: $nSeeds seeds")
+      val (dist, release) = timed("bfs: frontier loop (eager rounds)")(
+        Graph.bfsDistancesReleasable(pairs, seeds, maxHops = 6))
+      val n = timed("bfs: output materialization")(dist.count())
+      println(s"[probe] bfs: $n reached nodes")
+      release(); pairs.unpersist(); seeds.unpersist()
+      // Same loop but from the UNPERSISTED pair plan — what q148 pays
+      val raw = Similarity
+        .nearDupPairs(emb, "vec_id", "embedding", threshold = 0.35)
+        .select(col("vec_a"), col("vec_b"))
+      val (dist2, release2) = timed("bfs: loop from raw pair plan")(
+        Graph.bfsDistancesReleasable(raw, seeds, maxHops = 6))
+      val n2 = timed("bfs: output materialization 2")(dist2.count())
+      println(s"[probe] bfs: $n2 reached nodes")
+      release2()
+    }
+
     if (only("hits")) {
       val e = Tables
         .orders(spark, sfDir)

@@ -580,6 +580,12 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .persist()
+    // Pin one evaluation of the edge cache BEFORE anything fans out
+    // over it: the node-universe union reads e in two concurrent
+    // branches, and racing first-touch stages each recompute an
+    // uncached upstream (see bfsDistances — measured ~6x on an
+    // expensive pair build).
+    e.count()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
@@ -683,6 +689,12 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .persist()
+    // Materialize the cache in full BEFORE the loop: both union
+    // branches of the mirrored edge frame (and every round after)
+    // read canon, and concurrent first-touch stages RACE-recompute an
+    // expensive upstream (a near-dup pair build re-ran ~6x, 35 s vs
+    // 5 s measured at sf0.1) — the count pins one evaluation.
+    canon.count()
     val e = canon.unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
     val leaves = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
