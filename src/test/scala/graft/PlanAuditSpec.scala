@@ -302,4 +302,24 @@ class PlanAuditSpec extends AnyFunSuite {
     // the w-band pairing hits as a hash join keyed on the block id
     assert(p.contains("hashpartitioning(blk") || p.contains("BroadcastHashJoin"), p.take(2500))
   }
+
+  test("q146: basket self-join is an equi-join on the order key; count joins broadcast; top-k bounded") {
+    val p = plan("q146_copurchase_lift")
+    // the pair space materializes through a hash equi-join on the
+    // order key (pa < pb rides as the join condition); the ONLY
+    // nested-loop join allowed is the 1-row totals crossJoin
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.indexOf("BroadcastNestedLoopJoin") == p.lastIndexOf("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q147: decay scoring is one map-side-combined agg — no join, no Window") {
+    val p = plan("q147_decay_score")
+    assert(p.contains("partial_sum"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
 }
