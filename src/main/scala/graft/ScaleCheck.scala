@@ -136,6 +136,32 @@ object ScaleCheck {
             (col("l_orderkey") * 10 + col("l_linenumber")).as("tie"))
         val w = Window.partitionBy(col("l_partkey")).orderBy(col("l_extendedprice").desc, col("tie"))
         li.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 3).drop("__rn")
+      }),
+      // q139/q148 shapes: the O(n²)-prefiltered cosine pair build
+      // feeding the iterative loops — corpus (= vector count) grows,
+      // so the slope shows BOTH the quadratic-but-cheap prefilter and
+      // the subgraph-tracking round costs.
+      "kcore" -> (() =>
+        graft.operators.Graph.kCore(
+          Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold = 0.35)
+            .select(col("vec_a"), col("vec_b")),
+          k = 2, maxRounds = 16)),
+      "bfs" -> (() =>
+        graft.operators.Graph.bfsDistances(
+          Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold = 0.35)
+            .select(col("vec_a"), col("vec_b")),
+          emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")),
+          maxHops = 6)),
+      // q140 shape over the trading graph; --docs bounds the ORDER key
+      // here so the edge list (and with it the node universe) grows.
+      "hits" -> (() => {
+        val ords = Tables.orders(spark, sfDir)
+        val bounded = if (nDocs > 0) ords.filter(col("o_orderkey") < nDocs) else ords
+        graft.operators.Graph.hits(
+          bounded
+            .join(Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+            .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst")),
+          iterations = 2)
       })
     )
 
