@@ -725,4 +725,72 @@ object Graph {
     val out = rounds.reduce(_ unionByName _)
     (out, () => { leaves.foreach(_.unpersist()); canon.unpersist(); () })
   }
+
+  /** Weighted shortest-path distance within `rounds` hops — the
+    * min-plus (Bellman-Ford) generalization of [[bfsDistances]]:
+    * hop COUNT becomes summed integer edge COST, so "near" can mean
+    * strongly-connected-through-cheap-edges rather than few-hops.
+    * Unlike BFS, a node's distance can IMPROVE after first contact
+    * (a longer-hop path may be cheaper), so there is no visited-set
+    * pruning; the relaxation recurrence is run for exactly `rounds`
+    * rounds (the caller's hop horizon, matching a fixed SQL unroll —
+    * rounds past the fixpoint are no-ops).
+    *
+    * `edges` is (src, dst, cost): undirected, canonicalized + deduped
+    * here with the MIN cost per pair; costs must be positive
+    * integers. Returns (node, dist) for nodes within `rounds` hops of
+    * a seed; seeds at dist 0.
+    *
+    * Scale shape: per round ONE action — an equi-join of the
+    * (persisted, mirrored) edge list with the node-sized distance
+    * frame, then a map-side-combined MIN per node folded with the
+    * previous frame. O(rounds·|E|) join work total, the standard
+    * Bellman-Ford bound; each round's frame is an RDD leaf so plan
+    * depth never compounds.
+    */
+  def weightedDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    weightedDistancesReleasable(edges, seeds, rounds)._1
+
+  /** [[weightedDistances]] plus the cache release handle. */
+  def weightedDistancesReleasable(
+      edges: DataFrame,
+      seeds: DataFrame,
+      rounds: Int): (DataFrame, () => Unit) = {
+    require(rounds >= 1 && rounds <= 16,
+      s"weightedDistances: rounds in [1,16] (one relaxation action each); got $rounds")
+    val spark = edges.sparkSession
+    val Array(srcName, dstName, wName) = edges.columns.take(3)
+    val canon = edges
+      .select(
+        least(col(srcName).cast("long"), col(dstName).cast("long")).as("src"),
+        greatest(col(srcName).cast("long"), col(dstName).cast("long")).as("dst"),
+        col(wName).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(min(col("w")).as("w"))
+      .persist()
+    canon.count() // pin one evaluation before the mirrored fan-out (see bfsDistances)
+    val e = canon.unionByName(
+      canon.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val leaves = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    def materialize(df: DataFrame): DataFrame = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      leaves += rdd
+      spark.createDataFrame(rdd, df.schema)
+    }
+    val seedCol = seeds.columns(0)
+    var dist = materialize(
+      seeds.select(col(seedCol).cast("long").as("node")).distinct().withColumn("dist", lit(0L)))
+    dist.count()
+    for (_ <- 1 to rounds) {
+      val relaxed = e
+        .join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = materialize(
+        dist.unionByName(relaxed).groupBy(col("node")).agg(min(col("dist")).as("dist")))
+      dist.count()
+    }
+    (dist, () => { leaves.foreach(_.unpersist()); canon.unpersist(); () })
+  }
 }

@@ -189,15 +189,217 @@ object AffinityQueries {
       |ORDER BY step""".stripMargin
   }
 
+  /** q150 — supplier influence via one-mode bipartite projection:
+    * the customer→supplier incidence projects onto supplier–supplier
+    * co-supply edges (weight = shared customers, support floor 5 —
+    * the q146 affinity move applied to the OTHER side of the basket),
+    * then 2 rounds of weighted integer PageRank rank the suppliers.
+    * The composition q116 can't see: centrality over a DERIVED graph,
+    * not the raw incidence. Same ¼ order slice as q116 (the gate's
+    * value is the projection + weighted-split arithmetic).
+    *
+    * Scale shape: the projection self-join is co-located on the
+    * customer key (per-customer supplier sets are small — the
+    * fan-out is C(set, 2)); the floor prunes before the PageRank
+    * loop's one-shuffle rounds.
+    */
+  val q150CoSupplyRank: Q = (s, d) => {
+    val cs = Tables
+      .orders(s, d)
+      .filter(col("o_orderkey") % 4 === 0)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    val proj = cs
+      .select(col("c"), col("sk").as("sa"))
+      .join(cs.select(col("c"), col("sk").as("sb")), Seq("c"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 5)
+      .select(col("sa").as("src"), col("sb").as("dst"), col("w"))
+    Graph
+      .integerPageRank(proj, iterations = 2, undirected = true, weightCol = Some("w"))
+      .select(col("node").as("supplier"), col("rank"))
+      .orderBy(col("rank").desc, col("supplier"))
+      .limit(15)
+  }
+
+  /** Oracle: q116's weighted-round chain over the projected edge
+    * list (HUGEINT `(r·w) // Σw`, 2 unrolled rounds).
+    */
+  val q150Sql: String =
+    """WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s FROM orders
+      |            JOIN lineitem ON l_orderkey = o_orderkey WHERE (o_orderkey % 4) = 0),
+      |pw AS (SELECT a.s AS sa, b.s AS sb, COUNT(*) AS w FROM cs a
+      |       JOIN cs b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      |e AS (SELECT sa AS src, sb AS dst, w FROM pw UNION ALL SELECT sb AS src, sa AS dst, w FROM pw),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+      |ws AS (SELECT src AS node, SUM(w) AS wsum FROM e GROUP BY 1),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      |s1 AS (SELECT e.dst AS node, SUM((CAST(r0.r AS HUGEINT) * e.w) // ws.wsum) AS csum
+      |       FROM e JOIN ws ON ws.node = e.src JOIN r0 ON r0.node = e.src GROUP BY 1),
+      |r1 AS (SELECT n.node, CAST(150000 + ((85 * COALESCE(s1.csum, 0)) // 100) AS BIGINT) AS r
+      |       FROM nodes n LEFT JOIN s1 ON s1.node = n.node),
+      |s2 AS (SELECT e.dst AS node, SUM((CAST(r1.r AS HUGEINT) * e.w) // ws.wsum) AS csum
+      |       FROM e JOIN ws ON ws.node = e.src JOIN r1 ON r1.node = e.src GROUP BY 1),
+      |r2 AS (SELECT n.node, CAST(150000 + ((85 * COALESCE(s2.csum, 0)) // 100) AS BIGINT) AS r
+      |       FROM nodes n LEFT JOIN s2 ON s2.node = n.node)
+      |SELECT node AS supplier, r AS rank FROM r2
+      |ORDER BY rank DESC NULLS FIRST, supplier NULLS FIRST LIMIT 15""".stripMargin
+
+  /** Shared CTE prefix: the ¼-slice co-supply projection (q150's
+    * edge build) with the affinity→cost inversion `1000 div w` used
+    * by the weighted-distance gate.
+    */
+  private val coSupplyCostCtes: String =
+    """cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s FROM orders
+      |            JOIN lineitem ON l_orderkey = o_orderkey WHERE (o_orderkey % 4) = 0),
+      |pw AS (SELECT a.s AS sa, b.s AS sb, COUNT(*) AS w FROM cs a
+      |       JOIN cs b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      |pc AS (SELECT sa, sb, 1000 // w AS cost FROM pw),
+      |e AS (SELECT sa AS src, sb AS dst, cost FROM pc UNION ALL SELECT sb, sa, cost FROM pc)""".stripMargin
+
+  /** q151 — weighted trust distance ([[Graph.weightedDistances]]):
+    * min-plus relaxation over the q150 co-supply projection with
+    * affinity INVERTED to integer cost (`1000 div w` — heavily
+    * co-supplying pairs are "close"), 4 rounds from the every-10th
+    * supplier seed set. The Bellman-Ford complement of q148's hop
+    * BFS: a 3-hop chain of strong partners can be closer than one
+    * weak direct edge — distance ≠ adjacency.
+    */
+  val q151TrustDist: Q = (s, d) => {
+    val cs = Tables
+      .orders(s, d)
+      .filter(col("o_orderkey") % 4 === 0)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    val proj = cs
+      .select(col("c"), col("sk").as("sa"))
+      .join(cs.select(col("c"), col("sk").as("sb")), Seq("c"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 5)
+      .select(col("sa"), col("sb"), expr("1000 div w").as("cost"))
+    val seeds = cs.select(col("sk")).distinct().filter(col("sk") % 10 === 0)
+    Graph
+      .weightedDistances(proj, seeds, rounds = 4)
+      .orderBy(col("node"))
+  }
+
+  /** Oracle: 4 unrolled min-plus rounds over the same projected
+    * cost edges (rounds past the fixpoint are no-ops, so a fixed
+    * unroll ≥ the horizon reproduces the operator exactly).
+    */
+  val q151Sql: String = {
+    val rounds = (1 to 4)
+      .map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+      |         SELECT node, dist FROM d${i - 1}
+      |         UNION ALL
+      |         SELECT e.dst AS node, p.dist + e.cost AS dist
+      |         FROM e JOIN d${i - 1} p ON p.node = e.src) u GROUP BY 1)"""
+      }
+      .mkString(",\n      |")
+    s"""WITH $coSupplyCostCtes,
+      |seeds AS (SELECT DISTINCT s AS node FROM cs WHERE (s % 10) = 0),
+      |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+      |$rounds
+      |SELECT node, dist FROM d4 ORDER BY node NULLS FIRST""".stripMargin
+  }
+
+  /** q152 — language-ID evaluation: per-class confusion counts and
+    * exact-integer macro metrics for q26's predictor against the
+    * stored labels — the model-eval primitive every curation
+    * pipeline needs beside the scorers themselves. All arithmetic in
+    * counts and ppm integer division: f1_ppm =
+    * (2·tp·10⁶) div (n_actual + n_pred), denominator ≥ 1 for every
+    * class by construction (a class exists only if predicted or
+    * actual at least once).
+    */
+  val q152LangEval: Q = (s, d) => {
+    import graft.operators.TextAnalysis._
+    val p = Tables
+      .documents(s, d)
+      .select(
+        col("lang").as("actual"),
+        predictLang(
+          cjkCount(col("text")),
+          markerHits(col("text"), markers("de")),
+          markerHits(col("text"), markers("en")),
+          markerHits(col("text"), markers("es")),
+          markerHits(col("text"), markers("fr"))).as("predicted"))
+    val classes = p
+      .select(col("actual").as("lang"))
+      .unionByName(p.select(col("predicted").as("lang")))
+      .distinct()
+    val tp = p
+      .filter(col("actual") === col("predicted"))
+      .groupBy(col("actual").as("lang"))
+      .agg(count(lit(1)).as("tp"))
+    val na = p.groupBy(col("actual").as("lang")).agg(count(lit(1)).as("n_actual"))
+    val np = p.groupBy(col("predicted").as("lang")).agg(count(lit(1)).as("n_pred"))
+    classes
+      .join(broadcast(tp), Seq("lang"), "left")
+      .join(broadcast(na), Seq("lang"), "left")
+      .join(broadcast(np), Seq("lang"), "left")
+      .select(
+        col("lang"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .withColumn("f1_ppm", expr("(2 * tp * 1000000) div (n_actual + n_pred)"))
+      .orderBy(col("lang"))
+  }
+
+  val q152Sql: String =
+    s"""WITH p AS (SELECT lang AS actual,
+      | CASE WHEN cjk > 0 THEN 'zh'
+      |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |      WHEN s_es >= s_fr THEN 'es'
+      |      ELSE 'fr' END AS predicted
+      |FROM (SELECT lang,
+      |  CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS cjk,
+      |  ${markerScoreSql("de")},
+      |  ${markerScoreSql("en")},
+      |  ${markerScoreSql("es")},
+      |  ${markerScoreSql("fr")}
+      | FROM documents)),
+      |classes AS (SELECT actual AS lang FROM p UNION SELECT predicted FROM p),
+      |tp AS (SELECT actual AS lang, COUNT(*) AS tp FROM p WHERE actual = predicted GROUP BY 1),
+      |na AS (SELECT actual AS lang, COUNT(*) AS n_actual FROM p GROUP BY 1),
+      |np AS (SELECT predicted AS lang, COUNT(*) AS n_pred FROM p GROUP BY 1)
+      |SELECT c.lang, COALESCE(tp.tp, 0) AS tp, COALESCE(na.n_actual, 0) AS n_actual,
+      |       COALESCE(np.n_pred, 0) AS n_pred,
+      |       (2 * COALESCE(tp.tp, 0) * 1000000) // (COALESCE(na.n_actual, 0) + COALESCE(np.n_pred, 0)) AS f1_ppm
+      |FROM classes c LEFT JOIN tp ON tp.lang = c.lang
+      |LEFT JOIN na ON na.lang = c.lang LEFT JOIN np ON np.lang = c.lang
+      |ORDER BY c.lang NULLS FIRST""".stripMargin
+
+  private def markerScoreSql(l: String): String = {
+    val inList = graft.operators.TextAnalysis.markers(l)
+      .map(w => s"'$w'").mkString("(", ", ", ")")
+    s"CAST(len(list_filter(string_split(text,' '), t -> t IN $inList)) AS BIGINT) AS s_$l"
+  }
+
   def all: Map[String, Q] = Map(
     "q146_copurchase_lift" -> q146CoPurchase,
     "q147_decay_score" -> q147DecayScore,
     "q148_bfs_dist" -> q148BfsDist,
-    "q149_greedy_cover" -> q149GreedyCover)
+    "q149_greedy_cover" -> q149GreedyCover,
+    "q150_cosupply_rank" -> q150CoSupplyRank,
+    "q151_trust_dist" -> q151TrustDist,
+    "q152_lang_eval" -> q152LangEval)
 
   def oracles: Map[String, String] = Map(
     "q146_copurchase_lift" -> q146Sql,
     "q147_decay_score" -> q147Sql,
     "q148_bfs_dist" -> q148Sql,
-    "q149_greedy_cover" -> q149Sql)
+    "q149_greedy_cover" -> q149Sql,
+    "q150_cosupply_rank" -> q150Sql,
+    "q151_trust_dist" -> q151Sql,
+    "q152_lang_eval" -> q152Sql)
 }

@@ -350,6 +350,36 @@ class GraphSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("weightedDistances: cheap long path beats expensive direct edge; min-cost parallel edges") {
+    import spark.implicits._
+    // 1-4 direct cost 10; 1-2-3-4 chain cost 2+2+2=6; a parallel 1-4
+    // edge at 50 must lose to the 10.
+    val e = Seq((1L, 4L, 10L), (1L, 4L, 50L), (1L, 2L, 2L), (2L, 3L, 2L), (3L, 4L, 2L))
+      .toDF("a", "b", "cost")
+    val seeds = Seq(1L).toDF("n")
+    assert(dists(Graph.weightedDistances(e, seeds, rounds = 4)) ==
+      Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 6L))
+    // one round only: relaxation hasn't found the chain yet
+    assert(dists(Graph.weightedDistances(e, seeds, rounds = 1)) ==
+      Map(1L -> 0L, 2L -> 2L, 4L -> 10L))
+  }
+
+  test("weightedDistances: multi-source min, isolated seed, mirroring, invariance, release") {
+    import spark.implicits._
+    val e = Seq((2L, 1L, 3L), (3L, 2L, 3L), (3L, 4L, 1L), (4L, 4L, 9L)).toDF("a", "b", "c")
+    val seeds = Seq(1L, 4L, 77L).toDF("n")
+    val expected = Map(1L -> 0L, 4L -> 0L, 77L -> 0L, 2L -> 3L, 3L -> 1L)
+    assert(dists(Graph.weightedDistances(e.repartition(1), seeds, rounds = 3)) == expected)
+    assert(dists(Graph.weightedDistances(e.repartition(7), seeds.repartition(2), rounds = 3)) == expected)
+    intercept[IllegalArgumentException](Graph.weightedDistances(e, seeds, rounds = 0))
+    GraftSession.releaseAllCaches(spark)
+    val (out, release) = Graph.weightedDistancesReleasable(e, seeds, rounds = 2)
+    out.count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("bfsDistances matches a driver-side BFS on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242)
