@@ -465,15 +465,28 @@ object Graph {
     val spark = edges.sparkSession
     val srcName = edges.columns(0)
     val dstName = edges.columns(1)
-    val canon = edges
-      .select(
-        least(col(srcName).cast("long"), col(dstName).cast("long")).as("src"),
-        greatest(col(srcName).cast("long"), col(dstName).cast("long")).as("dst"))
+    // TWO leaf materializations, caller plan first: canonicalizing
+    // lazily over the caller's plan lets Catalyst push the cheap
+    // least/greatest/self-loop conjuncts INTO that plan and reorder
+    // them with its filters — measured on the prefiltered near-dup
+    // pair build: the decimal-cosine conjunct ended up evaluated
+    // before the cheap double prefilter, re-paying the exact fold for
+    // all 12.5M candidate pairs (32 s vs 1 s, identical rows). A raw
+    // leaf freezes the caller's own optimized shape; the canonical
+    // distinct then runs over plain rows and cannot leak conjuncts.
+    val rawPlan = edges
+      .select(col(srcName).cast("long").as("src"), col(dstName).cast("long").as("dst"))
+    val rawRdd = rawPlan.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canonPlan = spark.createDataFrame(rawRdd, rawPlan.schema)
+      .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .persist()
-    if (canon.count() == 0L) {
-      canon.unpersist()
+    val canonRdd = canonPlan.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canon = spark.createDataFrame(canonRdd, canonPlan.schema)
+    val nCanon = canon.count()
+    rawRdd.unpersist() // canonical leaf is built; the raw rows are dead weight
+    if (nCanon == 0L) {
+      canonRdd.unpersist()
       return (canon.select(col("src").as("node"), lit(0L).as("deg")).limit(0), () => ())
     }
     val e = canon.unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
@@ -525,12 +538,12 @@ object Graph {
       aliveCount = nextCount
     }
     if (!converged) {
-      eRdd.unpersist(); canon.unpersist()
+      eRdd.unpersist(); canonRdd.unpersist()
       throw new IllegalStateException(
         s"kCore(k=$k) did not converge in $maxRounds rounds ($aliveCount survivors) — raise maxRounds")
     }
     val lastERdd = eRdd
-    (alive, () => { lastERdd.unpersist(); canon.unpersist(); () })
+    (alive, () => { lastERdd.unpersist(); canonRdd.unpersist(); () })
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
@@ -682,20 +695,13 @@ object Graph {
     val spark = edges.sparkSession
     val srcName = edges.columns(0)
     val dstName = edges.columns(1)
-    val canon = edges
-      .select(
-        least(col(srcName).cast("long"), col(dstName).cast("long")).as("src"),
-        greatest(col(srcName).cast("long"), col(dstName).cast("long")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .persist()
-    // Materialize the cache in full BEFORE the loop: both union
-    // branches of the mirrored edge frame (and every round after)
-    // read canon, and concurrent first-touch stages RACE-recompute an
-    // expensive upstream (a near-dup pair build re-ran ~6x, 35 s vs
-    // 5 s measured at sf0.1) — the count pins one evaluation.
-    canon.count()
-    val e = canon.unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
+    // RDD-leaf materialization, NOT DataFrame.persist: caching the
+    // canonicalized plan re-optimizes it under the cache's own
+    // compilation, which loses the caller plan's cheap-filter-first
+    // ordering (measured 33.7 s vs 1.0 s on the prefiltered near-dup
+    // pair build — the decimal fold re-ran for all 12.5M candidates).
+    // The leaf executes through the session planner once, pins one
+    // evaluation (no first-touch race), and every round reads rows.
     val leaves = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
     def materialize(df: DataFrame): DataFrame = {
@@ -703,6 +709,22 @@ object Graph {
       leaves += rdd
       spark.createDataFrame(rdd, df.schema)
     }
+    // Raw leaf FIRST (freeze the caller's optimized plan), then the
+    // canonical distinct over plain rows — see kCoreReleasable: a lazy
+    // canonicalization leaks its cheap conjuncts into the caller plan
+    // where reordering can re-run an expensive verify for every
+    // candidate pair (32 s vs 1 s measured).
+    val rawPlan = edges
+      .select(col(srcName).cast("long").as("src"), col(dstName).cast("long").as("dst"))
+    val rawRdd = rawPlan.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canon = materialize(
+      spark.createDataFrame(rawRdd, rawPlan.schema)
+        .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+    canon.count()
+    rawRdd.unpersist()
+    val e = canon.unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
     val seedCol = seeds.columns(0)
     var frontier = materialize(
       seeds.select(col(seedCol).cast("long").as("node")).distinct().withColumn("dist", lit(0L)))
@@ -723,7 +745,7 @@ object Graph {
       frontier = next
     }
     val out = rounds.reduce(_ unionByName _)
-    (out, () => { leaves.foreach(_.unpersist()); canon.unpersist(); () })
+    (out, () => { leaves.foreach(_.unpersist()); () })
   }
 
   /** Weighted shortest-path distance within `rounds` hops — the
@@ -760,18 +782,10 @@ object Graph {
       s"weightedDistances: rounds in [1,16] (one relaxation action each); got $rounds")
     val spark = edges.sparkSession
     val Array(srcName, dstName, wName) = edges.columns.take(3)
-    val canon = edges
-      .select(
-        least(col(srcName).cast("long"), col(dstName).cast("long")).as("src"),
-        greatest(col(srcName).cast("long"), col(dstName).cast("long")).as("dst"),
-        col(wName).cast("long").as("w"))
-      .filter(col("src") =!= col("dst"))
-      .groupBy(col("src"), col("dst"))
-      .agg(min(col("w")).as("w"))
-      .persist()
-    canon.count() // pin one evaluation before the mirrored fan-out (see bfsDistances)
-    val e = canon.unionByName(
-      canon.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    // RDD-leaf materialization of the canonical edge list — same
+    // rationale as bfsDistances (a DataFrame cache would re-optimize
+    // the caller plan under the cache's compilation and can lose its
+    // cheap-filter-first ordering).
     val leaves = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
     def materialize(df: DataFrame): DataFrame = {
@@ -779,6 +793,23 @@ object Graph {
       leaves += rdd
       spark.createDataFrame(rdd, df.schema)
     }
+    // Raw leaf first — same conjunct-leak guard as kCore/bfsDistances.
+    val rawPlan = edges
+      .select(
+        col(srcName).cast("long").as("src"),
+        col(dstName).cast("long").as("dst"),
+        col(wName).cast("long").as("w"))
+    val rawRdd = rawPlan.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canon = materialize(
+      spark.createDataFrame(rawRdd, rawPlan.schema)
+        .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"), col("w"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(min(col("w")).as("w")))
+    canon.count()
+    rawRdd.unpersist()
+    val e = canon.unionByName(
+      canon.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     val seedCol = seeds.columns(0)
     var dist = materialize(
       seeds.select(col(seedCol).cast("long").as("node")).distinct().withColumn("dist", lit(0L)))
@@ -791,6 +822,6 @@ object Graph {
         dist.unionByName(relaxed).groupBy(col("node")).agg(min(col("dist")).as("dist")))
       dist.count()
     }
-    (dist, () => { leaves.foreach(_.unpersist()); canon.unpersist(); () })
+    (dist, () => { leaves.foreach(_.unpersist()); () })
   }
 }
