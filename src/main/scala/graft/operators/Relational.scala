@@ -560,6 +560,117 @@ object Relational {
         ps.indices.tail.map(i => max(when(col("__qi") === i, col("__v"))).as(s"q$i")): _*)
   }
 
+  /** WEIGHTED grouped discrete quantiles — the
+    * [[groupedDiscreteQuantiles]] order-statistics machinery with row
+    * COUNTS replaced by integer WEIGHT mass: the picked value is the
+    * smallest v whose cumulative weight reaches ⌈W·p⌉ ("the median
+    * document length by TOKEN mass", not by document count — the
+    * statistic mixture/curriculum planning actually needs, since one
+    * 100k-token doc outweighs a thousand stubs). Same discrete,
+    * interpolation-free, tie-immune pick (threshold-crossing rows of
+    * equal value share that value in any tie order), same two passes
+    * over one cached range-partitioned sort, same O(P·G) driver
+    * bookkeeping and guards. Weights must be positive longs — a zero
+    * weight would make the pick depend on tie order at the threshold,
+    * so it is rejected in-task.
+    */
+  def groupedWeightedQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      weightCol: String,
+      ps: Seq[Double],
+      numPartitions: Int = 64,
+      maxGroups: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0), "quantiles must be in (0, 1]")
+    val spark = df.sparkSession
+    val slim = df.select(col(groupCol), col(valueCol), col(weightCol).cast("long"))
+    val sorted = slim
+      .repartitionByRange(numPartitions, col(groupCol), col(valueCol))
+      .sortWithinPartitions(groupCol, valueCol)
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sumsRdd = sorted
+      .mapPartitionsWithIndex { case (i, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        it.foreach { r =>
+          require(
+            !r.isNullAt(1),
+            s"groupedWeightedQuantiles: null in value column '$valueCol' — " +
+              "filter or impute nulls first (null rank order differs across engines)")
+          require(
+            !r.isNullAt(2) && r.getLong(2) > 0L,
+            s"groupedWeightedQuantiles: weight column '$weightCol' must be a positive long")
+          val g = r.get(0); m.update(g, m.getOrElse(g, 0L) + r.getLong(2))
+        }
+        m.iterator.map { case (g, w) => (i, g, w) }.toList.iterator
+      }
+    val collectedTuples = sumsRdd.count()
+    require(
+      collectedTuples <= maxGroups * numPartitions.toLong,
+      s"groupedWeightedQuantiles: $collectedTuples (partition, group) weight tuples exceeds the " +
+        s"O(partitions x maxGroups) = ${maxGroups * numPartitions.toLong} driver budget — " +
+        "use a plain groupBy aggregation for high-cardinality keys")
+    val sums: Array[(Int, Any, Long)] = sumsRdd.collect()
+    val observedGroups = sums.iterator.map(_._2).toSet.size
+    require(
+      observedGroups <= maxGroups,
+      s"groupedWeightedQuantiles: $observedGroups distinct groups exceeds maxGroups=$maxGroups — " +
+        "use a plain groupBy aggregation for high-cardinality keys (driver bookkeeping is O(partitions x groups))")
+    val totals: Map[Any, Long] =
+      sums.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
+    // Weight-mass thresholds, one per quantile: the pick is the row
+    // whose cumulative weight FIRST reaches the threshold.
+    val targets: Map[Any, Seq[(Long, Int)]] = totals.map { case (g, w) =>
+      g -> ps.zipWithIndex.map { case (p, qi) =>
+        (math.max(1L, math.ceil(w * p).toLong), qi)
+      }
+    }
+    val offsets: Map[(Int, Any), Long] = {
+      val m = scala.collection.mutable.HashMap.empty[(Int, Any), Long]
+      val running = scala.collection.mutable.HashMap.empty[Any, Long]
+      sums.sortBy(_._1).foreach { case (pid, g, w) =>
+        m((pid, g)) = running.getOrElse(g, 0L)
+        running(g) = running.getOrElse(g, 0L) + w
+      }
+      m.toMap
+    }
+    val targetsB = spark.sparkContext.broadcast(targets)
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+    val picked = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var cur: Any = null
+      var seen = false
+      var cum = 0L
+      var curTargets: Seq[(Long, Int)] = Nil
+      it.flatMap { r =>
+        val g = r.get(0)
+        if (!seen || g != cur) {
+          cur = g; seen = true
+          cum = offsetsB.value((i, g))
+          curTargets = targetsB.value(g)
+        }
+        val before = cum
+        cum += r.getLong(2)
+        curTargets.collect {
+          case (t, qi) if before < t && t <= cum => Row(g, qi, r.get(1))
+        }
+      }
+    }
+    val schema = StructType(
+      Seq(
+        slim.schema.fields(0),
+        StructField("__qi", IntegerType, nullable = false),
+        slim.schema.fields(1).copy(name = "__v")))
+    spark
+      .createDataFrame(picked, schema)
+      .groupBy(col(groupCol))
+      .agg(
+        max(when(col("__qi") === 0, col("__v"))).as("q0"),
+        ps.indices.tail.map(i => max(when(col("__qi") === i, col("__v"))).as(s"q$i")): _*)
+  }
+
   /** Guard for compute-heavy per-row passes (md5 signatures, decimal
     * dot products) whose input may arrive in FEWER splits than the
     * cluster has cores — a single small parquet file is one row group,

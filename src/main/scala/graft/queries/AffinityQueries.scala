@@ -385,6 +385,105 @@ object AffinityQueries {
     s"CAST(len(list_filter(string_split(text,' '), t -> t IN $inList)) AS BIGINT) AS s_$l"
   }
 
+  /** q153 — token-mass-weighted length quantiles per language
+    * ([[graft.operators.Relational.groupedWeightedQuantiles]]):
+    * median and p90 of `n_chars` weighted by whitespace TOKEN COUNT —
+    * "the length a typical TOKEN lives at", not "the typical
+    * document" (one 100k-token doc outweighs a thousand stubs), the
+    * statistic q144's count-based deciles can't express. Same
+    * range-partitioned order-statistics plan, weight sums replacing
+    * row counts; P·G driver bookkeeping only.
+    */
+  val q153WeightedQuantiles: Q = (s, d) => {
+    import graft.operators.TextAnalysis.wsTokenCount
+    val t = Tables
+      .documents(s, d)
+      .select(
+        col("lang"),
+        col("n_chars").cast("long").as("v"),
+        wsTokenCount(col("text")).as("w"))
+    graft.operators.Relational
+      .groupedWeightedQuantiles(t, "lang", "v", "w", Seq(0.5, 0.9))
+      .orderBy(col("lang"))
+  }
+
+  val q153Sql: String =
+    """WITH t AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS w FROM documents),
+      |c AS (SELECT lang, v,
+      |        SUM(w) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        SUM(w) OVER (PARTITION BY lang) AS tw FROM t)
+      |SELECT lang,
+      |  MIN(CASE WHEN cum >= CEIL(tw * 0.5) THEN v END) AS q0,
+      |  MIN(CASE WHEN cum >= CEIL(tw * 0.9) THEN v END) AS q1
+      |FROM c GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+
+  /** q154 — predictor reliability curve: q26's language-ID margin
+    * (top marker score − runner-up, clamped to 5; CJK hits get their
+    * own bucket 6) against empirical accuracy per bucket — the
+    * calibration diagnostic that tells a curation pipeline WHICH
+    * confidence band of an heuristic classifier to trust, q152's
+    * per-class complement. Counts and ppm integer division only; the
+    * runner-up comes from the max-min lattice identity
+    * `max2 = max(min(max(a,b),max(c,d)), max(min(a,b),min(c,d)))`,
+    * exact in both engines.
+    */
+  val q154Calibration: Q = (s, d) => {
+    import graft.operators.TextAnalysis._
+    val scored = Tables
+      .documents(s, d)
+      .select(
+        col("lang"),
+        cjkCount(col("text")).as("cjk"),
+        markerHits(col("text"), markers("de")).as("s_de"),
+        markerHits(col("text"), markers("en")).as("s_en"),
+        markerHits(col("text"), markers("es")).as("s_es"),
+        markerHits(col("text"), markers("fr")).as("s_fr"))
+      .withColumn(
+        "predicted",
+        predictLang(col("cjk"), col("s_de"), col("s_en"), col("s_es"), col("s_fr")))
+      .withColumn("top1", greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr")))
+      .withColumn(
+        "top2",
+        greatest(
+          least(greatest(col("s_de"), col("s_en")), greatest(col("s_es"), col("s_fr"))),
+          greatest(least(col("s_de"), col("s_en")), least(col("s_es"), col("s_fr")))))
+      .withColumn(
+        "bucket",
+        when(col("cjk") > 0, lit(6L)).otherwise(least(col("top1") - col("top2"), lit(5L))))
+      .withColumn("ok", when(col("predicted") === col("lang"), 1L).otherwise(0L))
+    scored
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("n_correct"))
+      .withColumn("acc_ppm", expr("(n_correct * 1000000) div n"))
+      .orderBy(col("bucket"))
+  }
+
+  val q154Sql: String =
+    s"""WITH s AS (SELECT lang,
+      |  CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS cjk,
+      |  ${markerScoreSql("de")},
+      |  ${markerScoreSql("en")},
+      |  ${markerScoreSql("es")},
+      |  ${markerScoreSql("fr")}
+      | FROM documents),
+      |m AS (SELECT lang, cjk,
+      |  CASE WHEN cjk > 0 THEN 'zh'
+      |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |       WHEN s_es >= s_fr THEN 'es'
+      |       ELSE 'fr' END AS predicted,
+      |  GREATEST(s_de, s_en, s_es, s_fr) AS top1,
+      |  GREATEST(LEAST(GREATEST(s_de, s_en), GREATEST(s_es, s_fr)),
+      |           GREATEST(LEAST(s_de, s_en), LEAST(s_es, s_fr))) AS top2
+      | FROM s),
+      |b AS (SELECT CASE WHEN cjk > 0 THEN CAST(6 AS BIGINT)
+      |                  ELSE LEAST(top1 - top2, 5) END AS bucket,
+      |             CASE WHEN predicted = lang THEN 1 ELSE 0 END AS ok FROM m)
+      |SELECT bucket, COUNT(*) AS n, SUM(ok) AS n_correct,
+      |       (SUM(ok) * 1000000) // COUNT(*) AS acc_ppm
+      |FROM b GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin
+
   def all: Map[String, Q] = Map(
     "q146_copurchase_lift" -> q146CoPurchase,
     "q147_decay_score" -> q147DecayScore,
@@ -392,7 +491,9 @@ object AffinityQueries {
     "q149_greedy_cover" -> q149GreedyCover,
     "q150_cosupply_rank" -> q150CoSupplyRank,
     "q151_trust_dist" -> q151TrustDist,
-    "q152_lang_eval" -> q152LangEval)
+    "q152_lang_eval" -> q152LangEval,
+    "q153_weighted_quantiles" -> q153WeightedQuantiles,
+    "q154_calibration" -> q154Calibration)
 
   def oracles: Map[String, String] = Map(
     "q146_copurchase_lift" -> q146Sql,
@@ -401,5 +502,7 @@ object AffinityQueries {
     "q149_greedy_cover" -> q149Sql,
     "q150_cosupply_rank" -> q150Sql,
     "q151_trust_dist" -> q151Sql,
-    "q152_lang_eval" -> q152Sql)
+    "q152_lang_eval" -> q152Sql,
+    "q153_weighted_quantiles" -> q153Sql,
+    "q154_calibration" -> q154Sql)
 }

@@ -148,6 +148,58 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("groupedWeightedQuantiles: hand case, unit weights ≡ unweighted, driver twin, guards") {
+    import spark.implicits._
+    // hand case: g=a values (1,w=1),(2,w=1),(3,w=8) → W=10, median
+    // threshold ceil(5)=5 lands in the w=8 run → q0=3; p90 → 3 too.
+    // g=b: (5,w=3),(7,w=1) → W=4, ceil(2)=2 → 5; p90 ceil(3.6)=4 → 7.
+    val hand = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 8L), ("b", 5L, 3L), ("b", 7L, 1L))
+      .toDF("g", "v", "w")
+    val got = Relational
+      .groupedWeightedQuantiles(hand, "g", "v", "w", Seq(0.5, 0.9), numPartitions = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(("a", 3L, 3L), ("b", 5L, 7L)))
+    // unit weights reduce to the unweighted operator
+    val rnd = new scala.util.Random(99)
+    val df = (1 to 400).map(_ => (s"g${rnd.nextInt(3)}", rnd.nextInt(50).toLong)).toDF("g", "v")
+    val unw = Relational
+      .groupedDiscreteQuantiles(df, "g", "v", Seq(0.25, 0.5, 0.9), numPartitions = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val unitW = Relational
+      .groupedWeightedQuantiles(
+        df.withColumn("w", lit(1L)), "g", "v", "w", Seq(0.25, 0.5, 0.9), numPartitions = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(unitW == unw)
+    // weighted driver twin on random weights, invariant under repartitioning
+    val wdf = (1 to 300).map(_ => (s"g${rnd.nextInt(2)}", rnd.nextInt(40).toLong, 1L + rnd.nextInt(9)))
+      .toDF("g", "v", "w")
+    val rows = wdf.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).map { case (g, rs) =>
+      val sortedRs = rs.sortBy(_._2)
+      val tw = rs.map(_._3).sum
+      def pick(p: Double): Long = {
+        val t = math.max(1L, math.ceil(tw * p).toLong)
+        var cum = 0L
+        sortedRs.find { r => cum += r._3; cum >= t }.get._2
+      }
+      (g, pick(0.5), pick(0.9))
+    }.toSet
+    Seq(1, 6).foreach { parts =>
+      val w = Relational
+        .groupedWeightedQuantiles(wdf.repartition(parts), "g", "v", "w", Seq(0.5, 0.9), numPartitions = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(w == expect, s"repartition($parts)")
+    }
+    // zero/negative weight rejected
+    val bad = Seq(("a", 1L, 0L)).toDF("g", "v", "w")
+    val e = intercept[Exception] {
+      Relational.groupedWeightedQuantiles(bad, "g", "v", "w", Seq(0.5), numPartitions = 2).collect()
+    }
+    assert(e.getMessage.contains("positive"), e.getMessage)
+  }
+
   test("groupedDiscreteQuantiles: maxGroups guard trips on high-cardinality keys") {
     import spark.implicits._
     // 50 distinct groups against maxGroups=10: the operator's driver
