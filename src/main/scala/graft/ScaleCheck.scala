@@ -152,6 +152,33 @@ object ScaleCheck {
             .select(col("vec_a"), col("vec_b")),
           emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")),
           maxHops = 6)),
+      // q151 shape: weighted min-plus distances over the co-supply
+      // projection; --docs bounds the order key so the incidence (and
+      // the projected graph) grows.
+      "wdist" -> (() => {
+        val ords = Tables.orders(spark, sfDir)
+        val bounded = if (nDocs > 0) ords.filter(col("o_orderkey") < nDocs) else ords
+        val cs = bounded
+          .filter(col("o_orderkey") % 4 === 0)
+          .join(Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+          .distinct()
+        val proj = cs
+          .select(col("c"), col("sk").as("sa"))
+          .join(cs.select(col("c"), col("sk").as("sb")), Seq("c"))
+          .filter(col("sa") < col("sb"))
+          .groupBy(col("sa"), col("sb"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 5)
+          .select(col("sa"), col("sb"), expr("1000 div w").as("cost"))
+        graft.operators.Graph.weightedDistances(
+          proj, cs.select(col("sk")).distinct().filter(col("sk") % 10 === 0), rounds = 4)
+      }),
+      // q149 shape: 5 greedy coverage rounds; corpus (= item universe
+      // AND doc candidates) grows with --docs.
+      "cover" -> (() =>
+        graft.operators.Coverage.greedyMaxCoverage(
+          docs.select(col("doc_id"), explode(split(col("text"), " ")).as("item")), 5)),
       // q140 shape over the trading graph; --docs bounds the ORDER key
       // here so the edge list (and with it the node universe) grows.
       "hits" -> (() => {
