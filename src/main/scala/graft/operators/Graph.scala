@@ -281,16 +281,16 @@ object Graph {
     val spark = edges.sparkSession
     val srcName = edges.columns(0)
     val dstName = edges.columns(1)
-    val canon = edges
-      .select(
-        least(col(srcName).cast("long"), col(dstName).cast("long")).as("src"),
-        greatest(col(srcName).cast("long"), col(dstName).cast("long")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .persist()
+    // Raw leaf first, then canonicalize over plain rows — the
+    // conjunct-leak guard shared with kCore/bfsDistances: a lazy
+    // canonicalization lets Catalyst push its cheap conjuncts into
+    // the caller's pair plan and reorder them with the caller's own
+    // filters (measured re-running an exact decimal verify for every
+    // candidate pair, 32 s vs 1 s).
+    val (canon, canonRelease) = canonPairLeaf(spark, edges, srcName, dstName)
     val canonRows = canon.count()
     if (canonRows == 0L) {
-      canon.unpersist()
+      canonRelease()
       return (
         canon.select(col("src").as("node"), lit(null).cast("long").as("label")),
         () => ())
@@ -346,7 +346,7 @@ object Graph {
     }
     val lastRdd = labelsRdd
     val release = { () =>
-      lastRdd.foreach(_.unpersist()); nodes.unpersist(); seeds.unpersist(); canon.unpersist(); ()
+      lastRdd.foreach(_.unpersist()); nodes.unpersist(); seeds.unpersist(); canonRelease(); ()
     }
     (labels, release)
   }
@@ -375,18 +375,15 @@ object Graph {
 
   /** [[triangleCounts]] plus the cache release handle. */
   def triangleCountsReleasable(edges: DataFrame): (DataFrame, () => Unit) = {
+    val spark = edges.sparkSession
     val srcName = edges.columns(0)
     val dstName = edges.columns(1)
-    val canon = edges
-      .select(
-        least(col(srcName).cast("long"), col(dstName).cast("long")).as("a"),
-        greatest(col(srcName).cast("long"), col(dstName).cast("long")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .persist()
+    // Same raw-leaf-first conjunct-leak guard as labelPropagation.
+    val (canon0, canonRelease) = canonPairLeaf(spark, edges, srcName, dstName)
+    val canon = canon0.select(col("src").as("a"), col("dst").as("b"))
     val canonRows = canon.count()
     if (canonRows == 0L) {
-      canon.unpersist()
+      canonRelease()
       return (canon.select(col("a").as("node"), col("a").as("triangles")), () => ())
     }
     val deg = canon.select(col("a").as("node"))
@@ -426,7 +423,7 @@ object Graph {
     val out = deg
       .join(perNode, Seq("node"), "left")
       .select(col("node"), coalesce(col("t"), lit(0L)).as("triangles"))
-    val release = { () => oriented.unpersist(); canon.unpersist(); () }
+    val release = { () => oriented.unpersist(); canonRelease(); () }
     (out, release)
   }
 
@@ -823,5 +820,34 @@ object Graph {
       dist.count()
     }
     (dist, () => { leaves.foreach(_.unpersist()); () })
+  }
+
+  /** Canonicalized-undirected-pair RDD leaf: freezes the CALLER's
+    * optimized edge plan into a raw leaf first, then dedups the
+    * (min, max) pair over plain rows. Canonicalizing lazily instead
+    * lets Catalyst push the least/greatest/self-loop conjuncts into
+    * the caller plan and reorder them with its filters — measured on
+    * the prefiltered near-dup pair build: the exact decimal-cosine
+    * conjunct ran before the cheap double prefilter, for all 12.5M
+    * candidates (32 s vs 1 s, identical rows). Returns the canonical
+    * (src, dst) leaf plus a release closure.
+    */
+  private def canonPairLeaf(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame,
+      srcName: String,
+      dstName: String): (DataFrame, () => Unit) = {
+    val rawPlan = edges
+      .select(col(srcName).cast("long").as("src"), col(dstName).cast("long").as("dst"))
+    val rawRdd = rawPlan.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canonPlan = spark.createDataFrame(rawRdd, rawPlan.schema)
+      .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val canonRdd = canonPlan.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canon = spark.createDataFrame(canonRdd, canonPlan.schema)
+    canon.count()
+    rawRdd.unpersist()
+    (canon, () => { canonRdd.unpersist(); () })
   }
 }
