@@ -484,6 +484,50 @@ object AffinityQueries {
       |       (SUM(ok) * 1000000) // COUNT(*) AS acc_ppm
       |FROM b GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin
 
+  /** q155 — first-order event-type transition matrix: per-user
+    * next-event pairs (LEAD over the user timeline — user_id is a
+    * HIGH-cardinality partition key, so the window is shuffle-safe at
+    * any scale, unlike a corpus-grain window) aggregated to Markov
+    * transition counts with exact ppm row-normalized probabilities —
+    * the sequence-modeling prior behind next-action prediction and
+    * funnel simulation, q138's matrix-form complement. Tie order
+    * within a timestamp pins to event_id, so the chain is
+    * deterministic.
+    */
+  val q155Transitions: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val t = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotals = t
+      .groupBy(col("from_type"))
+      .agg(sum(col("n")).as("row_n"))
+    t.join(broadcast(rowTotals), Seq("from_type"))
+      .select(
+        col("from_type"),
+        col("to_type"),
+        col("n"),
+        expr("(n * 1000000) div row_n").as("p_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q155Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+      |s AS (SELECT user_id, event_type,
+      |        LEAD(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type
+      |      FROM e),
+      |t AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      |      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT from_type, SUM(n) AS row_n FROM t GROUP BY 1)
+      |SELECT t.from_type, t.to_type, t.n, (t.n * 1000000) // r.row_n AS p_ppm
+      |FROM t JOIN r ON r.from_type = t.from_type
+      |ORDER BY t.from_type NULLS FIRST, t.to_type NULLS FIRST""".stripMargin
+
   def all: Map[String, Q] = Map(
     "q146_copurchase_lift" -> q146CoPurchase,
     "q147_decay_score" -> q147DecayScore,
@@ -493,7 +537,8 @@ object AffinityQueries {
     "q151_trust_dist" -> q151TrustDist,
     "q152_lang_eval" -> q152LangEval,
     "q153_weighted_quantiles" -> q153WeightedQuantiles,
-    "q154_calibration" -> q154Calibration)
+    "q154_calibration" -> q154Calibration,
+    "q155_event_transitions" -> q155Transitions)
 
   def oracles: Map[String, String] = Map(
     "q146_copurchase_lift" -> q146Sql,
@@ -504,5 +549,6 @@ object AffinityQueries {
     "q151_trust_dist" -> q151Sql,
     "q152_lang_eval" -> q152Sql,
     "q153_weighted_quantiles" -> q153Sql,
-    "q154_calibration" -> q154Sql)
+    "q154_calibration" -> q154Sql,
+    "q155_event_transitions" -> q155Sql)
 }

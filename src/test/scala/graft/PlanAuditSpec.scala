@@ -322,4 +322,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(2000))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("q150: co-supply projection is an equi-join on the customer key — no cartesian, no Window") {
+    val p = plan("q150_cosupply_rank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
 }
