@@ -832,6 +832,81 @@ object Graph {
     * candidates (32 s vs 1 s, identical rows). Returns the canonical
     * (src, dst) leaf plus a release closure.
     */
+  /** Earliest-arrival reachability over a TEMPORAL directed edge list
+    * — the time-respecting generalization of [[bfsDistances]] /
+    * [[weightedDistances]]: an edge (src, dst, dep, arr) can carry
+    * influence only if its departure is no earlier than influence
+    * ARRIVED at src, so paths must be time-increasing. The standard
+    * temporal-graph reachability model ("when could contamination /
+    * influence first have reached each node"), which static distance
+    * operators cannot express: a short path that departs too early
+    * carries nothing.
+    *
+    * `edges`: 4 columns (src, dst, dep, arr), dep < arr enforced
+    * in-operator; directed — NO mirroring (time-respecting edges are
+    * inherently one-way). `seeds` start with arrival 0 (times are
+    * positive day/epoch integers). Relaxation recurrence, `rounds`
+    * fixed (matching a SQL unroll; rounds past the fixpoint are
+    * no-ops): arr'(v) = min(arr(v), min over e=(u,v,dep,arr) with
+    * dep ≥ arr(u) of e.arr). Returns (node, arrival).
+    *
+    * Scale shape: identical to [[weightedDistances]] — per round ONE
+    * action (edge equi-join on src against the node-sized arrival
+    * frame, a non-equi departure filter riding the join, then a
+    * map-side-combined MIN folded with the previous frame); the edge
+    * list is leaf-materialized once through the conjunct-leak guard.
+    * O(rounds·|E|) join work.
+    */
+  def earliestArrival(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    earliestArrivalReleasable(edges, seeds, rounds)._1
+
+  /** [[earliestArrival]] plus the cache release handle. */
+  def earliestArrivalReleasable(
+      edges: DataFrame,
+      seeds: DataFrame,
+      rounds: Int): (DataFrame, () => Unit) = {
+    require(rounds >= 1 && rounds <= 16,
+      s"earliestArrival: rounds in [1,16] (one relaxation action each); got $rounds")
+    val spark = edges.sparkSession
+    val Array(srcName, dstName, depName, arrName) = edges.columns.take(4)
+    val leaves = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    def materialize(df: DataFrame): DataFrame = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      leaves += rdd
+      spark.createDataFrame(rdd, df.schema)
+    }
+    // Raw leaf first (conjunct-leak guard), then dedup + the dep<arr
+    // contract filter over plain rows.
+    val rawPlan = edges.select(
+      col(srcName).cast("long").as("src"),
+      col(dstName).cast("long").as("dst"),
+      col(depName).cast("long").as("dep"),
+      col(arrName).cast("long").as("arr"))
+    val rawRdd = rawPlan.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = materialize(
+      spark.createDataFrame(rawRdd, rawPlan.schema)
+        .filter(col("src") =!= col("dst") && col("dep") < col("arr"))
+        .distinct())
+    e.count()
+    rawRdd.unpersist()
+    val seedCol = seeds.columns(0)
+    var at = materialize(
+      seeds.select(col(seedCol).cast("long").as("node")).distinct().withColumn("at", lit(0L)))
+    at.count()
+    for (_ <- 1 to rounds) {
+      val relaxed = e
+        .join(at.select(col("node").as("src"), col("at")), Seq("src"))
+        .filter(col("dep") >= col("at"))
+        .select(col("dst").as("node"), col("arr").as("at"))
+      at = materialize(
+        at.unionByName(relaxed).groupBy(col("node")).agg(min(col("at")).as("at")))
+      at.count()
+    }
+    val out = at.select(col("node"), col("at").as("arrival"))
+    (out, () => { leaves.foreach(_.unpersist()); () })
+  }
+
   private def canonPairLeaf(
       spark: org.apache.spark.sql.SparkSession,
       edges: DataFrame,

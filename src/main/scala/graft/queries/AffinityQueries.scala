@@ -528,7 +528,65 @@ object AffinityQueries {
       |FROM t JOIN r ON r.from_type = t.from_type
       |ORDER BY t.from_type NULLS FIRST, t.to_type NULLS FIRST""".stripMargin
 
+  /** q156 — time-respecting influence propagation
+    * ([[graft.operators.Graph.earliestArrival]]): the temporal
+    * co-supply projection (s1 → s2 at (dep, arr) when a shared
+    * customer ordered from s1 on day `dep` and later from s2 on day
+    * `arr`) relaxed 3 rounds from the every-10th-supplier seed set —
+    * the earliest DAY influence/contamination could first have
+    * reached each supplier through time-increasing order chains. The
+    * temporal semantics q148/q151's static distances cannot express:
+    * a path that departs before influence arrives carries nothing.
+    * Seeds sit at arrival 0; all real arrivals are epoch days.
+    */
+  val q156TemporalReach: Q = (s, d) => {
+    val cs = Tables
+      .orders(s, d)
+      .filter(col("o_orderkey") % 4 === 0)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("o_custkey").as("c"),
+        col("l_suppkey").as("sk"),
+        datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))).cast("long").as("day"))
+      .distinct()
+    val te = cs
+      .select(col("c"), col("sk").as("src"), col("day").as("dep"))
+      .join(cs.select(col("c"), col("sk").as("dst"), col("day").as("arr")), Seq("c"))
+      .filter(col("arr") > col("dep") && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("dep"), col("arr"))
+    val seeds = cs.select(col("sk")).distinct().filter(col("sk") % 10 === 0)
+    graft.operators.Graph
+      .earliestArrival(te, seeds, rounds = 3)
+      .orderBy(col("node"))
+  }
+
+  /** Oracle: the temporal projection + 3 unrolled earliest-arrival
+    * rounds (min-fold with the departure guard; rounds past the
+    * fixpoint are no-ops).
+    */
+  val q156Sql: String = {
+    val steps = (1 to 3)
+      .map { i =>
+        s"""a$i AS MATERIALIZED (SELECT node, MIN(at) AS at FROM (
+      |         SELECT node, at FROM a${i - 1}
+      |         UNION ALL
+      |         SELECT e.dst AS node, e.arr AS at
+      |         FROM te e JOIN a${i - 1} p ON p.node = e.src WHERE e.dep >= p.at) u GROUP BY 1)"""
+      }
+      .mkString(",\n      |")
+    s"""WITH cs AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS s,
+      |            CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS d
+      |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE (o_orderkey % 4) = 0),
+      |te AS MATERIALIZED (SELECT DISTINCT a.s AS src, b.s AS dst, a.d AS dep, b.d AS arr
+      |       FROM cs a JOIN cs b ON a.c = b.c AND b.d > a.d AND a.s <> b.s),
+      |seeds AS (SELECT DISTINCT s AS node FROM cs WHERE (s % 10) = 0),
+      |a0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS at FROM seeds),
+      |$steps
+      |SELECT node, at AS arrival FROM a3 ORDER BY node NULLS FIRST""".stripMargin
+  }
+
   def all: Map[String, Q] = Map(
+    "q156_temporal_reach" -> q156TemporalReach,
     "q146_copurchase_lift" -> q146CoPurchase,
     "q147_decay_score" -> q147DecayScore,
     "q148_bfs_dist" -> q148BfsDist,
@@ -550,5 +608,6 @@ object AffinityQueries {
     "q152_lang_eval" -> q152Sql,
     "q153_weighted_quantiles" -> q153Sql,
     "q154_calibration" -> q154Sql,
-    "q155_event_transitions" -> q155Sql)
+    "q155_event_transitions" -> q155Sql,
+    "q156_temporal_reach" -> q156Sql)
 }

@@ -380,6 +380,45 @@ class GraphSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("earliestArrival: time-respecting only — early departures carry nothing") {
+    import spark.implicits._
+    // seed 1. Chain 1→2 (dep 5, arr 6) then 2→3 has TWO options:
+    // (dep 4, arr 5) departs before influence reaches 2 (at 6) — dead;
+    // (dep 7, arr 9) works. Direct 1→3 (dep 2, arr 20) also works but
+    // arrives later than the chain? 9 < 20 → chain wins.
+    val e = Seq(
+      (1L, 2L, 5L, 6L), (2L, 3L, 4L, 5L), (2L, 3L, 7L, 9L), (1L, 3L, 2L, 20L))
+      .toDF("src", "dst", "dep", "arr")
+    val seeds = Seq(1L).toDF("n")
+    val got = Graph.earliestArrival(e, seeds, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 6L, 3L -> 9L))
+    // with one round only, the chain hasn't relaxed: 3 arrives at 20
+    val one = Graph.earliestArrival(e, seeds, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(one == Map(1L -> 0L, 2L -> 6L, 3L -> 20L))
+  }
+
+  test("earliestArrival: directed (no mirror), dep<arr contract, invariance, release") {
+    import spark.implicits._
+    // 2→1 must NOT carry influence 1→2; a dep>=arr row is dropped.
+    val e = Seq((2L, 1L, 3L, 4L), (1L, 3L, 5L, 7L), (9L, 9L, 1L, 2L), (4L, 5L, 8L, 8L))
+      .toDF("src", "dst", "dep", "arr")
+    val seeds = Seq(1L).toDF("n")
+    val expected = Map(1L -> 0L, 3L -> 7L)
+    assert(Graph.earliestArrival(e.repartition(1), seeds, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap == expected)
+    assert(Graph.earliestArrival(e.repartition(5), seeds.repartition(2), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap == expected)
+    intercept[IllegalArgumentException](Graph.earliestArrival(e, seeds, 0))
+    GraftSession.releaseAllCaches(spark)
+    val (out, release) = Graph.earliestArrivalReleasable(e, seeds, 2)
+    out.count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("bfsDistances matches a driver-side BFS on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242)
