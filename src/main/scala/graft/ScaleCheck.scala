@@ -179,6 +179,28 @@ object ScaleCheck {
       "cover" -> (() =>
         graft.operators.Coverage.greedyMaxCoverage(
           docs.select(col("doc_id"), explode(split(col("text"), " ")).as("item")), 5)),
+      // q156 shape: earliest-arrival over the temporal co-supply
+      // projection; --docs bounds the order key so the temporal edge
+      // list grows.
+      "tarrival" -> (() => {
+        val ords = Tables.orders(spark, sfDir)
+        val bounded = if (nDocs > 0) ords.filter(col("o_orderkey") < nDocs) else ords
+        val cs = bounded
+          .filter(col("o_orderkey") % 4 === 0)
+          .join(Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+          .select(
+            col("o_custkey").as("c"),
+            col("l_suppkey").as("sk"),
+            datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))).cast("long").as("day"))
+          .distinct()
+        val te = cs
+          .select(col("c"), col("sk").as("src"), col("day").as("dep"))
+          .join(cs.select(col("c"), col("sk").as("dst"), col("day").as("arr")), Seq("c"))
+          .filter(col("arr") > col("dep") && col("src") =!= col("dst"))
+          .select(col("src"), col("dst"), col("dep"), col("arr"))
+        graft.operators.Graph.earliestArrival(
+          te, cs.select(col("sk")).distinct().filter(col("sk") % 10 === 0), rounds = 3)
+      }),
       // q140 shape over the trading graph; --docs bounds the ORDER key
       // here so the edge list (and with it the node universe) grows.
       "hits" -> (() => {
