@@ -585,8 +585,46 @@ object AffinityQueries {
       |SELECT node, at AS arrival FROM a3 ORDER BY node NULLS FIRST""".stripMargin
   }
 
+  /** q157 — inter-arrival latency profile per event type: per-user
+    * LAG deltas (high-cardinality user partition, shuffle-safe)
+    * attributed to the arriving event's type, then discrete p50/p90
+    * through [[graft.operators.Relational.groupedDiscreteQuantiles]]
+    * — exactly the low-cardinality-group case the range-partitioned
+    * order-statistics operator was built for (an event-type-grain
+    * Window would funnel the corpus through 5 reducers). Microsecond
+    * integers end to end.
+    */
+  val q157GapQuantiles: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val gaps = Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("event_type"), (col("ts_us") - col("prev_us")).as("gap_us"))
+    graft.operators.Relational
+      .groupedDiscreteQuantiles(gaps, "event_type", "gap_us", Seq(0.5, 0.9))
+      .select(col("event_type"), col("q0").as("p50_us"), col("q1").as("p90_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val q157Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+      |g AS (SELECT event_type,
+      |        us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us FROM e),
+      |f AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
+      |r AS (SELECT event_type, gap_us,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap_us) AS rn,
+      |        COUNT(*) OVER (PARTITION BY event_type) AS n FROM f)
+      |SELECT event_type,
+      | MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN gap_us END) AS p50_us,
+      | MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT) THEN gap_us END) AS p90_us
+      |FROM r GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin
+
   def all: Map[String, Q] = Map(
     "q156_temporal_reach" -> q156TemporalReach,
+    "q157_gap_quantiles" -> q157GapQuantiles,
     "q146_copurchase_lift" -> q146CoPurchase,
     "q147_decay_score" -> q147DecayScore,
     "q148_bfs_dist" -> q148BfsDist,
@@ -609,5 +647,6 @@ object AffinityQueries {
     "q153_weighted_quantiles" -> q153Sql,
     "q154_calibration" -> q154Sql,
     "q155_event_transitions" -> q155Sql,
-    "q156_temporal_reach" -> q156Sql)
+    "q156_temporal_reach" -> q156Sql,
+    "q157_gap_quantiles" -> q157Sql)
 }
