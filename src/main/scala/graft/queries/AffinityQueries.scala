@@ -109,7 +109,7 @@ object AffinityQueries {
       |             CAST(round(value * 100) AS BIGINT)
       |               * (CAST(1 AS BIGINT) << CAST(29 - day AS INTEGER)) AS wv
       |      FROM e WHERE day BETWEEN 0 AND 29)
-      |SELECT user_id, SUM(wv) AS decay_score, COUNT(*) AS n_events
+      |SELECT user_id, CAST(SUM(wv) AS BIGINT) AS decay_score, COUNT(*) AS n_events
       |FROM w GROUP BY 1 ORDER BY decay_score DESC, user_id LIMIT 20""".stripMargin
 
   /** q148 — hops to the nearest trusted document over the near-dup
@@ -480,8 +480,8 @@ object AffinityQueries {
       |b AS (SELECT CASE WHEN cjk > 0 THEN CAST(6 AS BIGINT)
       |                  ELSE LEAST(top1 - top2, 5) END AS bucket,
       |             CASE WHEN predicted = lang THEN 1 ELSE 0 END AS ok FROM m)
-      |SELECT bucket, COUNT(*) AS n, SUM(ok) AS n_correct,
-      |       (SUM(ok) * 1000000) // COUNT(*) AS acc_ppm
+      |SELECT bucket, COUNT(*) AS n, CAST(SUM(ok) AS BIGINT) AS n_correct,
+      |       CAST((SUM(ok) * 1000000) // COUNT(*) AS BIGINT) AS acc_ppm
       |FROM b GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin
 
   /** q155 — first-order event-type transition matrix: per-user
@@ -523,7 +523,7 @@ object AffinityQueries {
       |      FROM e),
       |t AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
       |      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
-      |r AS (SELECT from_type, SUM(n) AS row_n FROM t GROUP BY 1)
+      |r AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n FROM t GROUP BY 1)
       |SELECT t.from_type, t.to_type, t.n, (t.n * 1000000) // r.row_n AS p_ppm
       |FROM t JOIN r ON r.from_type = t.from_type
       |ORDER BY t.from_type NULLS FIRST, t.to_type NULLS FIRST""".stripMargin
