@@ -276,10 +276,22 @@ $detail
 """)
 
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = headline.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
-      .mkString("{", ",", "}")
     val failedJson =
-      if (failed.isEmpty) "" else failed.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","calib_md5":${ms(calib)},"reps":$reps,"stat":"min"$failedJson}""")
+      if (failed.isEmpty) ""
+      else failed.take(10).map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
+    // Per-query detail first (a ~4 KB line at 157 queries), compact
+    // summary LAST: the driver's tail capture keeps only the final
+    // ~2000 chars of stdout, so round 8's single full line overran it
+    // and BENCH_r08.json recorded "parsed": null. The last line now
+    // carries the headline stats plus the 20 slowest queries (the ones
+    // a baseline comparison actually reads) and always fits the window;
+    // the full per-query map is the preceding line and bench_detail.json.
+    val qsFull = headline.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"queries_full","unit":"sec","queries":$qsFull}""")
+    val slowest = headline.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"queries":$slowest,"sf":"$sfDir","calib_md5":${ms(calib)},"reps":$reps,"stat":"min"$failedJson}""")
   }
 }
