@@ -170,7 +170,7 @@ object ScaleCheck {
           .groupBy(col("sa"), col("sb"))
           .agg(count(lit(1)).as("w"))
           .filter(col("w") >= 5)
-          .select(col("sa"), col("sb"), expr("1000 div w").as("cost"))
+          .select(col("sa"), col("sb"), expr("greatest(1, 1000 div w)").as("cost"))
         graft.operators.Graph.weightedDistances(
           proj, cs.select(col("sk")).distinct().filter(col("sk") % 10 === 0), rounds = 4)
       }),

@@ -590,70 +590,84 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .persist()
-    // Pin one evaluation of the edge cache BEFORE anything fans out
-    // over it: the node-universe union reads e in two concurrent
-    // branches, and racing first-touch stages each recompute an
-    // uncached upstream (see bfsDistances — measured ~6x on an
-    // expensive pair build).
-    e.count()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct()
-      .persist()
-    if (nodes.count() == 0L) {
-      e.unpersist(); nodes.unpersist()
-      return (
-        nodes.select(col("node"), lit(0L).as("hub"), lit(0L).as("auth")).limit(0),
-        () => ())
-    }
     val cachedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    // Cut the fan-out with plain DataFrame caches held until release:
-    // every double-consumed frame (raw → max + join; the final-round
-    // hub/auth → output join) computes once into its cache and is
-    // re-read from there. No RDD leaf and no per-frame count() — the
-    // whole stack still evaluates in ONE final action (no per-round
-    // scheduler latency), and no mid-loop unpersist means the cascade
-    // the PageRank/kCore loops guard against can't start. The cached
-    // frames are node-sized, so holding all 4·iterations of them is
-    // trivial at any scale.
-    def cached(df: DataFrame): DataFrame = {
-      df.persist()
-      cachedFrames += df
-      df
+    // Throw-path cleanup (mirrors kCore): every action from the edge
+    // pin to the mid-loop rescale (first() + a degenerate-graph
+    // require) can throw AFTER frames are persisted, and the release
+    // closure never reaches the caller on that path — without the
+    // catch the caches leak for the session.
+    var nodes: DataFrame = null
+    try {
+      // Pin one evaluation of the edge cache BEFORE anything fans out
+      // over it: the node-universe union reads e in two concurrent
+      // branches, and racing first-touch stages each recompute an
+      // uncached upstream (see bfsDistances — measured ~6x on an
+      // expensive pair build).
+      e.count()
+      nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct()
+        .persist()
+      if (nodes.count() == 0L) {
+        e.unpersist(); nodes.unpersist()
+        return (
+          nodes.select(col("node"), lit(0L).as("hub"), lit(0L).as("auth")).limit(0),
+          () => ())
+      }
+      // Cut the fan-out with plain DataFrame caches held until release:
+      // every double-consumed frame (raw → max + join; the final-round
+      // hub/auth → output join) computes once into its cache and is
+      // re-read from there. No RDD leaf and no per-frame count() — the
+      // whole stack still evaluates in ONE final action (no per-round
+      // scheduler latency), and no mid-loop unpersist means the cascade
+      // the PageRank/kCore loops guard against can't start. The cached
+      // frames are node-sized, so holding all 4·iterations of them is
+      // trivial at any scale.
+      def cached(df: DataFrame): DataFrame = {
+        df.persist()
+        cachedFrames += df
+        df
+      }
+      def rescaled(rawPlan: DataFrame, outCol: String): DataFrame = {
+        val raw = cached(rawPlan)
+        // The rescale denominator is a 1-row aggregate — collect it as a
+        // driver scalar (scalable: it's a max, not data) instead of a
+        // crossJoin(broadcast(...)), which cost a broadcast-exchange job
+        // per half-round. This action also materializes raw's cache, so
+        // its two consumers (this max, the join below) compute it once.
+        val mxRow = raw.agg(max(col("raw")).as("mx")).first()
+        val mx = if (mxRow.isNullAt(0)) 1L else mxRow.getLong(0)
+        require(mx > 0L, s"hits: non-positive rescale max $mx — degenerate graph")
+        cached(
+          nodes
+            .join(raw, Seq("node"), "left")
+            .select(
+              col("node"),
+              coalesce(expr(s"(raw * $scale) div $mx"), lit(0L)).as(outCol)))
+      }
+      var hub = nodes.select(col("node"), lit(scale).as("hub"))
+      var auth = nodes.select(col("node"), lit(0L).as("auth"))
+      for (_ <- 1 to iterations) {
+        auth = rescaled(
+          e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("hub")).as("raw")),
+          "auth")
+        hub = rescaled(
+          e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+            .groupBy(col("src").as("node"))
+            .agg(sum(col("auth")).as("raw")),
+          "hub")
+      }
+      val out = hub.join(auth, Seq("node"))
+      (out, () => { cachedFrames.foreach(_.unpersist()); e.unpersist(); nodes.unpersist(); () })
+    } catch {
+      case t: Throwable =>
+        cachedFrames.foreach(_.unpersist())
+        e.unpersist()
+        if (nodes != null) nodes.unpersist()
+        throw t
     }
-    def rescaled(rawPlan: DataFrame, outCol: String): DataFrame = {
-      val raw = cached(rawPlan)
-      // The rescale denominator is a 1-row aggregate — collect it as a
-      // driver scalar (scalable: it's a max, not data) instead of a
-      // crossJoin(broadcast(...)), which cost a broadcast-exchange job
-      // per half-round. This action also materializes raw's cache, so
-      // its two consumers (this max, the join below) compute it once.
-      val mxRow = raw.agg(max(col("raw")).as("mx")).first()
-      val mx = if (mxRow.isNullAt(0)) 1L else mxRow.getLong(0)
-      require(mx > 0L, s"hits: non-positive rescale max $mx — degenerate graph")
-      cached(
-        nodes
-          .join(raw, Seq("node"), "left")
-          .select(
-            col("node"),
-            coalesce(expr(s"(raw * $scale) div $mx"), lit(0L)).as(outCol)))
-    }
-    var hub = nodes.select(col("node"), lit(scale).as("hub"))
-    var auth = nodes.select(col("node"), lit(0L).as("auth"))
-    for (_ <- 1 to iterations) {
-      auth = rescaled(
-        e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
-          .groupBy(col("dst").as("node"))
-          .agg(sum(col("hub")).as("raw")),
-        "auth")
-      hub = rescaled(
-        e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
-          .groupBy(col("src").as("node"))
-          .agg(sum(col("auth")).as("raw")),
-        "hub")
-    }
-    val out = hub.join(auth, Seq("node"))
-    (out, () => { cachedFrames.foreach(_.unpersist()); e.unpersist(); nodes.unpersist(); () })
   }
 
   /** Multi-source BFS hop distance over an UNDIRECTED edge list: the
@@ -756,9 +770,12 @@ object Graph {
     * rounds past the fixpoint are no-ops).
     *
     * `edges` is (src, dst, cost): undirected, canonicalized + deduped
-    * here with the MIN cost per pair; costs must be positive
-    * integers. Returns (node, dist) for nodes within `rounds` hops of
-    * a seed; seeds at dist 0.
+    * here with the MIN cost per pair; costs must be positive integers
+    * — ENFORCED in-operator (one count on the cached canonical leaf;
+    * a cost ≤ 0 throws rather than silently collapsing path lengths,
+    * e.g. a `1000 div w` caller cost truncating to 0 once w > 1000 at
+    * larger scale factors). Returns (node, dist) for nodes within
+    * `rounds` hops of a seed; seeds at dist 0.
     *
     * Scale shape: per round ONE action — an equi-join of the
     * (persisted, mirrored) edge list with the node-sized distance
@@ -805,33 +822,37 @@ object Graph {
         .agg(min(col("w")).as("w")))
     canon.count()
     rawRdd.unpersist()
-    val e = canon.unionByName(
-      canon.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-    val seedCol = seeds.columns(0)
-    var dist = materialize(
-      seeds.select(col(seedCol).cast("long").as("node")).distinct().withColumn("dist", lit(0L)))
-    dist.count()
-    for (_ <- 1 to rounds) {
-      val relaxed = e
-        .join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = materialize(
-        dist.unionByName(relaxed).groupBy(col("node")).agg(min(col("dist")).as("dist")))
+    // Positive-cost contract check + throw-path cache cleanup: the count
+    // reads the already-cached canonical leaf (no recompute), and any
+    // throw from here on unpersists the leaves before propagating —
+    // otherwise a mid-loop failure leaks them for the session.
+    try {
+      val nonPos = canon.filter(col("w") < 1L).count()
+      require(nonPos == 0L,
+        s"weightedDistances: $nonPos edge(s) with non-positive cost — " +
+          "integer costs must be >= 1 (clamp caller-derived costs, e.g. greatest(1, ...))")
+      val e = canon.unionByName(
+        canon.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val seedCol = seeds.columns(0)
+      var dist = materialize(
+        seeds.select(col(seedCol).cast("long").as("node")).distinct().withColumn("dist", lit(0L)))
       dist.count()
+      for (_ <- 1 to rounds) {
+        val relaxed = e
+          .join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        dist = materialize(
+          dist.unionByName(relaxed).groupBy(col("node")).agg(min(col("dist")).as("dist")))
+        dist.count()
+      }
+      (dist, () => { leaves.foreach(_.unpersist()); () })
+    } catch {
+      case t: Throwable =>
+        leaves.foreach(_.unpersist())
+        throw t
     }
-    (dist, () => { leaves.foreach(_.unpersist()); () })
   }
 
-  /** Canonicalized-undirected-pair RDD leaf: freezes the CALLER's
-    * optimized edge plan into a raw leaf first, then dedups the
-    * (min, max) pair over plain rows. Canonicalizing lazily instead
-    * lets Catalyst push the least/greatest/self-loop conjuncts into
-    * the caller plan and reorder them with its filters — measured on
-    * the prefiltered near-dup pair build: the exact decimal-cosine
-    * conjunct ran before the cheap double prefilter, for all 12.5M
-    * candidates (32 s vs 1 s, identical rows). Returns the canonical
-    * (src, dst) leaf plus a release closure.
-    */
   /** Earliest-arrival reachability over a TEMPORAL directed edge list
     * — the time-respecting generalization of [[bfsDistances]] /
     * [[weightedDistances]]: an edge (src, dst, dep, arr) can carry
@@ -907,6 +928,16 @@ object Graph {
     (out, () => { leaves.foreach(_.unpersist()); () })
   }
 
+  /** Canonicalized-undirected-pair RDD leaf: freezes the CALLER's
+    * optimized edge plan into a raw leaf first, then dedups the
+    * (min, max) pair over plain rows. Canonicalizing lazily instead
+    * lets Catalyst push the least/greatest/self-loop conjuncts into
+    * the caller plan and reorder them with its filters — measured on
+    * the prefiltered near-dup pair build: the exact decimal-cosine
+    * conjunct ran before the cheap double prefilter, for all 12.5M
+    * candidates (32 s vs 1 s, identical rows). Returns the canonical
+    * (src, dst) leaf plus a release closure.
+    */
   private def canonPairLeaf(
       spark: org.apache.spark.sql.SparkSession,
       edges: DataFrame,

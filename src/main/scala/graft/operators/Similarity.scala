@@ -151,6 +151,16 @@ object Similarity {
     * above `maxRows` (one cheap count job — the price of making the
     * quadratic path impossible to point at a full corpus by accident).
     * The SRP-LSH bucketed path below is the unbounded-scale variant.
+    *
+    * PRECONDITION (near-unit-norm vectors): the fast double-cosine
+    * prefilter's fixed 1e-6 slack is a strict superset of the exact
+    * decimal gate only while the decimal-vs-double cosine gap
+    * (~dim·5e-11 / (|a|·|b|)) stays far inside the slack — true for
+    * norms ≳ 0.01 at dim ≤ 1024 (the embeddings-table regime; typical
+    * gap ~1e-12). Feeding vectors with norms orders of magnitude
+    * smaller would inflate the gap past the slack and the prefilter
+    * could drop pairs the exact filter keeps — rescale such inputs
+    * (cosine is scale-invariant) before calling.
     */
   def nearDupPairs(
       df: DataFrame,

@@ -249,20 +249,23 @@ object AffinityQueries {
       |ORDER BY rank DESC NULLS FIRST, supplier NULLS FIRST LIMIT 15""".stripMargin
 
   /** Shared CTE prefix: the ¼-slice co-supply projection (q150's
-    * edge build) with the affinity→cost inversion `1000 div w` used
-    * by the weighted-distance gate.
+    * edge build) with the affinity→cost inversion
+    * `greatest(1, 1000 div w)` used by the weighted-distance gate —
+    * clamped so a pair sharing > 1000 customers at larger scale
+    * factors can't truncate to cost 0 (the operator now rejects
+    * non-positive costs).
     */
   private val coSupplyCostCtes: String =
     """cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s FROM orders
       |            JOIN lineitem ON l_orderkey = o_orderkey WHERE (o_orderkey % 4) = 0),
       |pw AS (SELECT a.s AS sa, b.s AS sb, COUNT(*) AS w FROM cs a
       |       JOIN cs b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2 HAVING COUNT(*) >= 5),
-      |pc AS (SELECT sa, sb, 1000 // w AS cost FROM pw),
+      |pc AS (SELECT sa, sb, GREATEST(1, 1000 // w) AS cost FROM pw),
       |e AS (SELECT sa AS src, sb AS dst, cost FROM pc UNION ALL SELECT sb, sa, cost FROM pc)""".stripMargin
 
   /** q151 — weighted trust distance ([[Graph.weightedDistances]]):
     * min-plus relaxation over the q150 co-supply projection with
-    * affinity INVERTED to integer cost (`1000 div w` — heavily
+    * affinity INVERTED to integer cost (`greatest(1, 1000 div w)` — heavily
     * co-supplying pairs are "close"), 4 rounds from the every-10th
     * supplier seed set. The Bellman-Ford complement of q148's hop
     * BFS: a 3-hop chain of strong partners can be closer than one
@@ -282,7 +285,7 @@ object AffinityQueries {
       .groupBy(col("sa"), col("sb"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 5)
-      .select(col("sa"), col("sb"), expr("1000 div w").as("cost"))
+      .select(col("sa"), col("sb"), expr("greatest(1, 1000 div w)").as("cost"))
     val seeds = cs.select(col("sk")).distinct().filter(col("sk") % 10 === 0)
     Graph
       .weightedDistances(proj, seeds, rounds = 4)

@@ -380,6 +380,32 @@ class GraphSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("weightedDistances: non-positive cost throws AND unpersists its leaves") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, 0L), (2L, 3L, 5L)).toDF("a", "b", "c")
+    val seeds = Seq(1L).toDF("n")
+    GraftSession.releaseAllCaches(spark)
+    val ex = intercept[IllegalArgumentException](
+      Graph.weightedDistances(e, seeds, rounds = 2))
+    assert(ex.getMessage.contains("non-positive cost"))
+    // throw-path cleanup: the canonical leaf was persisted before the
+    // contract check; the catch must release it (no session-long leak)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("hits: mid-loop failure unpersists e/nodes/score caches before rethrowing") {
+    import spark.implicits._
+    GraftSession.releaseAllCaches(spark)
+    // A plan that builds fine but THROWS during the loop's first
+    // action (ANSI division by zero inside the edge frame), after
+    // e.count()/nodes.count() have already populated caches.
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+      .withColumn("s", expr("s div (s - s)"))
+    intercept[Throwable](Graph.hits(e, iterations = 1))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty &&
+      spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("earliestArrival: time-respecting only — early departures carry nothing") {
     import spark.implicits._
     // seed 1. Chain 1→2 (dep 5, arr 6) then 2→3 has TWO options:
