@@ -733,6 +733,59 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
+  /** Blocked edit-distance similarity pairs — the ENTITY-RESOLUTION
+    * candidate family (Fellegi–Sunter record linkage): distinct entity
+    * strings that agree on a cheap blocking key and sit within
+    * `maxDist` Levenshtein operations of each other. Complements the
+    * other candidate generators — MinHash/SimHash (set/bit
+    * similarity), winnowing (shared substrings), sorted-neighborhood
+    * (rank adjacency, q145) — with EDIT similarity, the measure that
+    * catches typos, dropped characters, and OCR noise none of the
+    * token-set families see.
+    *
+    * Scale shape: the entity universe is deduped FIRST (one distinct
+    * over the string column — entity mentions collapse before any
+    * pairing, so a 100 TB corpus contributes only its distinct-name
+    * set), then pairs come from an equi-join on the blocking key —
+    * cross-block pairs never materialize, the standard ER blocking
+    * move. Each block is quadratic in ITS OWN size only, and a
+    * max-block-size gate throws on degenerate blocking (one giant
+    * block = the accidental O(n²) this operator exists to prevent)
+    * rather than hanging. The Levenshtein predicate is Spark's
+    * codegen'd built-in, evaluated once per surviving pair.
+    *
+    * `blockOf` derives the blocking key from the (trimmed-as-given)
+    * entity string — e.g. last token, first-k chars, phonetic bucket.
+    * Returns (name_a, name_b, dist) with name_a < name_b, dist ≤
+    * `maxDist`.
+    */
+  def editDistancePairs(
+      entities: DataFrame,
+      strCol: String,
+      blockOf: Column => Column,
+      maxDist: Int,
+      maxBlockRows: Long = 100000L): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 16,
+      s"editDistancePairs: maxDist in [1,16]; got $maxDist")
+    val names = entities
+      .select(col(strCol).cast("string").as("name"))
+      .filter(col("name").isNotNull)
+      .distinct()
+      .withColumn("block", blockOf(col("name")))
+    val biggestRow = names.groupBy(col("block")).count().agg(max(col("count"))).first()
+    val biggest = if (biggestRow.isNullAt(0)) 0L else biggestRow.getLong(0)
+    require(biggest <= maxBlockRows,
+      s"editDistancePairs: largest block has $biggest entities > maxBlockRows=$maxBlockRows — " +
+        "blocking key too coarse (per-block pairing is quadratic in block size)")
+    val a = names.select(col("block"), col("name").as("name_a"))
+    val b = names.select(col("block"), col("name").as("name_b"))
+    a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"))
+  }
+
   /** One row per corpus id with its near-dup cluster's canonical id:
     * [[connectedComponents]] labels over `pairs` left-joined onto the
     * corpus; ids absent from the pairs are canonical to themselves.

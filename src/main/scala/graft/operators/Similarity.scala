@@ -583,4 +583,99 @@ object Similarity {
     }
     out
   }
+
+  /** Dominant eigendirection of the corpus Gram matrix Σ v·vᵀ by
+    * INTEGER-rescaled power iteration — the spectral direction behind
+    * embedding whitening, anisotropy diagnosis ("all-but-the-top"),
+    * and outlier screening; the iterative stage the q142 Gram build
+    * feeds. Float power iteration is ungateable (each round's
+    * normalization divides doubles whose rounding engines disagree
+    * on), so this uses the [[graft.operators.Graph.hits]] recipe: the
+    * Gram is quantized ONCE to integer micro-units
+    * (`round(g·scale)`, half-up on an exact decimal — deterministic
+    * everywhere), and each round rescales by the max |component|
+    * via non-negative integral division routed sign-safely
+    * (`sign · (|w|·scale div max|w|)`; operands are non-negative, so
+    * Spark's truncating `div` ≡ the oracle's floor `//`). Every round
+    * is exact integer algebra — bit-identical across engines,
+    * partitionings, and reruns.
+    *
+    * Scale shape: the expensive stage is the one-pass Gram build
+    * (stacked generates over each row — NO vec_id self-join; the only
+    * corpus-grain shuffle is the (p,q)-keyed agg, dim²/2 keys,
+    * map-side combined). The iteration then runs on dim-sized frames:
+    * the mirrored integer Gram (dim² rows) is persisted once and each
+    * round is one equi-join against the dim-row vector frame + a
+    * map-side-combined sum and a 1-row max — driver traffic is one
+    * scalar per round. ANSI mode makes the documented magnitude
+    * contract self-enforcing: dim·max|G·scale|·scale must fit a long,
+    * or the round's multiply throws loudly rather than wrapping.
+    *
+    * Returns (p, dir): component index 0..dim−1 and the direction in
+    * `scale` micro-units (max |component| = scale by construction).
+    */
+  def powerIterationDirection(
+      emb: DataFrame,
+      embCol: String,
+      iterations: Int = 2,
+      scale: Long = 1000000L): DataFrame =
+    powerIterationDirectionReleasable(emb, embCol, iterations, scale)._1
+
+  /** [[powerIterationDirection]] plus the cache release handle. */
+  def powerIterationDirectionReleasable(
+      emb: DataFrame,
+      embCol: String,
+      iterations: Int = 2,
+      scale: Long = 1000000L): (DataFrame, () => Unit) = {
+    require(iterations >= 1 && iterations <= 8,
+      s"powerIterationDirection: iterations in [1,8]; got $iterations")
+    require(scale >= 1L, s"powerIterationDirection: scale must be positive; got $scale")
+    val gramUpper = emb
+      .select(col(embCol).as("__e"))
+      .select(col("__e"), posexplode(col("__e")).as(Seq("p", "va")))
+      .select(col("p"), col("va"), posexplode(col("__e")).as(Seq("q", "vb")))
+      .filter(col("p") <= col("q"))
+      .groupBy(col("p"), col("q"))
+      .agg(sum(dec(col("va").cast("double") * col("vb").cast("double"))).as("g"))
+      .select(
+        col("p").cast("long").as("p"),
+        col("q").cast("long").as("q"),
+        round(col("g") * lit(scale)).cast("long").as("gw"))
+    val full = gramUpper
+      .unionByName(
+        gramUpper.filter(col("p") =!= col("q"))
+          .select(col("q").as("p"), col("p").as("q"), col("gw")))
+      .persist()
+    val cachedFrames = scala.collection.mutable.ArrayBuffer[DataFrame](full)
+    try {
+      require(full.count() > 0L, "powerIterationDirection: empty embedding input")
+      var v = full.select(col("p").as("q")).distinct().withColumn("v", lit(scale))
+      for (_ <- 1 to iterations) {
+        val w = full
+          .join(v, Seq("q"))
+          .groupBy(col("p"))
+          .agg(sum(col("gw") * col("v")).as("w"))
+          .persist()
+        cachedFrames += w
+        // 1-row broadcast max as a driver scalar (the hits recipe) —
+        // this action also materializes w's cache for its two readers.
+        val mxRow = w.agg(max(abs(col("w")))).first()
+        val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+        require(mx > 0L,
+          s"powerIterationDirection: degenerate Gram (max |component| = $mx after a round)")
+        v = w.select(
+          col("p").as("q"),
+          when(col("w") < 0, -expr(s"(CAST(-w AS DECIMAL(38,0)) * $scale) div $mx"))
+            .otherwise(expr(s"(CAST(w AS DECIMAL(38,0)) * $scale) div $mx"))
+            .cast("long")
+            .as("v"))
+      }
+      val out = v.select(col("q").as("p"), col("v").as("dir"))
+      (out, () => { cachedFrames.foreach(_.unpersist()); () })
+    } catch {
+      case t: Throwable =>
+        cachedFrames.foreach(_.unpersist())
+        throw t
+    }
+  }
 }

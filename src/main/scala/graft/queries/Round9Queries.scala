@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+import graft.queries.CoreQueries.Q
+
+/** Round-9 surface — two operator families the catalog lacked:
+  *
+  *  - q158 blocked edit-distance entity pairs (Fellegi–Sunter record
+  *    linkage candidates): EDIT similarity, the measure that catches
+  *    typos and dropped characters, which none of the token-set
+  *    families (MinHash q20, SimHash q21, winnowing q79,
+  *    sorted-neighborhood q145) can see;
+  *  - q159 dominant Gram eigendirection by integer-rescaled power
+  *    iteration: the spectral stage (whitening / anisotropy /
+  *    "all-but-the-top" outlier direction) that q142's Gram matrix
+  *    feeds.
+  */
+object Round9Queries {
+
+  /** q158 — fuzzy entity resolution over the part-name universe
+    * ([[Dedup.editDistancePairs]]): entity mentions collapse to
+    * distinct names with mention counts, blocking key = last token
+    * (the product noun — "red plate"/"hot plate" share a block,
+    * cross-noun pairs never materialize), pairs within Levenshtein 3.
+    * The mention counts ride along so a downstream merge decision
+    * sees how many fact rows each candidate would fold together.
+    *
+    * Scale: the pairing runs on the DISTINCT-name universe, not the
+    * mention table — a 100 TB fact corpus contributes only its name
+    * set, and the block equi-join keeps per-block work quadratic in
+    * block size only (max-block gate in-operator).
+    */
+  val q158FuzzyEntities: Q = (s, d) => {
+    val names = Tables.part(s, d)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = Dedup.editDistancePairs(
+      names, "name", n => regexp_extract(n, "[^ ]+$", 0), maxDist = 3)
+    pairs
+      .join(names.select(col("name").as("name_a"), col("n").as("rows_a")), Seq("name_a"))
+      .join(names.select(col("name").as("name_b"), col("n").as("rows_b")), Seq("name_b"))
+      .select(col("name_a"), col("name_b"), col("dist"), col("rows_a"), col("rows_b"))
+      .orderBy(col("dist"), col("name_a"), col("name_b"))
+  }
+
+  /** Oracle: same distinct-name universe, last-token block, and
+    * Levenshtein predicate (both engines implement classic
+    * unit-cost ins/del/sub edit distance); dist cast to BIGINT to
+    * match the engine's long (DuckDB `levenshtein` returns INTEGER).
+    */
+  val q158Sql: String =
+    """WITH e AS (SELECT p_name AS name, COUNT(*) AS n FROM part GROUP BY 1),
+      |b AS (SELECT name, n, regexp_extract(name, '[^ ]+$') AS block FROM e)
+      |SELECT a.name AS name_a, c.name AS name_b,
+      |       CAST(levenshtein(a.name, c.name) AS BIGINT) AS dist,
+      |       a.n AS rows_a, c.n AS rows_b
+      |FROM b a JOIN b c ON a.block = c.block AND a.name < c.name
+      |WHERE levenshtein(a.name, c.name) <= 3
+      |ORDER BY dist, name_a NULLS FIRST, name_b NULLS FIRST""".stripMargin
+
+  /** q159 — dominant eigendirection of the embedding Gram matrix
+    * ([[Similarity.powerIterationDirection]], 2 rounds): the
+    * direction embedding-space curation whitens against. Integer
+    * micro-unit algebra end to end (quantized Gram, max-|component|
+    * rescale through non-negative integral division) — bit-identical
+    * across engines and partitionings, where float power iteration
+    * could never be oracle-gated. 64 rows at the corpus dim.
+    */
+  val q159PowerIteration: Q = (s, d) =>
+    Similarity
+      .powerIterationDirection(Tables.embeddings(s, d), "embedding", iterations = 2)
+      .orderBy(col("p"))
+
+  /** Oracle: q142's decimal Gram CTE (1-based `generate_subscripts`
+    * shifted to posexplode's 0-based), quantized and iterated with
+    * the same sign-safe non-negative `//` ≡ `div` rescale; HUGEINT
+    * intermediates cast back to BIGINT at every round boundary (the
+    * q147/q154/q155 pandas-float64 lesson).
+    */
+  val q159Sql: String =
+    """WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |                  (generate_subscripts(embedding, 1) - 1) AS pos FROM embeddings),
+      |gu AS (SELECT a.pos AS p, b.pos AS q, SUM(CAST(a.v * b.v AS DECIMAL(28,10))) AS g
+      |       FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.pos <= b.pos GROUP BY 1, 2),
+      |gi AS (SELECT p, q, CAST(ROUND(g * 1000000) AS BIGINT) AS gw FROM gu),
+      |gf AS (SELECT p, q, gw FROM gi UNION ALL SELECT q AS p, p AS q, gw FROM gi WHERE p <> q),
+      |v0 AS (SELECT DISTINCT p AS q, CAST(1000000 AS BIGINT) AS v FROM gf),
+      |w1 AS (SELECT gf.p, SUM(gf.gw * v0.v) AS w FROM gf JOIN v0 ON v0.q = gf.q GROUP BY 1),
+      |m1 AS (SELECT MAX(abs(w)) AS mx FROM w1),
+      |v1 AS (SELECT p AS q, CAST(CASE WHEN w < 0 THEN -((CAST(-w AS HUGEINT) * 1000000) // mx)
+      |                           ELSE ((CAST(w AS HUGEINT) * 1000000) // mx) END AS BIGINT) AS v
+      |       FROM w1, m1),
+      |w2 AS (SELECT gf.p, SUM(gf.gw * v1.v) AS w FROM gf JOIN v1 ON v1.q = gf.q GROUP BY 1),
+      |m2 AS (SELECT MAX(abs(w)) AS mx FROM w2),
+      |v2 AS (SELECT p, CAST(CASE WHEN w < 0 THEN -((CAST(-w AS HUGEINT) * 1000000) // mx)
+      |                           ELSE ((CAST(w AS HUGEINT) * 1000000) // mx) END AS BIGINT) AS dir
+      |       FROM w2, m2)
+      |SELECT p, dir FROM v2 ORDER BY p NULLS FIRST""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q158_fuzzy_entity_pairs" -> q158FuzzyEntities,
+    "q159_power_iteration" -> q159PowerIteration
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q158_fuzzy_entity_pairs" -> q158Sql,
+    "q159_power_iteration" -> q159Sql
+  )
+}

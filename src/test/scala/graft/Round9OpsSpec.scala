@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+/** Round-9 operators: blocked edit-distance entity pairs (record
+  * linkage candidates) and the integer-rescaled power-iteration
+  * dominant Gram eigendirection.
+  */
+class Round9OpsSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(4, appName = "round9-spec")
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long)] = {
+    import spark.implicits._
+    df.as[(String, String, Long)].collect().toSet
+  }
+
+  test("editDistancePairs: blocking limits pairs, distances hand-checked, dups collapse") {
+    import spark.implicits._
+    // "red plate"/"red plates" are 1 edit apart but land in DIFFERENT
+    // blocks (plate vs plates) — the blocking tradeoff, asserted.
+    val e = Seq(
+      "red plate", "old plate", "red plates", "blue widget", "red widget",
+      "red plate", "old plate" // duplicate mentions must collapse first
+    ).toDF("name")
+    val out = pairs(
+      Dedup.editDistancePairs(e, "name", n => regexp_extract(n, "[^ ]+$", 0), maxDist = 4))
+    assert(out == Set(
+      ("old plate", "red plate", 2L),
+      ("blue widget", "red widget", 4L)))
+    // tighter budget drops the 4-edit pair
+    val tight = pairs(
+      Dedup.editDistancePairs(e, "name", n => regexp_extract(n, "[^ ]+$", 0), maxDist = 3))
+    assert(tight == Set(("old plate", "red plate", 2L)))
+  }
+
+  test("editDistancePairs: null names dropped, guards, degenerate-block gate") {
+    import spark.implicits._
+    val e = Seq(Some("aa x"), None, Some("ab x"), Some("ac x")).toDF("name")
+    val out = pairs(Dedup.editDistancePairs(e, "name", n => lit("k"), maxDist = 1))
+    assert(out == Set(("aa x", "ab x", 1L), ("aa x", "ac x", 1L), ("ab x", "ac x", 1L)))
+    intercept[IllegalArgumentException](
+      Dedup.editDistancePairs(e, "name", n => lit("k"), maxDist = 0))
+    // one giant block over the size gate throws instead of going quadratic
+    val big = (1 to 40).map(i => s"name_$i").toDF("name")
+    val ex = intercept[IllegalArgumentException](
+      Dedup.editDistancePairs(big, "name", n => lit("k"), maxDist = 2, maxBlockRows = 10L))
+    assert(ex.getMessage.contains("blocking key too coarse"))
+  }
+
+  test("editDistancePairs: invariant under adversarial repartitioning") {
+    import spark.implicits._
+    val e = (1 to 200).map(i => s"ent ${i % 37}").toDF("name")
+    val f: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      n => length(n).cast("string")
+    val a = pairs(Dedup.editDistancePairs(e.repartition(1), "name", f, maxDist = 2))
+    val b = pairs(Dedup.editDistancePairs(e.repartition(13), "name", f, maxDist = 2))
+    assert(a == b && a.nonEmpty)
+  }
+
+  private def dirs(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+    import spark.implicits._
+    df.as[(Long, Long)].collect().toMap
+  }
+
+  test("powerIterationDirection: hand-computed 2-dim rounds, positive case") {
+    import spark.implicits._
+    // Gram of [[1,0],[1,0],[0,1]] = [[2,0],[0,1]] -> quantized
+    // [[2e6,0],[0,1e6]]. v0=(1e6,1e6); w1=(2e12,1e12) -> v1=(1e6,5e5);
+    // w2=(2e12,5e11) -> v2=(1e6,25e4).
+    val e = Seq(Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)).toDF("embedding")
+    assert(dirs(Similarity.powerIterationDirection(e, "embedding", iterations = 1)) ==
+      Map(0L -> 1000000L, 1L -> 500000L))
+    assert(dirs(Similarity.powerIterationDirection(e, "embedding", iterations = 2)) ==
+      Map(0L -> 1000000L, 1L -> 250000L))
+  }
+
+  test("powerIterationDirection: negative components exercise the sign-safe rescale") {
+    import spark.implicits._
+    // Gram of [[1,-1],[1,0]] = [[2,-1],[-1,1]]: w1=(1e12, 0) ->
+    // v1=(1e6, 0); w2=(2e12, -1e12) -> v2=(1e6, -5e5): the w<0 branch
+    // must floor |w| (non-negative div == oracle //), then re-sign.
+    val e = Seq(Seq(1.0f, -1.0f), Seq(1.0f, 0.0f)).toDF("embedding")
+    assert(dirs(Similarity.powerIterationDirection(e, "embedding", iterations = 2)) ==
+      Map(0L -> 1000000L, 1L -> -500000L))
+  }
+
+  test("powerIterationDirection: degenerate Gram throws and releases; guards; invariance") {
+    import spark.implicits._
+    GraftSession.releaseAllCaches(spark)
+    // [[1,-1]] alone: Gram [[1,-1],[-1,1]], v0=(s,s) -> w1=(0,0) -> degenerate
+    val degenerate = Seq(Seq(1.0f, -1.0f)).toDF("embedding")
+    val ex = intercept[IllegalArgumentException](
+      Similarity.powerIterationDirection(degenerate, "embedding", iterations = 1))
+    assert(ex.getMessage.contains("degenerate Gram"))
+    assert(spark.sharedState.cacheManager.isEmpty)
+    intercept[IllegalArgumentException](
+      Similarity.powerIterationDirection(degenerate, "embedding", iterations = 0))
+    val e = (1 to 60)
+      .map(i => Seq(0.1f * (i % 7), -0.05f * (i % 5), 0.02f * i))
+      .toDF("embedding")
+    val a = dirs(Similarity.powerIterationDirection(e.repartition(1), "embedding"))
+    val b = dirs(Similarity.powerIterationDirection(e.repartition(11), "embedding"))
+    assert(a == b && a.size == 3)
+    // release handle drains every persisted frame
+    GraftSession.releaseAllCaches(spark)
+    val (out, release) = Similarity.powerIterationDirectionReleasable(e, "embedding")
+    out.count()
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    release()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+}
