@@ -951,4 +951,47 @@ object Relational {
     }
     acc
   }
+
+  /** Z-order (Morton) curve value of two non-negative integer
+    * dimensions — the DATA-LAYOUT primitive behind multi-dimensional
+    * clustering (Delta/Iceberg `OPTIMIZE ZORDER` shape): interleaving
+    * the low `bits` of x and y makes lexicographic order on the
+    * result a space-filling curve, so any contiguous z-range covers a
+    * small aligned rectangle of (x, y) space. Files written in
+    * z-order carry TIGHT min/max column stats on BOTH dimensions at
+    * once — the property that lets a 100 TB scan skip files for 2-D
+    * predicates where a single-column sort helps only its own column.
+    *
+    * Pure integer column expression (composed shifts/masks, fully
+    * codegen'd, no UDF): bit i of x lands at position 2i, bit i of y
+    * at 2i+1. Caller contract: inputs in [0, 2^bits) — higher bits
+    * are deliberately masked off so the curve stays dense.
+    */
+  def zOrderValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"zOrderValue: bits in [1,31]; got $bits")
+    (0 until bits)
+      .flatMap { i =>
+        Seq(
+          shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
+          shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }
+      .reduce(_ + _)
+  }
+
+  /** Range-repartition `df` along its [[zOrderValue]] — the executable
+    * layout step: after this, each output partition holds one
+    * contiguous z-range, i.e. a small aligned rectangle of the
+    * 2-D key space, so per-partition (and thus per-file) min/max
+    * stats are tight on BOTH dimensions. `numPartitions` is the
+    * target file count; the z column is dropped from the output.
+    */
+  def zOrderRepartition(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      bits: Int,
+      numPartitions: Int): DataFrame =
+    df.withColumn("__zv", zOrderValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(numPartitions, col("__zv"))
+      .drop("__zv")
 }

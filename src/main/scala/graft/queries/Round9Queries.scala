@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Relational, Similarity}
 import graft.queries.CoreQueries.Q
 
 /** Round-9 surface — two operator families the catalog lacked:
@@ -99,13 +99,59 @@ object Round9Queries {
       |       FROM w2, m2)
       |SELECT p, dir FROM v2 ORDER BY p NULLS FIRST""".stripMargin
 
+  /** q160 — z-order (Morton) layout audit ([[Relational.zOrderValue]],
+    * 7 bits per dimension over (user mod 128, hour mod 128)): bucket
+    * the event stream by 256-wide z-ranges and report each bucket's
+    * 2-D bounding box. Every box comes back a ≤ 16×16 aligned
+    * rectangle — the tight-both-dimensions min/max property that lets
+    * a 100 TB scan skip files for 2-D predicates, which a
+    * single-column sort gives only its own column. The executable
+    * layout step is [[Relational.zOrderRepartition]] (spec-asserted:
+    * range partitions inherit the same small boxes); this gate pins
+    * the curve arithmetic itself, bit-for-bit.
+    */
+  val q160ZOrderLayout: Q = (s, d) => {
+    val pts = Tables.events(s, d).select(
+      (col("user_id") % 128).as("x"),
+      expr("(ts_us div 3600000000) % 128").as("y"))
+    pts
+      .withColumn("zv", Relational.zOrderValue(col("x"), col("y"), bits = 7))
+      .withColumn("bucket", expr("zv div 256"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Oracle: the identical 14-term interleave (every `>>`/`<<`/`&`
+    * term fully parenthesized — Postgres-family grammars give
+    * user-level operators equal left-associative precedence).
+    */
+  val q160Sql: String = {
+    val terms = (0 until 7)
+      .flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})"))
+      .mkString(" + ")
+    s"""WITH d AS (SELECT (user_id % 128) AS x,
+       |                  ((epoch_us(ts) // 3600000000) % 128) AS y FROM events),
+       |z AS (SELECT x, y, ($terms) AS zv FROM d)
+       |SELECT (zv // 256) AS bucket, COUNT(*) AS n,
+       |       MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+       |FROM z GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "q158_fuzzy_entity_pairs" -> q158FuzzyEntities,
-    "q159_power_iteration" -> q159PowerIteration
+    "q159_power_iteration" -> q159PowerIteration,
+    "q160_zorder_layout" -> q160ZOrderLayout
   )
 
   val oracles: Map[String, String] = Map(
     "q158_fuzzy_entity_pairs" -> q158Sql,
-    "q159_power_iteration" -> q159Sql
+    "q159_power_iteration" -> q159Sql,
+    "q160_zorder_layout" -> q160Sql
   )
 }

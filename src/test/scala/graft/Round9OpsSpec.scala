@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Relational, Similarity}
 
 /** Round-9 operators: blocked edit-distance entity pairs (record
   * linkage candidates) and the integer-rescaled power-iteration
@@ -110,5 +110,50 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(!spark.sharedState.cacheManager.isEmpty)
     release()
     assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("zOrderValue: hand-interleaved bits, prefix locality, high-bit masking, guard") {
+    import spark.implicits._
+    // x=0b101 -> bits at 0,4 = 17; y=0b011 -> bits at 1,3 = 10; zv=27
+    val one = Seq((5L, 3L)).toDF("x", "y")
+      .select(Relational.zOrderValue(col("x"), col("y"), 3).as("zv"))
+    assert(one.collect()(0).getLong(0) == 27L)
+    // every point of one 2^k-aligned square shares the zv prefix above 2k bits
+    val square = (16 until 32).flatMap(x => (48 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+      .select((Relational.zOrderValue(col("x"), col("y"), 6) / 256).cast("long").as("pfx"))
+      .distinct()
+    assert(square.count() == 1L)
+    // bits above the budget are masked: (x, y) and (x + 2^bits, y) agree
+    val masked = Seq((5L, 3L, 5L + 8L)).toDF("x", "y", "x2")
+      .select(
+        Relational.zOrderValue(col("x"), col("y"), 3).as("a"),
+        Relational.zOrderValue(col("x2"), col("y"), 3).as("b"))
+      .collect()(0)
+    assert(masked.getLong(0) == masked.getLong(1))
+    intercept[IllegalArgumentException](Relational.zOrderValue(col("x"), col("y"), 0))
+  }
+
+  test("zOrderRepartition: each range partition covers a small 2-D bounding box") {
+    import spark.implicits._
+    // 64x64 grid, one point per cell, shuffled in by the hash of the pair
+    val pts = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+      .repartition(7)
+    val laid = Relational.zOrderRepartition(pts, "x", "y", bits = 6, numPartitions = 16)
+    val boxes = laid
+      .withColumn("pid", spark_partition_id())
+      .groupBy(col("pid"))
+      .agg(
+        (max(col("x")) - min(col("x"))).as("dx"),
+        (max(col("y")) - min(col("y"))).as("dy"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(boxes.map(_.getLong(boxes(0).fieldIndex("n"))).sum == 4096L)
+    // a random/hash layout would give every partition the FULL 63-wide
+    // extent in both dims; z-range partitions must stay well under half
+    val worstArea = boxes.map(r =>
+      (r.getLong(r.fieldIndex("dx")) + 1) * (r.getLong(r.fieldIndex("dy")) + 1)).max
+    assert(worstArea <= 1024L, s"worst partition bounding box area $worstArea > 1024")
   }
 }
