@@ -98,8 +98,73 @@ object Bench {
     dt
   }
 
+  /** Multicore calibration: wall seconds for every available core to
+    * run 1e6 md5 digests concurrently. Catches the drift the
+    * single-thread constant can't: round 9 measured an identical-code
+    * A/B (r8 worktree vs HEAD, same hour) where iterative multi-stage
+    * queries ran ~2x slower than 3 h earlier at UNCHANGED calib_md5 —
+    * host oversubscription/steal hits parallel throughput and
+    * scheduler wakeups first, and only a parallel constant records it.
+    */
+  private def calibrateMd5Mt(): Double = {
+    val n = math.min(Runtime.getRuntime.availableProcessors(), 32)
+    def burn(iters: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = new Array[Byte](64)
+      var sink = 0L
+      var i = 0
+      while (i < iters) { buf(0) = (i & 0xff).toByte; sink += md.digest(buf)(0); i += 1 }
+      sink
+    }
+    burn(100000): Unit // JIT warmup on the calling thread
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val t0 = System.nanoTime()
+    val futs = (1 to n).map(_ => pool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long = burn(1000000)
+    }))
+    val sink = futs.map(_.get()).sum
+    val dt = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+    if (sink == Long.MinValue) println("")
+    dt
+  }
+
+  /** Scheduler-wakeup calibration: seconds for 100k two-thread
+    * ping-pongs over a SynchronousQueue. Iterative operators (PageRank
+    * / HITS / BFS rounds) are bounded by per-stage wakeup latency, not
+    * compute — this constant isolates that axis so a graph-tail-only
+    * slowdown can be attributed to the container, not the plans.
+    */
+  private def calibratePingPong(): Double = {
+    val q1 = new java.util.concurrent.SynchronousQueue[Integer]()
+    val q2 = new java.util.concurrent.SynchronousQueue[Integer]()
+    val rounds = 100000
+    def echo(): Thread = {
+      val t = new Thread(() => {
+        var i = 0
+        while (i < rounds) { q2.put(q1.take()); i += 1 }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    val warm = echo() // warmup pass
+    var i = 0
+    while (i < rounds) { q1.put(i); q2.take(): Unit; i += 1 }
+    warm.join()
+    val t = echo()
+    val t0 = System.nanoTime()
+    i = 0
+    while (i < rounds) { q1.put(i); q2.take(): Unit; i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e9
+    t.join()
+    dt
+  }
+
   def main(args: Array[String]): Unit =
-    if (args.contains("--child")) childMain(args) else parentMain(args)
+    if (args.contains("--calib-only")) {
+      def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      println(s"""{"calib_md5":${ms(calibrateMd5())},"calib_md5_mt":${ms(calibrateMd5Mt())},"calib_sched":${ms(calibratePingPong())}}""")
+    } else if (args.contains("--child")) childMain(args)
+    else parentMain(args)
 
   // ---------------------------------------------------------------- child
 
@@ -175,6 +240,8 @@ object Bench {
     val groupSize = cfg.get("group", "SPARK_GRAFT_BENCH_GROUP", "8").toInt
     val timeoutSec = cfg.get("group-timeout", "SPARK_GRAFT_BENCH_TIMEOUT", "1800").toLong
     val calib = calibrateMd5()
+    val calibMt = calibrateMd5Mt()
+    val calibSched = calibratePingPong()
     // Dev-only subset (--queries=q01,q36 prefix match); the driver passes
     // no filter, so the contract run always covers the full surface.
     val filter = cfg.get("queries", "SPARK_GRAFT_BENCH_QUERIES", "")
@@ -268,7 +335,7 @@ object Bench {
     }.mkString(",\n")
     Files.writeString(Paths.get("bench_detail.json"),
       s"""{
-"config": {"sf": "$sfDir", "cpus": $cpus, "reps": $reps, "group_size": $groupSize, "protocol": "fork-per-group JVM, warmup pass, forced GC + sync between timed regions, min of reps", "calib_md5_3e6_sec": ${fmt(calib)}},
+"config": {"sf": "$sfDir", "cpus": $cpus, "reps": $reps, "group_size": $groupSize, "protocol": "fork-per-group JVM, warmup pass, forced GC + sync between timed regions, min of reps", "calib_md5_3e6_sec": ${fmt(calib)}, "calib_md5_mt_sec": ${fmt(calibMt)}, "calib_sched_pingpong_sec": ${fmt(calibSched)}},
 "queries": {
 $detail
 }
@@ -292,6 +359,6 @@ $detail
     val slowest = headline.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"queries":$slowest,"sf":"$sfDir","calib_md5":${ms(calib)},"reps":$reps,"stat":"min"$failedJson}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"queries":$slowest,"sf":"$sfDir","calib_md5":${ms(calib)},"calib_md5_mt":${ms(calibMt)},"calib_sched":${ms(calibSched)},"reps":$reps,"stat":"min"$failedJson}""")
   }
 }
