@@ -994,4 +994,30 @@ object Relational {
     df.withColumn("__zv", zOrderValue(col(xCol), col(yCol), bits))
       .repartitionByRange(numPartitions, col("__zv"))
       .drop("__zv")
+
+  /** Rendezvous (highest-random-weight) shard assignment: the shard in
+    * `[0, nShards)` maximizing `md5(key ':' shard)` — the placement
+    * primitive whose minimal-disruption property (removing one shard
+    * moves ONLY that shard's keys; every other key keeps its winner)
+    * makes incremental re-sharding of a 100 TB corpus an O(1/n) move,
+    * where hash-mod re-homes nearly everything.
+    *
+    * Deliberately NOT an explode-and-argmax: the winner is a single
+    * map-side `greatest` fold over `nShards` literal (hash, shard)
+    * structs — no row inflation, no shuffle, whole-stage-codegen'd —
+    * so it composes into any scan at full scan speed. Struct ordering
+    * compares the hex digest first; md5 collisions over distinct
+    * `key:shard` strings are the only possible tie, so the assignment
+    * is deterministic and partition-invariant. Keys are stringified
+    * with a `:` separator so numeric keys can't alias (`1:2` vs
+    * `12:...`).
+    */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    require(nShards >= 2 && nShards <= 1024, s"rendezvousShard: nShards in [2,1024]; got $nShards")
+    greatest((0 until nShards).map { i =>
+      struct(
+        md5(concat(key.cast("string"), lit(s":$i"))).as("h"),
+        lit(i.toLong).as("shard"))
+    }: _*).getField("shard")
+  }
 }

@@ -5,7 +5,7 @@ import graft.Tables
 import graft.operators.{Dedup, Relational, Similarity}
 import graft.queries.CoreQueries.Q
 
-/** Round-9 surface — two operator families the catalog lacked:
+/** Round-9 surface — operator families the catalog lacked:
   *
   *  - q158 blocked edit-distance entity pairs (Fellegi–Sunter record
   *    linkage candidates): EDIT similarity, the measure that catches
@@ -15,7 +15,12 @@ import graft.queries.CoreQueries.Q
   *  - q159 dominant Gram eigendirection by integer-rescaled power
   *    iteration: the spectral stage (whitening / anisotropy /
   *    "all-but-the-top" outlier direction) that q142's Gram matrix
-  *    feeds.
+  *    feeds;
+  *  - q160/q162 data-layout primitives: z-order (multi-dimension
+  *    file-skipping) and rendezvous-hash placement (minimal-disruption
+  *    re-sharding);
+  *  - q161 denylist redaction audit — the corpus-cleaning masking
+  *    stage.
   */
 object Round9Queries {
 
@@ -143,15 +148,124 @@ object Round9Queries {
        |FROM z GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin
   }
 
+  /** q161 — denylist redaction audit: count and mask a broadcast-
+    * literal term denylist (`\b`-bounded alternation — the Dolma/C4
+    * cleaning stage shape: PII terms, boilerplate markers, banned
+    * phrases) across the corpus and report per-(source, lang) blast
+    * radius — documents touched, terms struck, characters the masked
+    * text grows by. Pure per-row regex → one map-side-combined
+    * aggregation: at 100 TB this is scan-speed, no shuffle beyond the
+    * tiny (source, lang) rollup. All-integer outputs keep it
+    * oracle-exact; `regexp_count`/`regexp_replace` and RE2's
+    * `\b(...)\b` agree between engines on this word-per-space corpus.
+    */
+  val q161RedactionAudit: Q = (s, d) => {
+    val pat = "\\b(customer|vector|spark)\\b"
+    val scored = Tables.documents(s, d).select(
+      col("source"),
+      col("lang"),
+      regexp_count(col("text"), lit(pat)).cast("long").as("hits"),
+      (length(regexp_replace(col("text"), pat, "[REDACTED]")) - length(col("text")))
+        .cast("long")
+        .as("delta"))
+    scored
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_hit"),
+        sum(col("hits")).as("terms_redacted"),
+        sum(col("delta")).as("chars_added"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** Oracle: identical RE2-compatible pattern; DuckDB needs the `'g'`
+    * flag on `regexp_replace` (Spark replaces globally by default) and
+    * counts via `len(regexp_extract_all)`. Integer SUMs cast back to
+    * BIGINT (the q147/q154/q155 HUGEINT lesson).
+    */
+  val q161Sql: String =
+    """WITH x AS (SELECT source, lang,
+      |  len(regexp_extract_all(text, '\b(customer|vector|spark)\b')) AS hits,
+      |  length(regexp_replace(text, '\b(customer|vector|spark)\b', '[REDACTED]', 'g'))
+      |    - length(text) AS delta
+      | FROM documents)
+      |SELECT source, lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+      |       CAST(SUM(hits) AS BIGINT) AS terms_redacted,
+      |       CAST(SUM(delta) AS BIGINT) AS chars_added
+      |FROM x GROUP BY 1, 2
+      |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin
+
+  /** q162 — rendezvous (HRW) shard placement audit
+    * ([[Relational.rendezvousShard]]): assign every document to its
+    * 16-shard winner AND its 15-shard winner (shard 15 withdrawn) in
+    * the same map-side pass, then roll up per shard. The
+    * `n_docs_minus15` column pins the minimal-disruption property
+    * numerically: for shards 0–14 it grows only by shard 15's
+    * redistributed documents (every other document keeps its winner —
+    * the withdrawn shard's hash entries simply drop out of the
+    * `greatest` fold), while hash-mod re-sharding would re-home ~15/16
+    * of the corpus. The spec asserts the per-document invariant;
+    * this gate pins the hash arithmetic cross-engine.
+    */
+  val q162RendezvousShards: Q = (s, d) => {
+    // ONE corpus pass: both winners computed in the same projection and
+    // rolled up to the ≤ 16×15 (shard, shard15) pair grid map-side —
+    // separate groupBys per winner would make Catalyst scan the parquet
+    // twice. Both final rollups then read the tiny grid.
+    val grid = Tables.documents(s, d)
+      .select(
+        Relational.rendezvousShard(col("doc_id"), 16).as("shard"),
+        Relational.rendezvousShard(col("doc_id"), 15).as("shard15"))
+      .groupBy(col("shard"), col("shard15"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    // Pin ONE evaluation before the two rollup branches fan out over
+    // the cache — racing first-touch stages each recompute an uncached
+    // upstream (the bfsDistances lesson), which here means re-scanning
+    // the corpus.
+    grid.count()
+    val n16 = grid.groupBy(col("shard")).agg(sum(col("n")).as("n_docs"))
+    val n15 = grid.groupBy(col("shard15").as("shard")).agg(sum(col("n")).as("n15"))
+    n16
+      .join(n15, Seq("shard"), "left")
+      .select(col("shard"), col("n_docs"), coalesce(col("n15"), lit(0L)).as("n_docs_minus15"))
+      .orderBy(col("shard"))
+  }
+
+  /** Oracle: explode-and-argmax formulation of the same winner —
+    * `arg_max(shard, hash)` over a `range(16)` lateral, with the
+    * 15-shard winner via an aggregate FILTER. Different plan shape,
+    * same arithmetic: both engines compare lowercase-hex md5 of
+    * identical `key:shard` strings.
+    */
+  val q162Sql: String =
+    """WITH h AS (SELECT doc_id, r.shard,
+      |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(r.shard AS VARCHAR)) AS hv
+      |  FROM documents, range(16) r(shard)),
+      |w AS (SELECT doc_id,
+      |    arg_max(shard, hv) AS shard,
+      |    arg_max(shard, hv) FILTER (WHERE shard <= 14) AS shard15
+      |  FROM h GROUP BY doc_id),
+      |a AS (SELECT shard, COUNT(*) AS n_docs FROM w GROUP BY 1),
+      |b AS (SELECT shard15 AS shard, COUNT(*) AS n15 FROM w GROUP BY 1)
+      |SELECT a.shard, a.n_docs, CAST(COALESCE(b.n15, 0) AS BIGINT) AS n_docs_minus15
+      |FROM a LEFT JOIN b USING (shard)
+      |ORDER BY shard NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q158_fuzzy_entity_pairs" -> q158FuzzyEntities,
     "q159_power_iteration" -> q159PowerIteration,
-    "q160_zorder_layout" -> q160ZOrderLayout
+    "q160_zorder_layout" -> q160ZOrderLayout,
+    "q161_redaction_audit" -> q161RedactionAudit,
+    "q162_rendezvous_shards" -> q162RendezvousShards
   )
 
   val oracles: Map[String, String] = Map(
     "q158_fuzzy_entity_pairs" -> q158Sql,
     "q159_power_iteration" -> q159Sql,
-    "q160_zorder_layout" -> q160Sql
+    "q160_zorder_layout" -> q160Sql,
+    "q161_redaction_audit" -> q161Sql,
+    "q162_rendezvous_shards" -> q162Sql
   )
 }

@@ -156,4 +156,51 @@ class Round9OpsSpec extends AnyFunSuite {
       (r.getLong(r.fieldIndex("dx")) + 1) * (r.getLong(r.fieldIndex("dy")) + 1)).max
     assert(worstArea <= 1024L, s"worst partition bounding box area $worstArea > 1024")
   }
+
+  test("rendezvousShard: in-range, deterministic, minimal-disruption on shard removal") {
+    import spark.implicits._
+    val keys = (0L until 2000L).toDF("k")
+    val assigned = keys
+      .select(
+        col("k"),
+        Relational.rendezvousShard(col("k"), 16).as("s16"),
+        Relational.rendezvousShard(col("k"), 15).as("s15"))
+      .collect()
+    assert(assigned.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 15))
+    assert(assigned.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 14))
+    // HRW's defining property: withdrawing shard 15 re-homes ONLY the
+    // keys it owned — every other key keeps its winner, because the
+    // removed shard's entry simply drops out of each key's greatest fold.
+    val stayers = assigned.filter(_.getLong(1) != 15L)
+    assert(stayers.nonEmpty)
+    assert(stayers.forall(r => r.getLong(1) == r.getLong(2)))
+    val moved = assigned.count(_.getLong(1) == 15L)
+    // ~1/16 of 2000 keys; loose bounds just reject degenerate hashing
+    assert(moved > 40 && moved < 300, s"shard 15 owned $moved of 2000 keys")
+    // balance: every shard gets a non-degenerate share
+    val byShard = assigned.groupBy(_.getLong(1)).view.mapValues(_.length)
+    assert(byShard.size == 16 && byShard.values.min > 30, s"imbalance: $byShard")
+    intercept[IllegalArgumentException](Relational.rendezvousShard(col("k"), 1))
+  }
+
+  test("redaction regex: word-boundary alternation counts and mask delta hand-checked") {
+    import spark.implicits._
+    // "customers" must NOT match \bcustomer\b (trailing word char);
+    // mask delta = sum over hits of (len("[REDACTED]") - len(term))
+    val df = Seq(
+      ("customer customers vector", 2L, (10L - 8L) + (10L - 6L)),
+      ("spark sparkly spark", 2L, 2L * (10L - 5L)),
+      ("no denied terms here", 0L, 0L)
+    ).toDF("text", "want_hits", "want_delta")
+    val pat = "\\b(customer|vector|spark)\\b"
+    val got = df.select(
+      regexp_count(col("text"), lit(pat)).cast("long").as("hits"),
+      (length(regexp_replace(col("text"), pat, "[REDACTED]")) - length(col("text")))
+        .cast("long").as("delta"),
+      col("want_hits"), col("want_delta")).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2), s"hits: $r")
+      assert(r.getLong(1) == r.getLong(3), s"delta: $r")
+    }
+  }
 }
