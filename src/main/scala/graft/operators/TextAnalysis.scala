@@ -640,4 +640,61 @@ object TextAnalysis {
       },
       acc => acc.getField("best"))
   }
+
+  /** Highest multiplicity of any element in `arr` (0 for empty): the
+    * sorted-run fold — sort brings equal elements adjacent, then the
+    * [[maxTokenRun]]-shaped linear scan finds the longest run, which IS
+    * the max multiplicity. O(L log L) per row, array in argument
+    * position and lambdas touching only their own args (the HOF-CSE
+    * O(L²) hazard doesn't apply). Multiplicity, not identity: no
+    * tie-break needed, so the value is deterministic cross-engine.
+    */
+  def maxMultiplicity(arr: Column): Column =
+    aggregate(
+      sort_array(arr),
+      struct(lit("").as("prev"), lit(0L).as("cur"), lit(0L).as("best")),
+      (acc, x) => {
+        val cur = when(x === acc.getField("prev"), acc.getField("cur") + 1L).otherwise(1L)
+        struct(
+          x.as("prev"),
+          cur.as("cur"),
+          greatest(acc.getField("best"), cur).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Adjacent word-trigram array of a word array: three aligned slices
+    * zipped pairwise — `words` appears only in argument position, so it
+    * evaluates once however many slices read it; empty for < 3 words
+    * (`greatest(n-2, 0)`-length slices).
+    */
+  def wordTrigrams(words: Column): Column = {
+    val n3 = greatest(size(words) - 2, lit(0))
+    val a = slice(words, lit(1), n3)
+    val b = slice(words, lit(2), n3)
+    val c = slice(words, lit(3), n3)
+    zip_with(zip_with(a, b, (x, y) => concat(x, lit(" "), y)), c, (x, y) => concat(x, lit(" "), y))
+  }
+
+  /** Gopher-style per-document repetition signals (Rae et al. 2021's
+    * quality heuristics: heavily self-repeating documents are
+    * boilerplate/spam): appends raw counts — whitespace-word total and
+    * distinct, max word multiplicity, trigram total and distinct — from
+    * which the standard fractions (duplicate-word, top-word,
+    * duplicate-trigram) derive as exact integer ppm. Pure per-row
+    * array algebra: no explode, no shuffle, O(L log L) per document —
+    * scan-speed at 100 TB. The word/trigram arrays are materialized
+    * columns referenced twice or more, so CollapseProject can't inline
+    * a copy per consumer.
+    */
+  def repetitionMetrics(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("__w", split(col(textCol), " "))
+      .withColumn("__t", wordTrigrams(col("__w")))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("n_distinct_words", size(array_distinct(col("__w"))).cast("long"))
+      .withColumn("top_word_mult", maxMultiplicity(col("__w")))
+      .withColumn("n_trigrams", size(col("__t")).cast("long"))
+      .withColumn("n_distinct_trigrams", size(array_distinct(col("__t"))).cast("long"))
+      .drop("__w", "__t")
 }

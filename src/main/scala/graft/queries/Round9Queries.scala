@@ -253,12 +253,67 @@ object Round9Queries {
       |FROM a LEFT JOIN b USING (shard)
       |ORDER BY shard NULLS FIRST""".stripMargin
 
+  /** q163 — Gopher-style repetition filter signals
+    * ([[TextAnalysis.repetitionMetrics]]): per-document duplicate-word,
+    * top-word, and duplicate-trigram fractions as exact integer ppm —
+    * the Rae et al. 2021 quality heuristics that gate self-repeating
+    * boilerplate out of training corpora. Pure per-row array algebra
+    * (no explode, no shuffle); the multiplicity fold outputs a COUNT,
+    * not a winning word, so no tie-break can diverge cross-engine.
+    */
+  val q163RepetitionSignals: Q = (s, d) => {
+    val m = graft.operators.TextAnalysis
+      .repetitionMetrics(Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
+    m.select(
+      col("doc_id"),
+      col("n_words"),
+      expr("((n_words - n_distinct_words) * 1000000) div n_words").as("dup_word_ppm"),
+      expr("(top_word_mult * 1000000) div n_words").as("top_word_ppm"),
+      when(col("n_trigrams") >= 1L,
+        expr("((n_trigrams - n_distinct_trigrams) * 1000000) div n_trigrams"))
+        .otherwise(lit(0L))
+        .as("dup_trigram_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: relational formulation of the same counts — unnest +
+    * group-by multiplicities and a `generate_subscripts` self-join for
+    * the trigrams (the engine's slice+zip_with, re-derived
+    * independently); `string_split` matches Spark's `split` on
+    * empty-token semantics. All-BIGINT ppm arithmetic.
+    */
+  val q163Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |base AS (SELECT doc_id, len(ws) AS n_words,
+      |                len(list_distinct(ws)) AS n_distinct FROM w),
+      |u AS (SELECT doc_id, unnest(ws) AS word,
+      |             generate_subscripts(ws, 1) AS o FROM w),
+      |mult AS (SELECT doc_id, MAX(c) AS top_mult
+      |         FROM (SELECT doc_id, word, COUNT(*) AS c FROM u GROUP BY 1, 2)
+      |         GROUP BY 1),
+      |tri AS (SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS g
+      |        FROM u a
+      |        JOIN u b ON b.doc_id = a.doc_id AND b.o = a.o + 1
+      |        JOIN u c ON c.doc_id = a.doc_id AND c.o = a.o + 2),
+      |tstat AS (SELECT doc_id, COUNT(*) AS n3, COUNT(DISTINCT g) AS n3d
+      |          FROM tri GROUP BY 1)
+      |SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+      |  CAST(((b.n_words - b.n_distinct) * 1000000) // b.n_words AS BIGINT) AS dup_word_ppm,
+      |  CAST((m.top_mult * 1000000) // b.n_words AS BIGINT) AS top_word_ppm,
+      |  CAST(CASE WHEN t.n3 >= 1 THEN ((t.n3 - t.n3d) * 1000000) // t.n3
+      |            ELSE 0 END AS BIGINT) AS dup_trigram_ppm
+      |FROM base b
+      |JOIN mult m USING (doc_id)
+      |LEFT JOIN tstat t USING (doc_id)
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q158_fuzzy_entity_pairs" -> q158FuzzyEntities,
     "q159_power_iteration" -> q159PowerIteration,
     "q160_zorder_layout" -> q160ZOrderLayout,
     "q161_redaction_audit" -> q161RedactionAudit,
-    "q162_rendezvous_shards" -> q162RendezvousShards
+    "q162_rendezvous_shards" -> q162RendezvousShards,
+    "q163_repetition_signals" -> q163RepetitionSignals
   )
 
   val oracles: Map[String, String] = Map(
@@ -266,6 +321,7 @@ object Round9Queries {
     "q159_power_iteration" -> q159Sql,
     "q160_zorder_layout" -> q160Sql,
     "q161_redaction_audit" -> q161Sql,
-    "q162_rendezvous_shards" -> q162Sql
+    "q162_rendezvous_shards" -> q162Sql,
+    "q163_repetition_signals" -> q163Sql
   )
 }

@@ -183,6 +183,34 @@ class Round9OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Relational.rendezvousShard(col("k"), 1))
   }
 
+  test("repetitionMetrics: hand-checked counts, short-doc and empty-token edges") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      // 4 words, 2 distinct, top mult 3; trigrams: "a a a","a a b" → 2 distinct
+      (1L, "a a a b"),
+      // 3 words all same; one trigram
+      (2L, "x x x"),
+      // under 3 words → no trigrams
+      (3L, "y z"),
+      // double space → empty token counts as a word (string_split parity)
+      (4L, "p  p")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(df, "text")
+      .select("doc_id", "n_words", "n_distinct_words", "top_word_mult", "n_trigrams", "n_distinct_trigrams")
+      .as[(Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(m(0) == ((1L, 4L, 2L, 3L, 2L, 2L)))
+    assert(m(1) == ((2L, 3L, 1L, 3L, 1L, 1L)))
+    assert(m(2) == ((3L, 2L, 2L, 1L, 0L, 0L)))
+    assert(m(3) == ((4L, 3L, 2L, 2L, 1L, 1L)))
+    // maxMultiplicity on an empty array is 0, not a crash
+    val empty = Seq(Tuple1(Array.empty[String])).toDF("a")
+      .select(TextAnalysis.maxMultiplicity(col("a")).as("m"))
+      .collect()(0).getLong(0)
+    assert(empty == 0L)
+  }
+
   test("redaction regex: word-boundary alternation counts and mask delta hand-checked") {
     import spark.implicits._
     // "customers" must NOT match \bcustomer\b (trailing word char);
