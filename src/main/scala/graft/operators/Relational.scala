@@ -741,6 +741,72 @@ object Relational {
     spark.createDataFrame(numbered, schema)
   }
 
+  /** EXCLUSIVE global prefix sum of `weightCol` in `keyCol` order
+    * WITHOUT a single-reducer window — [[globalRowNumber]]'s sibling
+    * for weights: `SUM(w) OVER (ORDER BY k)` funnels 100 TB through
+    * one partition; here the first pass collects only PER-PARTITION
+    * WEIGHT TOTALS to the driver (`P` longs — bookkeeping, not data)
+    * and the second assigns `offset(partition) + running local sum`.
+    * Row i's output is the total weight STRICTLY BEFORE it — its
+    * half-open interval on the cumulative axis is
+    * `[outCol, outCol + w)`, the form weighted systematic sampling,
+    * weighted splits, and contiguous-chunk packing consume directly.
+    *
+    * Same determinism contract as [[globalRowNumber]] (full orderable
+    * tiebreak within equal keys; sorted rows persisted between the two
+    * passes — release via [[graft.GraftSession.releaseAllCaches]]).
+    * Weights must be non-negative, non-null longs (the cumulative axis
+    * must be monotone) — violations throw per row inside the pass, no
+    * extra validation scan.
+    */
+  def prefixSum(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      numPartitions: Int,
+      outCol: String = "cumw"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    require(
+      df.schema(weightCol).dataType == LongType,
+      s"prefixSum: $weightCol must be LongType (got ${df.schema(weightCol).dataType}) — cast explicitly")
+    val wi = df.schema.fieldIndex(weightCol)
+    def weightOf(r: Row): Long = {
+      if (r.isNullAt(wi)) throw new IllegalArgumentException(s"prefixSum: null $weightCol")
+      val w = r.getLong(wi)
+      if (w < 0L) throw new IllegalArgumentException(s"prefixSum: negative $weightCol ($w)")
+      w
+    }
+    val tiebreak = df.schema.fields
+      .filter(f => f.name != keyCol && RowOrdering.isOrderable(f.dataType))
+      .map(f => col(f.name))
+    val sorted = df
+      .repartitionByRange(numPartitions, col(keyCol))
+      .sortWithinPartitions(col(keyCol) +: tiebreak.toSeq: _*)
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = sorted
+      .mapPartitionsWithIndex { case (i, it) =>
+        Iterator(i -> it.foldLeft(0L)((acc, r) => Math.addExact(acc, weightOf(r))))
+      }
+      .collect()
+      .toMap
+    val offsets = (0 until sorted.getNumPartitions)
+      .scanLeft(0L)((acc, i) => Math.addExact(acc, sums.getOrElse(i, 0L)))
+    val cumulated = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var acc = offsets(i)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ acc)
+        acc = Math.addExact(acc, weightOf(r))
+        out
+      }
+    }
+    val schema = StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    spark.createDataFrame(cumulated, schema)
+  }
+
   /** Grouped top-k through the CUSTOM PHYSICAL OPERATOR
     * ([[graft.plans.TopKPerGroupExec]] — one bounded k-heap per group,
     * O(n log k), no per-group sort) instead of the `Window

@@ -307,13 +307,60 @@ object Round9Queries {
       |LEFT JOIN tstat t USING (doc_id)
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** q164 — weighted systematic sampling (Madow's method, offset 0)
+    * over the document corpus, weight = `n_chars`: lay every document
+    * on the cumulative-weight axis via [[Relational.prefixSum]] — the
+    * windowless distributed prefix sum; `SUM(w) OVER (ORDER BY k)`
+    * would funnel 100 TB through one reducer — then keep the documents
+    * whose half-open interval `[cumw, cumw + w)` contains a multiple
+    * of `stride = W div 50`. `n_hits = (cumw+w) div stride − cumw div
+    * stride` (all terms non-negative, so Spark's truncating `div` and
+    * DuckDB's flooring `//` agree) gives inclusion proportional to
+    * weight with ~50 draws, exactly — no floating point, no RNG, so
+    * the sample is reproducible across engines, partitionings, and
+    * reruns. The only driver traffic beyond prefixSum's P partition
+    * totals is the 1-row total-weight max.
+    */
+  val q164WeightedSample: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars").as("w"))
+    val c = Relational.prefixSum(docs, "doc_id", "w", numPartitions = 8)
+    val tot = c.agg(max(col("cumw") + col("w"))).first().getLong(0)
+    val stride = tot / 50L
+    require(stride >= 1L, s"q164: total weight $tot too small for 50 strata")
+    c.select(
+      col("doc_id"),
+      col("w"),
+      col("cumw"),
+      expr(s"(cumw + w) div $stride - cumw div $stride").as("n_hits"))
+      .filter(col("n_hits") >= 1L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the single-reducer window formulation of the same
+    * cumulative axis (fine at oracle scale, the exact shape the engine
+    * avoids); HUGEINT window/total SUMs cast back to BIGINT.
+    */
+  val q164Sql: String =
+    """WITH w AS (SELECT doc_id, n_chars AS w FROM documents),
+      |c AS (SELECT doc_id, w,
+      |        CAST(COALESCE(SUM(w) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumw
+      |      FROM w),
+      |t AS (SELECT CAST(CAST(SUM(w) AS BIGINT) // 50 AS BIGINT) AS stride FROM w)
+      |SELECT c.doc_id, c.w, c.cumw,
+      |       CAST((c.cumw + c.w) // t.stride - c.cumw // t.stride AS BIGINT) AS n_hits
+      |FROM c, t
+      |WHERE (c.cumw + c.w) // t.stride > c.cumw // t.stride
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q158_fuzzy_entity_pairs" -> q158FuzzyEntities,
     "q159_power_iteration" -> q159PowerIteration,
     "q160_zorder_layout" -> q160ZOrderLayout,
     "q161_redaction_audit" -> q161RedactionAudit,
     "q162_rendezvous_shards" -> q162RendezvousShards,
-    "q163_repetition_signals" -> q163RepetitionSignals
+    "q163_repetition_signals" -> q163RepetitionSignals,
+    "q164_weighted_sample" -> q164WeightedSample
   )
 
   val oracles: Map[String, String] = Map(
@@ -322,6 +369,7 @@ object Round9Queries {
     "q160_zorder_layout" -> q160Sql,
     "q161_redaction_audit" -> q161Sql,
     "q162_rendezvous_shards" -> q162Sql,
-    "q163_repetition_signals" -> q163Sql
+    "q163_repetition_signals" -> q163Sql,
+    "q164_weighted_sample" -> q164Sql
   )
 }

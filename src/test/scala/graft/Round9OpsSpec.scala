@@ -183,6 +183,53 @@ class Round9OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Relational.rendezvousShard(col("k"), 1))
   }
 
+  test("prefixSum: matches the window formulation, exclusive, invariant, guarded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 500L).map(k => (k, rnd.nextInt(100).toLong))
+    val df = rows.toDF("k", "w").repartition(13) // adversarial layout
+    val got = Relational.prefixSum(df, "k", "w", numPartitions = 5)
+      .select("k", "cumw").as[(Long, Long)].collect().toMap
+    // exclusive prefix: reference by plain scala scan in key order
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (k, w) =>
+      assert(got(k) == acc, s"k=$k"); acc += w
+    }
+    // partition-count invariance
+    val got2 = Relational.prefixSum(df.repartition(3), "k", "w", numPartitions = 11)
+      .select("k", "cumw").as[(Long, Long)].collect().toMap
+    assert(got2 == got)
+    // negative and null weights throw inside the pass
+    intercept[org.apache.spark.SparkException] {
+      Seq((1L, -5L)).toDF("k", "w")
+        .transform(Relational.prefixSum(_, "k", "w", 2)).collect()
+    }
+    intercept[org.apache.spark.SparkException] {
+      Seq((1L, Some(1L)), (2L, None)).toDF("k", "w")
+        .transform(Relational.prefixSum(_, "k", "w", 2)).collect()
+    }
+    // non-long weight rejected loudly at plan time
+    intercept[IllegalArgumentException] {
+      Relational.prefixSum(Seq((1L, 1)).toDF("k", "w"), "k", "w", 2)
+    }
+  }
+
+  test("weighted systematic sampling arithmetic: hand-checked strata") {
+    import spark.implicits._
+    // weights [3,1,2,6,2], W=14, stride 2 → points 2,4,6,8,10,12,14:
+    // hits per doc = 1,1,1,3,1 (doc 4 spans [6,12) → points 8,10,12? no:
+    // (6+6)//2 - 6//2 = 6-3 = 3 → points 8,10,12)
+    val docs = Seq((1L, 3L), (2L, 1L), (3L, 2L), (4L, 6L), (5L, 2L)).toDF("k", "w")
+    val c = Relational.prefixSum(docs, "k", "w", 2)
+    val stride = 14L / 7L
+    val hits = c.select(
+      col("k"),
+      expr(s"(cumw + w) div $stride - cumw div $stride").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 1L))
+    assert(hits.values.sum == 7L) // exactly k draws when stride divides W
+  }
+
   test("repetitionMetrics: hand-checked counts, short-doc and empty-token edges") {
     import spark.implicits._
     import graft.operators.TextAnalysis
