@@ -793,6 +793,76 @@ object Dedup {
     * pair) and broadcasts when it fits. Shared by [[keepList]] and
     * [[leakageSafeSplit]] so the labeling semantics cannot diverge.
     */
+  /** EXACT set-similarity join by prefix filtering (the AllPairs /
+    * PPJoin family — Bayardo et al. 2007, Xiao et al. 2008): every
+    * pair with token-set Jaccard ≥ tNum/tDen, with NO false negatives —
+    * the exact counterpart of the approximate MinHash/SimHash families.
+    *
+    * The prefix lemma: order the token universe rarest-first (global
+    * (df, token) order — rare-first minimizes candidates; ANY total
+    * order is correct) and keep each document's first
+    * `k = n − ⌈t·n⌉ + 1` tokens. If J(x,y) ≥ t the prefixes must share
+    * a token, so the equi-join on prefix tokens is a complete candidate
+    * generator whose volume tracks rare-token co-occurrence, not n².
+    * Exact integer verification: J ≥ tNum/tDen ⟺
+    * `tDen·|x∩y| ≥ tNum·(|x|+|y|−|x∩y|)` — no floating point.
+    *
+    * Scale shape: token ranks come from [[graft.operators.Relational.globalRowNumber]]
+    * (windowless — a `ROW_NUMBER() OVER (ORDER BY df)` would
+    * single-reduce a 100 TB vocabulary), the rank-sorted token arrays
+    * build with one grouped sort, and the array frame is persisted
+    * BEFORE the prefix explode (the InferFiltersFromGenerate trap).
+    * Only candidate pairs pay the `array_intersect` verification.
+    *
+    * The verified OUTPUT is independent of the chosen global order —
+    * order affects candidate volume only — which is what lets a
+    * different engine (the DuckDB oracle's window formulation) arrive
+    * at the identical pair set.
+    *
+    * `df` must carry `idCol` and an array column `tokensCol` of
+    * DISTINCT tokens per row. Returns (id_a, id_b, inter, union_n)
+    * with id_a < id_b, one row per qualifying pair.
+    */
+  def prefixFilterSimilarityJoin(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      tNum: Int,
+      tDen: Int): DataFrame = {
+    require(tNum >= 1 && tDen >= 1 && tNum <= tDen, s"need 0 < tNum/tDen <= 1 (got $tNum/$tDen)")
+    val toks = df
+      .select(col(idCol).as("__id"), explode(col(tokensCol)).as("token"))
+    val dfreq = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val ranked = Relational
+      .globalRowNumber(dfreq, "df", numPartitions = 8, outCol = "rank")
+      .select(col("token"), col("rank"))
+    val arrs = toks
+      .join(ranked, Seq("token"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("rank"), col("token")))).as("ts"))
+      .select(
+        col("__id"),
+        transform(col("ts"), x => x.getField("token")).as("toks"),
+        size(col("ts")).cast("long").as("n"))
+      .withColumn("k", col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1L)
+      .persist()
+    arrs.count() // pin ONE evaluation before prefix + both verify sides read it
+    val prefix = arrs.select(col("__id"), explode(slice(col("toks"), lit(1), col("k"))).as("token"))
+    val cands = prefix
+      .select(col("__id").as("id_a"), col("token"))
+      .join(prefix.select(col("__id").as("id_b"), col("token")), Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(arrs.select(col("__id").as("id_a"), col("toks").as("toks_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(arrs.select(col("__id").as("id_b"), col("toks").as("toks_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("union_n", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("inter") * tDen >= col("union_n") * tNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("union_n"))
+  }
+
   private def canonicalLabels(corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs)
     corpus

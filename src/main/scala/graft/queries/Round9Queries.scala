@@ -353,6 +353,68 @@ object Round9Queries {
       |WHERE (c.cumw + c.w) // t.stride > c.cumw // t.stride
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** q165 — EXACT set-similarity self-join
+    * ([[Dedup.prefixFilterSimilarityJoin]], AllPairs/PPJoin prefix
+    * filtering, Jaccard ≥ 19/20): every document pair whose distinct
+    * token sets agree to 95%, with NO false negatives — the exact
+    * counterpart the approximate families (MinHash q20, SimHash q21)
+    * can't promise. Candidates come from an equi-join on rarest-first
+    * token prefixes; the verified output is provably independent of
+    * the global token order, so the oracle's window-formulated
+    * candidates converge to the identical pair set.
+    *
+    * Gated on the first ≤1000 documents: the synthetic corpus draws
+    * every document from a ~30-word vocabulary, so NO global order has
+    * rare tokens and prefix filtering degenerates to near-all-pairs
+    * (measured 12.5 M candidates / 191 k qualifying pairs at sf0.1
+    * unsliced — a property of this fixture's vocabulary, not of the
+    * operator; `Round9OpsSpec` proves exactness against brute force on
+    * realistic random sets). The slice keeps the gate a fixed-size
+    * arithmetic pin at every sf.
+    */
+  val q165ExactSimilarityJoin: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") < 1000L)
+      .select(
+        col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    Dedup
+      .prefixFilterSimilarityJoin(docs, "doc_id", "toks", tNum = 19, tDen = 20)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Oracle: same prefix lemma through the window formulation
+    * (`ROW_NUMBER` per doc over the global (df, token) order — fine at
+    * oracle scale, the single-reducer shape the engine's
+    * globalRowNumber avoids); integer-exact threshold
+    * `20·inter ≥ 19·union`. COUNTs cast to BIGINT.
+    */
+  val q165Sql: String =
+    """WITH toks AS (SELECT doc_id,
+      |         unnest(list_distinct(string_split(text, ' '))) AS token
+      |       FROM documents WHERE doc_id < 1000),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY 1),
+      |nn AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+      |tr AS (SELECT t.doc_id, t.token,
+      |         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY r.df, r.token) AS pos
+      |       FROM toks t JOIN dfreq r USING (token)),
+      |pre AS (SELECT tr.doc_id, tr.token FROM tr JOIN nn USING (doc_id)
+      |        WHERE tr.pos <= nn.n - ((19 * nn.n + 19) // 20) + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM pre a JOIN pre b ON a.token = b.token AND a.doc_id < b.doc_id),
+      |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+      |          FROM cand c
+      |          JOIN toks ta ON ta.doc_id = c.id_a
+      |          JOIN toks tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+      |          GROUP BY 1, 2)
+      |SELECT i.id_a, i.id_b, CAST(i.i AS BIGINT) AS inter,
+      |       CAST(na.n + nb.n - i.i AS BIGINT) AS union_n
+      |FROM inter i
+      |JOIN nn na ON na.doc_id = i.id_a
+      |JOIN nn nb ON nb.doc_id = i.id_b
+      |WHERE 20 * i.i >= 19 * (na.n + nb.n - i.i)
+      |ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q158_fuzzy_entity_pairs" -> q158FuzzyEntities,
     "q159_power_iteration" -> q159PowerIteration,
@@ -360,7 +422,8 @@ object Round9Queries {
     "q161_redaction_audit" -> q161RedactionAudit,
     "q162_rendezvous_shards" -> q162RendezvousShards,
     "q163_repetition_signals" -> q163RepetitionSignals,
-    "q164_weighted_sample" -> q164WeightedSample
+    "q164_weighted_sample" -> q164WeightedSample,
+    "q165_exact_simjoin" -> q165ExactSimilarityJoin
   )
 
   val oracles: Map[String, String] = Map(
@@ -370,6 +433,7 @@ object Round9Queries {
     "q161_redaction_audit" -> q161Sql,
     "q162_rendezvous_shards" -> q162Sql,
     "q163_repetition_signals" -> q163Sql,
-    "q164_weighted_sample" -> q164Sql
+    "q164_weighted_sample" -> q164Sql,
+    "q165_exact_simjoin" -> q165Sql
   )
 }

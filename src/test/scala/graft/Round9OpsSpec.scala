@@ -183,6 +183,35 @@ class Round9OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Relational.rendezvousShard(col("k"), 1))
   }
 
+  test("prefixFilterSimilarityJoin: exactly the brute-force pair set, no false negatives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => f"w$i%02d")
+    // random subsets, plus planted near-identical pairs so the ≥-t set is non-empty
+    val base = (0 until 50).map { id =>
+      (id.toLong, rnd.shuffle(vocab).take(8 + rnd.nextInt(12)).toSet)
+    }
+    val planted = base.take(6).map { case (id, s) =>
+      (id + 100L, if (s.size > 1) s - s.head else s) // drop one token → high Jaccard twin
+    }
+    val docs = (base ++ planted).map { case (id, s) => (id, s.toArray.sorted) }
+    val (tNum, tDen) = (3, 4)
+    val expected = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
+      inter = sa.toSet.intersect(sb.toSet).size
+      uni = sa.length + sb.length - inter
+      if inter * tDen >= uni * tNum
+    } yield (ia, ib, inter.toLong, uni.toLong)).toSet
+    assert(expected.nonEmpty, "fixture must plant qualifying pairs")
+    val got = graft.operators.Dedup
+      .prefixFilterSimilarityJoin(docs.toDF("doc_id", "toks"), "doc_id", "toks", tNum, tDen)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.prefixFilterSimilarityJoin(docs.toDF("doc_id", "toks"), "doc_id", "toks", 5, 4)
+    }
+  }
+
   test("prefixSum: matches the window formulation, exclusive, invariant, guarded") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
