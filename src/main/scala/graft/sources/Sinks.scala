@@ -78,6 +78,20 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Partitioned ORC sink — [[writeParquet]]'s twin for ORC-standardized
+    * estates: same directory-layout pruning contract, and Spark's
+    * native ORC reader does the same min/max-stat predicate pushdown
+    * per stripe, so the 100 TB skipping story carries over unchanged.
+    */
+  def writeOrc(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
   /** Bucketed table sink: hash-bucket (and sort) the data by the join
     * key at write time. Two tables bucketed the same way equi-join with
     * NO shuffle on either side — the planner proves co-partitioning

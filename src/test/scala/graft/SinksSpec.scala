@@ -131,6 +131,21 @@ class SinksSpec extends AnyFunSuite {
     assert(back.filter(col("part") === "a").count() == 2)
   }
 
+  test("writeOrc round-trip: values exact, partition layout, stat pushdown reaches the scan") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)).toDF("id", "part", "v")
+    val out = java.nio.file.Files.createTempDirectory("orcsink").toString
+    Sinks.writeOrc(df, out, Seq("part"))
+    val back = spark.read.orc(out)
+    assert(back.select("id", "part", "v").as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)))
+    assert(new java.io.File(out).listFiles().map(_.getName).count(_.startsWith("part=")) == 2)
+    // predicate pushdown into the native ORC reader, same as parquet
+    val plan = back.filter(col("id") > 1L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,1)"), plan.take(800))
+    assert(back.filter(col("part") === "a").count() == 2)
+  }
+
   test("overwritePartitionsDynamic: only the batch's partitions are replaced") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("dynpart").toString
