@@ -207,6 +207,13 @@ class Round9OpsSpec extends AnyFunSuite {
       .prefixFilterSimilarityJoin(docs.toDF("doc_id", "toks"), "doc_id", "toks", tNum, tDen)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == expected)
+    // invariant under adversarial partitioning — the determinism
+    // contract every pair generator in the catalog carries
+    val got2 = graft.operators.Dedup
+      .prefixFilterSimilarityJoin(
+        docs.toDF("doc_id", "toks").repartition(17), "doc_id", "toks", tNum, tDen)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got2 == expected)
     intercept[IllegalArgumentException] {
       graft.operators.Dedup.prefixFilterSimilarityJoin(docs.toDF("doc_id", "toks"), "doc_id", "toks", 5, 4)
     }
