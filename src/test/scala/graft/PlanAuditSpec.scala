@@ -329,4 +329,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(3000))
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
+
+  test("q161: redaction audit is a pure scan pass — no join, no Window, no Generate") {
+    val p = plan("q161_redaction_audit")
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("Generate"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
+  test("q162: rendezvous winners are a map-side fold — no explode, both rollups read the cached grid") {
+    val p = plan("q162_rendezvous_shards")
+    assert(!p.contains("Generate"), p.take(3000)) // the no-row-inflation claim
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+    assert(p.contains("greatest"), p.take(3000))
+  }
+
+  test("q163: repetition signals are per-row array algebra — no Generate, no Window, no join") {
+    val p = plan("q163_repetition_signals")
+    assert(!p.contains("Generate") && !p.contains("Window") && !p.contains("Join"), p.take(3000))
+  }
+
+  test("q164: weighted sampling has no WindowExec — the cumulative axis comes from the prefix-sum leaf") {
+    val p = plan("q164_weighted_sample")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("Scan ExistingRDD"), p.take(3000))
+  }
+
+  test("q165: exact similarity join has no cartesian/nested-loop — candidates are a token equi-join") {
+    val p = plan("q165_exact_simjoin")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
 }
