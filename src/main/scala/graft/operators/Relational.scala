@@ -1061,6 +1061,36 @@ object Relational {
       .repartitionByRange(numPartitions, col("__zv"))
       .drop("__zv")
 
+  /** Order-independent table checksum — the migration-validation
+    * primitive: a commutative modular sum of per-row [[graft.functions.Hashing.h60]]
+    * hashes over a canonical column rendering, so two copies of a
+    * table compare by ONE number regardless of row order,
+    * partitioning, file layout, or engine (the DuckDB twin reproduces
+    * it bit-for-bit). Any changed, missing, or duplicated row moves
+    * the sum; the modulus (the Mersenne prime 2⁶¹−1) keeps the
+    * accumulator in BIGINT range at any row count via an exact
+    * DECIMAL(38,0) intermediate — ANSI long SUM would overflow-throw.
+    *
+    * Fully map-side-combined single aggregation: scan-speed at 100 TB,
+    * and the commutativity is the point — no global sort is needed to
+    * compare estates. Callers choose columns whose STRING rendering is
+    * engine-exact (integers, strings, dates — not doubles) and free of
+    * the `|` separator; nulls render as a sentinel so `("a", null)` ≠
+    * `("a", "")`.
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableChecksum: need at least one column")
+    val repr = concat_ws(
+      "|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    df.select(graft.functions.Hashing.h60(repr).as("h"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (sum(col("h").cast("decimal(38,0)")) % lit(2305843009213693951L))
+          .cast("long")
+          .as("checksum"))
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment: the shard in
     * `[0, nShards)` maximizing `md5(key ':' shard)` — the placement
     * primitive whose minimal-disruption property (removing one shard

@@ -415,6 +415,49 @@ object Round9Queries {
       |WHERE 20 * i.i >= 19 * (na.n + nb.n - i.i)
       |ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""".stripMargin
 
+  /** q166 — order-independent table checksums
+    * ([[Relational.tableChecksum]]): one BIGINT per table that any
+    * faithful copy reproduces regardless of row order, partitioning,
+    * file layout, or engine — the migration-validation primitive
+    * (compare a 100 TB estate to its re-encoded/re-sharded copy with
+    * one scan per side and a scalar diff). Commutative modular sum of
+    * per-row h60 hashes; columns restricted to engine-exact string
+    * renderings (integers, strings, dates — no doubles).
+    */
+  val q166TableChecksums: Q = (s, d) => {
+    val o = Relational
+      .tableChecksum(
+        Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
+      .select(lit("orders").as("tbl"), col("n_rows"), col("checksum"))
+    val doc = Relational
+      .tableChecksum(
+        Tables.documents(s, d),
+        Seq("doc_id", "lang", "source", "n_chars"))
+      .select(lit("documents").as("tbl"), col("n_rows"), col("checksum"))
+    o.unionByName(doc).orderBy(col("tbl"))
+  }
+
+  /** Oracle: the h60 DuckDB twin (`'0x' || substr(md5(...), 1, 15)`)
+    * over the identical `|`-separated, chr(0)-null-sentinel rendering;
+    * HUGEINT sum reduced mod the same Mersenne prime and cast BIGINT.
+    */
+  val q166Sql: String = {
+    def render(cols: Seq[String]): String =
+      cols
+        .map(c => s"COALESCE(CAST($c AS VARCHAR), chr(0))")
+        .mkString(" || '|' || ")
+    def one(tbl: String, cols: Seq[String]): String =
+      s"""SELECT '$tbl' AS tbl, COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST('0x' || substr(md5(${render(cols)}), 1, 15) AS BIGINT))
+         |       % 2305843009213693951 AS BIGINT) AS checksum
+         |FROM $tbl""".stripMargin
+    one("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")) +
+      "\nUNION ALL\n" +
+      one("documents", Seq("doc_id", "lang", "source", "n_chars")) +
+      "\nORDER BY tbl NULLS FIRST"
+  }
+
   val all: Map[String, Q] = Map(
     "q158_fuzzy_entity_pairs" -> q158FuzzyEntities,
     "q159_power_iteration" -> q159PowerIteration,
@@ -423,7 +466,8 @@ object Round9Queries {
     "q162_rendezvous_shards" -> q162RendezvousShards,
     "q163_repetition_signals" -> q163RepetitionSignals,
     "q164_weighted_sample" -> q164WeightedSample,
-    "q165_exact_simjoin" -> q165ExactSimilarityJoin
+    "q165_exact_simjoin" -> q165ExactSimilarityJoin,
+    "q166_table_checksums" -> q166TableChecksums
   )
 
   val oracles: Map[String, String] = Map(
@@ -434,6 +478,7 @@ object Round9Queries {
     "q162_rendezvous_shards" -> q162Sql,
     "q163_repetition_signals" -> q163Sql,
     "q164_weighted_sample" -> q164Sql,
-    "q165_exact_simjoin" -> q165Sql
+    "q165_exact_simjoin" -> q165Sql,
+    "q166_table_checksums" -> q166Sql
   )
 }

@@ -266,6 +266,27 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(hits.values.sum == 7L) // exactly k draws when stride divides W
   }
 
+  test("tableChecksum: order/partition-invariant, cell-sensitive, null-vs-empty distinct") {
+    import spark.implicits._
+    val base = Seq((1L, "a", "x"), (2L, "b", null), (3L, "c", "")).toDF("id", "s", "t")
+    def ck(df: org.apache.spark.sql.DataFrame): (Long, Long) =
+      Relational.tableChecksum(df, Seq("id", "s", "t")).as[(Long, Long)].collect()(0)
+    val (n0, c0) = ck(base)
+    assert(n0 == 3L)
+    // any layout of the same rows checksums identically
+    assert(ck(base.repartition(7)) == ((n0, c0)))
+    assert(ck(base.orderBy(col("id").desc)) == ((n0, c0)))
+    // one changed cell moves the sum
+    val mutated = Seq((1L, "a", "x"), (2L, "b", null), (3L, "c", "!")).toDF("id", "s", "t")
+    assert(ck(mutated)._2 != c0)
+    // a dropped or duplicated row moves it too
+    assert(ck(base.limit(2))._2 != c0)
+    assert(ck(base.unionAll(base.limit(1)))._2 != c0)
+    // the NUL sentinel keeps null != empty string
+    val nulled = Seq((1L, "a", "x"), (2L, "b", ""), (3L, "c", "")).toDF("id", "s", "t")
+    assert(ck(nulled)._2 != c0)
+  }
+
   test("repetitionMetrics: hand-checked counts, short-doc and empty-token edges") {
     import spark.implicits._
     import graft.operators.TextAnalysis
