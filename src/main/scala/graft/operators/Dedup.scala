@@ -847,11 +847,26 @@ object Dedup {
       .withColumn("k", col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1L)
       .persist()
     arrs.count() // pin ONE evaluation before prefix + both verify sides read it
-    val prefix = arrs.select(col("__id"), explode(slice(col("toks"), lit(1), col("k"))).as("token"))
+    val prefix = arrs.select(
+      col("__id"),
+      col("n"),
+      explode(slice(col("toks"), lit(1), col("k"))).as("token"))
+    // Candidate join carries the AllPairs SIZE FILTER alongside the
+    // prefix-token equality: J ≥ t forces inter ≥ t·max(|x|,|y|) and
+    // inter ≤ min(|x|,|y|), so min·tDen ≥ max·tNum — pairs whose set
+    // sizes differ more than the threshold allows never reach
+    // verification. Correctness-preserving (a pruned pair provably
+    // fails the gate); on near-uniform-vocabulary corpora this is the
+    // filter still standing when rare-token selectivity degenerates.
     val cands = prefix
-      .select(col("__id").as("id_a"), col("token"))
-      .join(prefix.select(col("__id").as("id_b"), col("token")), Seq("token"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("__id").as("id_a"), col("n").as("n_a"), col("token"))
+      .join(
+        prefix.select(col("__id").as("id_b"), col("n").as("n_b"), col("token")),
+        Seq("token"))
+      .filter(
+        col("id_a") < col("id_b") &&
+          col("n_a") * tDen >= col("n_b") * tNum &&
+          col("n_b") * tDen >= col("n_a") * tNum)
       .select(col("id_a"), col("id_b"))
       .distinct()
     cands
