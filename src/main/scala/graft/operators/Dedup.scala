@@ -772,6 +772,12 @@ object Dedup {
       .filter(col("name").isNotNull)
       .distinct()
       .withColumn("block", blockOf(col("name")))
+      .persist()
+    // The block-size gate action doubles as the cache pin: without the
+    // persist, the distinct-name universe recomputes three times (gate
+    // + both self-join sides) — the fan-out-recompute class the repo
+    // pins against everywhere else. Released with the session's
+    // releaseAllCaches, like every operator-level cache.
     val biggestRow = names.groupBy(col("block")).count().agg(max(col("count"))).first()
     val biggest = if (biggestRow.isNullAt(0)) 0L else biggestRow.getLong(0)
     require(biggest <= maxBlockRows,
@@ -786,13 +792,6 @@ object Dedup {
       .select(col("name_a"), col("name_b"), col("dist"))
   }
 
-  /** One row per corpus id with its near-dup cluster's canonical id:
-    * [[connectedComponents]] labels over `pairs` left-joined onto the
-    * corpus; ids absent from the pairs are canonical to themselves.
-    * The labels frame is the small side (only documents appearing in a
-    * pair) and broadcasts when it fits. Shared by [[keepList]] and
-    * [[leakageSafeSplit]] so the labeling semantics cannot diverge.
-    */
   /** EXACT set-similarity join by prefix filtering (the AllPairs /
     * PPJoin family — Bayardo et al. 2007, Xiao et al. 2008): every
     * pair with token-set Jaccard ≥ tNum/tDen, with NO false negatives —
@@ -878,6 +877,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("union_n"))
   }
 
+  /** One row per corpus id with its near-dup cluster's canonical id:
+    * [[connectedComponents]] labels over `pairs` left-joined onto the
+    * corpus; ids absent from the pairs are canonical to themselves.
+    * The labels frame is the small side (only documents appearing in a
+    * pair) and broadcasts when it fits. Shared by [[keepList]] and
+    * [[leakageSafeSplit]] so the labeling semantics cannot diverge.
+    */
   private def canonicalLabels(corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs)
     corpus

@@ -814,19 +814,22 @@ object Graph {
         col(dstName).cast("long").as("dst"),
         col(wName).cast("long").as("w"))
     val rawRdd = rawPlan.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val canon = materialize(
-      spark.createDataFrame(rawRdd, rawPlan.schema)
-        .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"), col("w"))
-        .filter(col("src") =!= col("dst"))
-        .groupBy(col("src"), col("dst"))
-        .agg(min(col("w")).as("w")))
-    canon.count()
-    rawRdd.unpersist()
-    // Positive-cost contract check + throw-path cache cleanup: the count
-    // reads the already-cached canonical leaf (no recompute), and any
-    // throw from here on unpersists the leaves before propagating —
-    // otherwise a mid-loop failure leaks them for the session.
+    // Throw-path cleanup covers EVERY action after the first persist —
+    // including canon's own materializing count, where caller-plan
+    // errors (ANSI overflow in a derived cost, source read failures)
+    // actually surface; starting the try any later would leak rawRdd
+    // and the canon leaf on exactly those throws.
     try {
+      val canon = materialize(
+        spark.createDataFrame(rawRdd, rawPlan.schema)
+          .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"), col("w"))
+          .filter(col("src") =!= col("dst"))
+          .groupBy(col("src"), col("dst"))
+          .agg(min(col("w")).as("w")))
+      canon.count()
+      rawRdd.unpersist()
+      // Positive-cost contract check: the count reads the already-cached
+      // canonical leaf (no recompute).
       val nonPos = canon.filter(col("w") < 1L).count()
       require(nonPos == 0L,
         s"weightedDistances: $nonPos edge(s) with non-positive cost — " +
@@ -849,6 +852,7 @@ object Graph {
     } catch {
       case t: Throwable =>
         leaves.foreach(_.unpersist())
+        rawRdd.unpersist() // no-op if the success path already released it
         throw t
     }
   }

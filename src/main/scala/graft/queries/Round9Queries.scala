@@ -263,7 +263,12 @@ object Round9Queries {
     */
   val q163RepetitionSignals: Q = (s, d) => {
     val m = graft.operators.TextAnalysis
-      .repetitionMetrics(Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
+      .repetitionMetrics(
+        // NULL text filtered on BOTH sides: the engine would keep the row
+        // with null metrics while the oracle's inner JOIN on the
+        // multiplicity CTE would drop it — latent parity divergence.
+        Tables.documents(s, d).select(col("doc_id"), col("text")).filter(col("text").isNotNull),
+        "text")
     m.select(
       col("doc_id"),
       col("n_words"),
@@ -283,7 +288,8 @@ object Round9Queries {
     * empty-token semantics. All-BIGINT ppm arithmetic.
     */
   val q163Sql: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |       FROM documents WHERE text IS NOT NULL),
       |base AS (SELECT doc_id, len(ws) AS n_words,
       |                len(list_distinct(ws)) AS n_distinct FROM w),
       |u AS (SELECT doc_id, unnest(ws) AS word,
@@ -324,7 +330,10 @@ object Round9Queries {
   val q164WeightedSample: Q = (s, d) => {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars").as("w"))
     val c = Relational.prefixSum(docs, "doc_id", "w", numPartitions = 8)
-    val tot = c.agg(max(col("cumw") + col("w"))).first().getLong(0)
+    val totRow = c.agg(max(col("cumw") + col("w"))).first()
+    // A null max means an empty corpus — fail with the contract message,
+    // not an opaque NPE from getLong.
+    val tot = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
     val stride = tot / 50L
     require(stride >= 1L, s"q164: total weight $tot too small for 50 strata")
     c.select(

@@ -393,6 +393,19 @@ class GraphSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("weightedDistances: a throw from the canon-materializing action itself leaks nothing") {
+    import spark.implicits._
+    GraftSession.releaseAllCaches(spark)
+    // The caller-derived cost throws during canon's OWN count (ANSI
+    // division by zero) — before the contract check, after rawRdd is
+    // persisted. The try must already be open there.
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("a", "b", "c")
+      .withColumn("c", expr("c div (c - c)"))
+    val seeds = Seq(1L).toDF("n")
+    intercept[Throwable](Graph.weightedDistances(e, seeds, rounds = 2))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("hits: mid-loop failure unpersists e/nodes/score caches before rethrowing") {
     import spark.implicits._
     GraftSession.releaseAllCaches(spark)

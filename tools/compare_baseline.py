@@ -28,12 +28,30 @@ def load_baseline():
 
 
 def load_bench(path):
-    raw = Path(path).read_text()
-    # Accept either the driver's wrapper ({"parsed": {...}}) or the raw line.
-    data = json.loads(raw)
-    if "parsed" in data:
-        data = data["parsed"]
-    return data
+    """Accept any of: the round-9 two-line Bench stdout (queries_full line
+    + compact total line — merged so the full per-query map rides with the
+    total/calib), a single-line pre-r9 record, or the driver's wrapper
+    ({"parsed": {...}} — whose `queries` holds only the 20 slowest, so a
+    sibling queries_full line, if present, replaces it)."""
+    lines = [ln for ln in Path(path).read_text().splitlines() if ln.strip()]
+    docs = [json.loads(ln) for ln in lines]
+    full, total = None, None
+    for d in docs:
+        if "parsed" in d and isinstance(d["parsed"], dict):
+            d = d["parsed"]
+        if d.get("metric") == "queries_full":
+            full = d
+        elif "queries" in d or "value" in d:
+            total = d
+    if total is None:
+        raise SystemExit(f"{path}: no bench record found in {len(docs)} JSON line(s)")
+    if full is not None:
+        total = {**total, "queries": full["queries"]}
+    elif len(total.get("queries", {})) <= 20 and total.get("n_queries", 0) > 20:
+        print(f"WARNING: {path} carries only the {len(total['queries'])} slowest "
+              f"queries of {total['n_queries']} — no queries_full line found; "
+              "ratios below cover that subset only.\n")
+    return total
 
 
 def compare_runs(cur_path, prev_path, threshold):
