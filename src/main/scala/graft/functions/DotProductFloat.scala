@@ -96,6 +96,10 @@ object GraftFunctions {
       "graft_dot_dec",
       exprs => DotProductDecimal(exprs.head, exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_max_mult",
+      exprs => ArrayMaxMultiplicity(exprs.head),
+      "built-in")
   }
 }
 
@@ -115,6 +119,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_dot_dec"),
         new ExpressionInfo(classOf[DotProductDecimal].getCanonicalName, "graft_dot_dec"),
         (exprs: Seq[Expression]) => DotProductDecimal(exprs.head, exprs(1))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_max_mult"),
+        new ExpressionInfo(classOf[ArrayMaxMultiplicity].getCanonicalName, "graft_max_mult"),
+        (exprs: Seq[Expression]) => ArrayMaxMultiplicity(exprs.head)))
     // The whole-operator extension stack: GRAFT_TOPK hint → custom
     // logical node → custom physical operator (graft.plans.TopKPerGroup).
     ext.injectResolutionRule(spark => graft.plans.ResolveTopKHint(spark))

@@ -641,15 +641,25 @@ object TextAnalysis {
       acc => acc.getField("best"))
   }
 
-  /** Highest multiplicity of any element in `arr` (0 for empty): the
-    * sorted-run fold — sort brings equal elements adjacent, then the
-    * [[maxTokenRun]]-shaped linear scan finds the longest run, which IS
-    * the max multiplicity. O(L log L) per row, array in argument
-    * position and lambdas touching only their own args (the HOF-CSE
-    * O(L²) hazard doesn't apply). Multiplicity, not identity: no
-    * tie-break needed, so the value is deterministic cross-engine.
+  /** Highest multiplicity of any element in `arr` (0 for empty), via
+    * the native codegen [[graft.functions.ArrayMaxMultiplicity]]
+    * (`graft_max_mult`, registered by every [[graft.GraftSession]]):
+    * sort brings equal elements adjacent, the longest equal-run IS the
+    * max multiplicity. O(L log L) per row inside WholeStageCodegen —
+    * the `aggregate(sort_array(...))` fold it replaced evaluated
+    * interpreted AND ejected the whole projection from codegen (see
+    * [[hofMaxMultiplicity]], kept as the fold reference the spec
+    * cross-checks). Multiplicity, not identity: no tie-break exists,
+    * so the value is deterministic cross-engine.
     */
-  def maxMultiplicity(arr: Column): Column =
+  def maxMultiplicity(arr: Column): Column = call_function("graft_max_mult", arr)
+
+  /** The HOF-fold formulation of [[maxMultiplicity]] — retained as the
+    * independent reference implementation the spec equivalence-checks
+    * the native expression against (and a worked example of the
+    * argument-position fold discipline).
+    */
+  def hofMaxMultiplicity(arr: Column): Column =
     aggregate(
       sort_array(arr),
       struct(lit("").as("prev"), lit(0L).as("cur"), lit(0L).as("best")),
