@@ -100,6 +100,20 @@ object GraftFunctions {
       "graft_max_mult",
       exprs => ArrayMaxMultiplicity(exprs.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gram_hashes",
+      exprs => GramHashes(exprs.head, foldableInt(exprs(1), "graft_gram_hashes k")),
+      "built-in")
+  }
+
+  /** Extract a literal int argument (the gram width) at resolution time. */
+  private[functions] def foldableInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"$what must be an integer, got $other")
+    }
   }
 }
 
@@ -124,6 +138,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_max_mult"),
         new ExpressionInfo(classOf[ArrayMaxMultiplicity].getCanonicalName, "graft_max_mult"),
         (exprs: Seq[Expression]) => ArrayMaxMultiplicity(exprs.head)))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_gram_hashes"),
+        new ExpressionInfo(classOf[GramHashes].getCanonicalName, "graft_gram_hashes"),
+        (exprs: Seq[Expression]) =>
+          GramHashes(exprs.head, GraftFunctions.foldableInt(exprs(1), "graft_gram_hashes k"))))
     // The whole-operator extension stack: GRAFT_TOPK hint → custom
     // logical node → custom physical operator (graft.plans.TopKPerGroup).
     ext.injectResolutionRule(spark => graft.plans.ResolveTopKHint(spark))

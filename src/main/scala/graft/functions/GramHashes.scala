@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: position-ordered [[Hashing.h32]] hashes
+  * of every character `k`-gram of the LOWERCASED text — the rolling
+  * hash stream under winnowing fingerprints and content-defined
+  * segmentation (q79/q80/q91/q97, the engine's md5-bound family).
+  *
+  * Semantics are bit-identical to the composed form it replaces
+  * (`transform(charGramsAll(lower(text), k), g => h32(g))`): Spark's
+  * `lower` is `UTF8String.toLowerCase`, its `split(s, "")` yields CODE
+  * POINTS, and `md5(gram)` hashes the gram's UTF-8 bytes — so this
+  * kernel walks the lowered text's bytes once, records each code
+  * point's byte offset, and feeds every k-gram's byte slice straight
+  * into one thread-local MessageDigest. No per-gram string objects, no
+  * slice/zip_with intermediate arrays, no interpreted lambda dispatch
+  * — and the stage stays inside whole-stage codegen, which any
+  * higher-order function would eject it from.
+  *
+  * Texts shorter than `k` code points yield an EMPTY array (the
+  * descending-`sequence` guard of the composed form). h32 = the first
+  * 8 md5 hex digits as an unsigned 32-bit value in a BIGINT — the
+  * DuckDB twin is unchanged.
+  */
+case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1 && k <= 64, s"graft_gram_hashes: k in [1,64]; got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_gram_hashes requires string, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_gram_hashes"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GramHashes.compute(a.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => s"${ev.value} = graft.functions.GramHashes.compute($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GramHashes {
+
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Row kernel (static entry for the generated Java): lowercase,
+    * index code-point byte offsets, md5 each k-gram byte slice, take
+    * the first 4 digest bytes as an unsigned 32-bit value.
+    */
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val lower = text.toLowerCase
+    val bytes = lower.getBytes
+    val nBytes = bytes.length
+    // code-point start offsets, plus the end sentinel
+    var cp = 0
+    var i = 0
+    while (i < nBytes) { i += utf8Len(bytes(i)); cp += 1 }
+    val nGrams = cp - (k - 1)
+    if (nGrams < 1) return new GenericArrayData(Array.empty[Long])
+    val offsets = new Array[Int](cp + 1)
+    i = 0
+    var j = 0
+    while (i < nBytes) { offsets(j) = i; i += utf8Len(bytes(i)); j += 1 }
+    offsets(cp) = nBytes
+    val md = digests.get()
+    val out = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      md.reset()
+      md.update(bytes, offsets(g), offsets(g + k) - offsets(g))
+      val d = md.digest()
+      out(g) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def utf8Len(b: Byte): Int = {
+    val u = b & 0xff
+    if (u < 0x80) 1
+    else if (u < 0xe0) 2
+    else if (u < 0xf0) 3
+    else 4
+  }
+}

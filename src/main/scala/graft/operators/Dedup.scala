@@ -115,7 +115,16 @@ object Dedup {
     * it as a column referenced ≥ 2× (see [[winnowFingerprints]]'s
     * inlining note).
     */
-  def charGramHashes(text: Column, k: Int): Column = {
+  def charGramHashes(text: Column, k: Int): Column =
+    call_function("graft_gram_hashes", text, lit(k))
+
+  /** The composed-operator formulation of [[charGramHashes]] — retained
+    * as the independent reference the spec equivalence-checks the
+    * native [[graft.functions.GramHashes]] kernel against (HOF
+    * `transform` evaluates interpreted and ejects the stage from
+    * codegen, which is why the native path exists).
+    */
+  def hofCharGramHashes(text: Column, k: Int): Column = {
     val n = length(text) - (k - 1)
     when(n >= 1, transform(charGramsAll(text, k), g => h32(g)))
       .otherwise(typedLit(Seq.empty[Long]))
@@ -147,9 +156,6 @@ object Dedup {
     * per row.
     */
   def winnowFingerprints(df: DataFrame, textCol: String, k: Int, w: Int, outCol: String): DataFrame = {
-    val nGrams = length(col(textCol)) - (k - 1)
-    val grams = when(nGrams >= 1, charGramsAll(col(textCol), k))
-      .otherwise(typedLit(Seq.empty[String]))
     val nWins = size(col("__wf_hs")) - (w - 1)
     val mins = when(
       nWins >= 1,
@@ -157,7 +163,10 @@ object Dedup {
         .map(o => slice(col("__wf_hs"), lit(o + 1), nWins))
         .reduce((a, b) => zip_with(a, b, (x, y) => least(x, y))))
       .otherwise(typedLit(Seq.empty[Long]))
-    df.withColumn("__wf_hs", transform(grams, g => h32(g)))
+    // Hash stage through the native kernel (one md5 pass over byte
+    // slices, inside codegen) — the composed grams+transform stage it
+    // replaces is hofCharGramHashes, equivalence-gated in its spec.
+    df.withColumn("__wf_hs", charGramHashes(col(textCol), k))
       .withColumn(outCol, array_sort(array_distinct(mins)))
       .drop("__wf_hs")
   }

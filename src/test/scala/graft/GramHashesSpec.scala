@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{GraftFunctions, GramHashes}
+import graft.operators.Dedup
+
+/** The native `graft_gram_hashes` expression: bit-equivalence against
+  * the independent composed reference ([[Dedup.hofCharGramHashes]] —
+  * lower→split→slice/zip_with→md5 per gram) on adversarial inputs
+  * including multi-byte code points, codegen fusion, and the row
+  * kernel directly.
+  */
+class GramHashesSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(4, appName = "gramhashes-spec")
+
+  test("agrees with the composed lower/split/md5 reference, incl. multi-byte text") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(41)
+    // mixed 1/2/3/4-byte code points, uppercase (exercises the
+    // internal lowercase), spaces, repeats
+    val alphabet = "aA bB zZ éÉ ßü 中文 𝒳😀".toVector
+    val rows: Seq[String] = (0 until 300).map { _ =>
+      val n = rnd.nextInt(40)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+    } ++ Seq("", "a", "ab", "ABC", "ééé", "𝒳𝒳𝒳𝒳", "exact")
+    for (k <- Seq(1, 3, 5)) {
+      val both = rows.toDF("text")
+        .select(
+          Dedup.charGramHashes(col("text"), k).as("native"),
+          Dedup.hofCharGramHashes(col("text"), k).as("composed"))
+        .collect()
+      both.zipWithIndex.foreach { case (r, i) =>
+        assert(
+          r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"k=$k row $i (${rows(i).take(30)}): native=${r.getSeq[Long](0)} composed=${r.getSeq[Long](1)}")
+      }
+    }
+  }
+
+  test("null text propagates null; shorter-than-k yields empty; k must be a literal in range") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val r = Seq(Tuple1(null: String), Tuple1("ab")).toDF("text")
+      .select(Dedup.charGramHashes(col("text"), 3).as("h"))
+      .collect()
+    assert(r(0).isNullAt(0))
+    assert(r(1).getSeq[Long](0).isEmpty)
+    intercept[Exception] {
+      Seq(Tuple1("x")).toDF("t")
+        .select(call_function("graft_gram_hashes", col("t"), col("t"))).collect()
+    }
+    intercept[Exception] {
+      GramHashes(org.apache.spark.sql.catalyst.expressions.Literal("x"), 0)
+    }
+    // non-string input rejected at analysis
+    intercept[Exception] {
+      Seq(Tuple1(1L)).toDF("x").select(Dedup.charGramHashes(col("x"), 3)).collect()
+    }
+  }
+
+  test("runs inside whole-stage codegen — the reason it exists") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // parquet-backed source: a local relation constant-folds the whole
+    // projection away and leaves no codegen stage to inspect
+    val df = Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 50)
+      .select(size(Dedup.charGramHashes(col("text"), 5)).as("n"))
+    assert(df.collect().forall(_.getInt(0) >= 0))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_gram_hashes"), plan.take(1500))
+    assert(!plan.contains("CodegenFallback"), plan.take(1500))
+  }
+
+  test("row kernel directly: code-point windows over the lowered bytes") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(s: String, k: Int): Seq[Long] = {
+      val ad = GramHashes.compute(UTF8String.fromString(s), k)
+      (0 until ad.numElements()).map(ad.getLong)
+    }
+    def md5h32(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+          .take(4)
+          .map(b => f"${b & 0xff}%02x")
+          .mkString,
+        16)
+    assert(h("", 2).isEmpty)
+    assert(h("a", 2).isEmpty)
+    assert(h("AbC", 2) == Seq(md5h32("ab"), md5h32("bc")))
+    // multi-byte: É lowers to é (2 bytes); grams are code-point windows
+    assert(h("Éx中", 2) == Seq(md5h32("éx"), md5h32("x中")))
+  }
+}
