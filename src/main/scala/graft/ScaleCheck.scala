@@ -54,11 +54,7 @@ object ScaleCheck {
     // Tables.documents already applies spreadFewSplits at the source —
     // no per-workload wrapper needed.
     def shingled: DataFrame = docs
-      .select(
-        col("doc_id"),
-        array_distinct(
-          transform(Dedup.charShingles(col("text"), 5), t => graft.functions.Hashing.h32(t)))
-          .as("hs"))
+      .select(col("doc_id"), Dedup.shingleHashes(col("text"), 5).as("hs"))
 
     def verifiedPairs: DataFrame = {
       val sh = shingled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

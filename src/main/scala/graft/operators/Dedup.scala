@@ -65,6 +65,27 @@ object Dedup {
         .otherwise(typedLit(Seq.empty[String])))
   }
 
+  /** Distinct h32 hashes of the text's character `w`-shingles — the
+    * pre-hashed shingle-set every MinHash/verify pipeline carries
+    * (int64 arrays ship ~5× fewer shuffle bytes than raw 5-char
+    * strings, and set Jaccard is invariant under the hash; the DuckDB
+    * oracles apply the identical md5-derived hash). One native
+    * [[graft.functions.GramHashes]] pass over the text's bytes —
+    * set-identical to `array_distinct(transform(charShingles(text, w),
+    * h32))` (both compute {h32(g) : g ∈ grams}; hashing before or
+    * after the distinct cannot change the value set), which is
+    * retained as [[hofShingleHashes]] and equivalence-gated in
+    * GramHashesSpec. All consumers (array_min signature folds,
+    * intersect/union cardinalities) are order- and
+    * multiplicity-invariant.
+    */
+  def shingleHashes(text: Column, w: Int): Column =
+    array_distinct(charGramHashes(text, w))
+
+  /** Composed-operator reference for [[shingleHashes]] (spec-only). */
+  def hofShingleHashes(text: Column, w: Int): Column =
+    array_distinct(transform(charShingles(text, w), t => h32(t)))
+
   /** Distinct whitespace tokens (the word-set view of a document). */
   def tokenSet(text: Column): Column = array_distinct(split(text, " "))
 

@@ -53,15 +53,14 @@ object PipelineQueries {
     // on any real multi-split table)
     val docs = Relational.spreadFewSplits(
       Tables.documents(s, d).filter(col("doc_id") < 1000), "doc_id")
-    // Shingles hashed to 32-bit longs ONCE (h32 — the same base hash
-    // the signature folds); the exact-Jaccard verify consumes the long
-    // arrays, shipping ~5× fewer bytes than raw 5-char strings. Set
-    // Jaccard is invariant under the hash and the oracle mirrors it.
+    // Shingles hashed to 32-bit longs ONCE (one native
+    // graft_gram_hashes pass; h32 is the same base hash the signature
+    // folds); the exact-Jaccard verify consumes the long arrays,
+    // shipping ~5× fewer bytes than raw 5-char strings. Set Jaccard
+    // is invariant under the hash and the oracle mirrors it.
     val shingled = docs.select(
       col("doc_id"),
-      array_distinct(
-        transform(Dedup.charShingles(col("text"), 5), t => graft.functions.Hashing.h32(t)))
-        .as("hs"))
+      Dedup.shingleHashes(col("text"), 5).as("hs"))
     // The signature plan (shingle + k·affine-min per doc) feeds FOUR
     // consumers (both sides of the LSH self-join, both est-jaccard
     // probes). Persist the compact signature table — id + k longs, the

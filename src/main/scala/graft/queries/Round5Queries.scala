@@ -344,11 +344,7 @@ object Round5Queries {
     // the oracle applies the identical hash).
     val shingled = Relational
       .spreadFewSplits(docs.select(col("doc_id"), col("text")), "doc_id")
-      .select(
-        col("doc_id"),
-        array_distinct(
-          transform(Dedup.charShingles(col("text"), 5), t => graft.functions.Hashing.h32(t)))
-          .as("hs"))
+      .select(col("doc_id"), Dedup.shingleHashes(col("text"), 5).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = Dedup
       .minHashSignatureFromHashes(shingled, "doc_id", "hs", 12)
@@ -483,11 +479,7 @@ object Round5Queries {
     // raw-shingle form as the suite's heaviest shuffle and the source
     // of q99's rep-over-rep writeback-debt growth.
     val shingled = docs
-      .select(
-        col("doc_id"),
-        array_distinct(
-          transform(Dedup.charShingles(col("text"), 5), t => graft.functions.Hashing.h32(t)))
-          .as("hs"))
+      .select(col("doc_id"), Dedup.shingleHashes(col("text"), 5).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = Dedup.minHashSignatureFromHashes(shingled, "doc_id", "hs", 12).drop("hs")
     val corpusSig = sig.filter(col("doc_id") < 400)

@@ -39,6 +39,29 @@ class GramHashesSpec extends AnyFunSuite {
     }
   }
 
+  test("shingleHashes is set-identical to the composed distinct-shingle->h32 reference") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(59)
+    // tiny alphabet: guarantees repeated grams, so the distinct paths differ
+    val rows: Seq[String] = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(60)).map(_ => "abAB ".charAt(rnd.nextInt(5))).mkString
+    } ++ Seq("", "aaaaaaa", "ababab")
+    val both = rows.toDF("text")
+      .select(
+        Dedup.shingleHashes(col("text"), 5).as("native"),
+        Dedup.hofShingleHashes(col("text"), 5).as("composed"))
+      .collect()
+    both.zipWithIndex.foreach { case (r, i) =>
+      // consumers are set-semantics; compare as sorted sets AND assert
+      // the native side is already duplicate-free
+      val n = r.getSeq[Long](0)
+      val c = r.getSeq[Long](1)
+      assert(n.distinct == n, s"row $i: native side carries duplicates")
+      assert(n.sorted == c.sorted, s"row $i (${rows(i).take(30)}): native=$n composed=$c")
+    }
+  }
+
   test("null text propagates null; shorter-than-k yields empty; k must be a literal in range") {
     import spark.implicits._
     GraftFunctions.register(spark)
