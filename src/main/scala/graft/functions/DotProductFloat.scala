@@ -104,6 +104,25 @@ object GraftFunctions {
       "graft_gram_hashes",
       exprs => GramHashes(exprs.head, foldableInt(exprs(1), "graft_gram_hashes k")),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vocab_hits",
+      exprs => mkVocabHits(exprs),
+      "built-in")
+  }
+
+  /** `graft_vocab_hits(text, 'w1', 'w2', ...)` — trailing literal
+    * string args become the vocabulary.
+    */
+  private[functions] def mkVocabHits(exprs: Seq[Expression]): VocabHits = {
+    require(exprs.size >= 2, "graft_vocab_hits(text, word...) needs at least one word")
+    val words = exprs.tail.map { e =>
+      require(e.foldable, "graft_vocab_hits vocabulary must be string literals")
+      e.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(s"vocab word must be a string, got $other")
+      }
+    }
+    VocabHits(exprs.head, words)
   }
 
   /** Extract a literal int argument (the gram width) at resolution time. */
@@ -144,6 +163,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GramHashes].getCanonicalName, "graft_gram_hashes"),
         (exprs: Seq[Expression]) =>
           GramHashes(exprs.head, GraftFunctions.foldableInt(exprs(1), "graft_gram_hashes k"))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_vocab_hits"),
+        new ExpressionInfo(classOf[VocabHits].getCanonicalName, "graft_vocab_hits"),
+        (exprs: Seq[Expression]) => GraftFunctions.mkVocabHits(exprs)))
     // The whole-operator extension stack: GRAFT_TOPK hint → custom
     // logical node → custom physical operator (graft.plans.TopKPerGroup).
     ext.injectResolutionRule(spark => graft.plans.ResolveTopKHint(spark))

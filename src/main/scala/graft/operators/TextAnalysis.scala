@@ -23,8 +23,18 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
     "fr" -> Seq("le", "la", "et", "les", "des", "est"))
 
-  /** Number of whitespace tokens that belong to `vocab`. */
+  /** Number of whitespace tokens that belong to `vocab` — one native
+    * [[graft.functions.VocabHits]] byte walk per row (no token array,
+    * stays in whole-stage codegen).
+    */
   def markerHits(text: Column, vocab: Seq[String]): Column =
+    call_function("graft_vocab_hits", text +: vocab.map(lit): _*)
+
+  /** Composed-operator reference for [[markerHits]] (spec-only): the
+    * interpreted split→filter→isin formulation the native kernel is
+    * equivalence-gated against.
+    */
+  def hofMarkerHits(text: Column, vocab: Seq[String]): Column =
     size(filter(split(text, " "), t => t.isin(vocab.map(_.asInstanceOf[Any]): _*)))
       .cast("long")
 
