@@ -108,6 +108,10 @@ object GraftFunctions {
       "graft_vocab_hits",
       exprs => mkVocabHits(exprs),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => MinHashFold(exprs.head, foldableInt(exprs(1), "graft_minhash k")),
+      "built-in")
   }
 
   /** `graft_vocab_hits(text, 'w1', 'w2', ...)` — trailing literal
@@ -168,6 +172,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_vocab_hits"),
         new ExpressionInfo(classOf[VocabHits].getCanonicalName, "graft_vocab_hits"),
         (exprs: Seq[Expression]) => GraftFunctions.mkVocabHits(exprs)))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_minhash"),
+        new ExpressionInfo(classOf[MinHashFold].getCanonicalName, "graft_minhash"),
+        (exprs: Seq[Expression]) =>
+          MinHashFold(exprs.head, GraftFunctions.foldableInt(exprs(1), "graft_minhash k"))))
     // The whole-operator extension stack: GRAFT_TOPK hint → custom
     // logical node → custom physical operator (graft.plans.TopKPerGroup).
     ext.injectResolutionRule(spark => graft.plans.ResolveTopKHint(spark))

@@ -272,6 +272,28 @@ object Dedup {
       idCol: String,
       hashesCol: String,
       k: Int): DataFrame =
+    // One native pass computes all k running minima in registers
+    // ([[graft.functions.MinHashFold]]); the composed k-fold form is
+    // retained as [[hofMinHashSignatureFromHashes]] and
+    // equivalence-gated in its spec.
+    df.select(
+      col(idCol),
+      col(hashesCol),
+      call_function("graft_minhash", col(hashesCol), lit(k)).as("__mh"))
+      .select(
+        col(idCol) +:
+          col(hashesCol) +:
+          (0 until k).map(j => col("__mh").getItem(j).as(s"mh$j")): _*)
+
+  /** Composed-operator reference for [[minHashSignatureFromHashes]]
+    * (spec-only): k independent interpreted `array_min(transform)`
+    * folds.
+    */
+  def hofMinHashSignatureFromHashes(
+      df: DataFrame,
+      idCol: String,
+      hashesCol: String,
+      k: Int): DataFrame =
     df.select(
       col(idCol) +:
         col(hashesCol) +:
