@@ -102,7 +102,8 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gram_hashes",
-      exprs => GramHashes(exprs.head, foldableInt(exprs(1), "graft_gram_hashes k")),
+      exprs => { val a = arity2(exprs, "graft_gram_hashes")
+        GramHashes(a.head, foldableInt(a(1), "graft_gram_hashes k")) },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vocab_hits",
@@ -110,7 +111,8 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash",
-      exprs => MinHashFold(exprs.head, foldableInt(exprs(1), "graft_minhash k")),
+      exprs => { val a = arity2(exprs, "graft_minhash")
+        MinHashFold(a.head, foldableInt(a(1), "graft_minhash k")) },
       "built-in")
   }
 
@@ -137,6 +139,15 @@ object GraftFunctions {
       case l: Long => l.toInt
       case other => throw new IllegalArgumentException(s"$what must be an integer, got $other")
     }
+  }
+
+  /** Arity check for the two-argument builders — a clean analysis-time
+    * message instead of an IndexOutOfBounds internal error, and no
+    * silently-dropped extra arguments.
+    */
+  private[functions] def arity2(exprs: Seq[Expression], fn: String): Seq[Expression] = {
+    require(exprs.size == 2, s"$fn expects exactly 2 arguments, got ${exprs.size}")
+    exprs
   }
 }
 
@@ -165,8 +176,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (
         FunctionIdentifier("graft_gram_hashes"),
         new ExpressionInfo(classOf[GramHashes].getCanonicalName, "graft_gram_hashes"),
-        (exprs: Seq[Expression]) =>
-          GramHashes(exprs.head, GraftFunctions.foldableInt(exprs(1), "graft_gram_hashes k"))))
+        (exprs: Seq[Expression]) => {
+          val a = GraftFunctions.arity2(exprs, "graft_gram_hashes")
+          GramHashes(a.head, GraftFunctions.foldableInt(a(1), "graft_gram_hashes k"))
+        }))
     ext.injectFunction(
       (
         FunctionIdentifier("graft_vocab_hits"),
@@ -176,8 +189,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (
         FunctionIdentifier("graft_minhash"),
         new ExpressionInfo(classOf[MinHashFold].getCanonicalName, "graft_minhash"),
-        (exprs: Seq[Expression]) =>
-          MinHashFold(exprs.head, GraftFunctions.foldableInt(exprs(1), "graft_minhash k"))))
+        (exprs: Seq[Expression]) => {
+          val a = GraftFunctions.arity2(exprs, "graft_minhash")
+          MinHashFold(a.head, GraftFunctions.foldableInt(a(1), "graft_minhash k"))
+        }))
     // The whole-operator extension stack: GRAFT_TOPK hint → custom
     // logical node → custom physical operator (graft.plans.TopKPerGroup).
     ext.injectResolutionRule(spark => graft.plans.ResolveTopKHint(spark))

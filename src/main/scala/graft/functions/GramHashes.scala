@@ -23,10 +23,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * — and the stage stays inside whole-stage codegen, which any
   * higher-order function would eject it from.
   *
-  * Texts shorter than `k` code points yield an EMPTY array (the
+  * Texts shorter than `k` code points (ORIGINAL count — see the
+  * kernel note on lowercase expansion) yield an EMPTY array (the
   * descending-`sequence` guard of the composed form). h32 = the first
   * 8 md5 hex digits as an unsigned 32-bit value in a BIGINT — the
-  * DuckDB twin is unchanged.
+  * DuckDB twin is unchanged. NULL text propagates NULL at this
+  * expression level; the [[graft.operators.Dedup.charGramHashes]]
+  * helper coalesces to the composed form's empty array.
   */
 case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1 && k <= 64, s"graft_gram_hashes: k in [1,64]; got $k")
@@ -63,16 +66,27 @@ object GramHashes {
   /** Row kernel (static entry for the generated Java): lowercase,
     * index code-point byte offsets, md5 each k-gram byte slice, take
     * the first 4 digest bytes as an unsigned 32-bit value.
+    *
+    * The gram COUNT is `numChars(ORIGINAL) − (k−1)` — the composed
+    * form's `length(text)` guard — not the lowered text's count:
+    * lowercasing can EXPAND code points (U+0130 'İ' lowers to
+    * i + combining dot), and the composed slices window the lowered
+    * stream but only `len(original) − k + 1` times. Emitting windows
+    * from the lowered count would add phantom grams on such rows and,
+    * downstream, let CDC boundary indices exceed `length(text)`.
+    * Lowercasing never shrinks a code point, so every emitted window
+    * fits in the lowered stream (clamped defensively anyway).
     */
   def compute(text: UTF8String, k: Int): ArrayData = {
+    val origCp = text.numChars()
     val lower = text.toLowerCase
     val bytes = lower.getBytes
     val nBytes = bytes.length
-    // code-point start offsets, plus the end sentinel
+    // lowered code-point start offsets, plus the end sentinel
     var cp = 0
     var i = 0
     while (i < nBytes) { i += utf8Len(bytes(i)); cp += 1 }
-    val nGrams = cp - (k - 1)
+    val nGrams = math.min(origCp - (k - 1), cp - (k - 1))
     if (nGrams < 1) return new GenericArrayData(Array.empty[Long])
     val offsets = new Array[Int](cp + 1)
     i = 0

@@ -137,7 +137,12 @@ object Dedup {
     * inlining note).
     */
   def charGramHashes(text: Column, k: Int): Column =
-    call_function("graft_gram_hashes", text, lit(k))
+    // coalesce mirrors the composed form's null handling: its CaseWhen
+    // guard sends NULL text to the otherwise-branch EMPTY array, while
+    // the native expression null-propagates (SQL convention).
+    coalesce(
+      call_function("graft_gram_hashes", text, lit(k)),
+      typedLit(Seq.empty[Long]))
 
   /** The composed-operator formulation of [[charGramHashes]] — retained
     * as the independent reference the spec equivalence-checks the

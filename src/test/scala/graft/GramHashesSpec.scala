@@ -19,12 +19,14 @@ class GramHashesSpec extends AnyFunSuite {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(41)
     // mixed 1/2/3/4-byte code points, uppercase (exercises the
-    // internal lowercase), spaces, repeats
-    val alphabet = "aA bB zZ éÉ ßü 中文 𝒳😀".toVector
+    // internal lowercase), spaces, repeats, and U+0130 'İ' — the one
+    // code point whose lowercase EXPANDS (i + combining dot), pinning
+    // that the gram count follows the ORIGINAL text's length guard
+    val alphabet = ("aA bB zZ éÉ ßü 中文 𝒳😀" + "İ").toVector
     val rows: Seq[String] = (0 until 300).map { _ =>
       val n = rnd.nextInt(40)
       (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
-    } ++ Seq("", "a", "ab", "ABC", "ééé", "𝒳𝒳𝒳𝒳", "exact")
+    } ++ Seq("", "a", "ab", "ABC", "ééé", "𝒳𝒳𝒳𝒳", "exact", "İab", "İİİ", "aİb")
     for (k <- Seq(1, 3, 5)) {
       val both = rows.toDF("text")
         .select(
@@ -65,11 +67,20 @@ class GramHashesSpec extends AnyFunSuite {
   test("null text propagates null; shorter-than-k yields empty; k must be a literal in range") {
     import spark.implicits._
     GraftFunctions.register(spark)
+    // helper level: NULL text coalesces to the composed form's EMPTY
+    // array (hofCharGramHashes' otherwise-branch)
     val r = Seq(Tuple1(null: String), Tuple1("ab")).toDF("text")
-      .select(Dedup.charGramHashes(col("text"), 3).as("h"))
+      .select(
+        Dedup.charGramHashes(col("text"), 3).as("h"),
+        Dedup.hofCharGramHashes(col("text"), 3).as("hof"))
       .collect()
-    assert(r(0).isNullAt(0))
+    assert(r(0).getSeq[Long](0).isEmpty && r(0).getSeq[Long](1).isEmpty)
     assert(r(1).getSeq[Long](0).isEmpty)
+    // expression level: NULL propagates (SQL convention)
+    val e = Seq(Tuple1(null: String)).toDF("text")
+      .select(call_function("graft_gram_hashes", col("text"), lit(3)))
+      .collect()
+    assert(e(0).isNullAt(0))
     intercept[Exception] {
       Seq(Tuple1("x")).toDF("t")
         .select(call_function("graft_gram_hashes", col("t"), col("t"))).collect()
@@ -117,5 +128,9 @@ class GramHashesSpec extends AnyFunSuite {
     assert(h("AbC", 2) == Seq(md5h32("ab"), md5h32("bc")))
     // multi-byte: É lowers to é (2 bytes); grams are code-point windows
     assert(h("Éx中", 2) == Seq(md5h32("éx"), md5h32("x中")))
+    // U+0130 lowercase expansion: "İab" lowers to i+̇+a+b (4 cps)
+    // but the gram count follows the ORIGINAL 3 cps -> 2 windows over
+    // the lowered stream, exactly the composed slices
+    assert(h("İab", 2) == Seq(md5h32("i̇"), md5h32("̇a")))
   }
 }
