@@ -343,9 +343,16 @@ $detail
 """)
 
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Cap the inline failed list (summary-line size budget) but mark
+    // the truncation explicitly so the list can never silently
+    // disagree with n_failed — retry tooling must read n_failed.
     val failedJson =
       if (failed.isEmpty) ""
-      else failed.take(10).map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
+      else {
+        val shown = failed.take(10).map("\"" + _ + "\"")
+        val marker = if (failed.size > 10) Seq("\"+" + (failed.size - 10) + " more\"") else Nil
+        (shown ++ marker).mkString(",\"failed\":[", ",", "]")
+      }
     // Per-query detail first (a ~4 KB line at 157 queries), compact
     // summary LAST: the driver's tail capture keeps only the final
     // ~2000 chars of stdout, so round 8's single full line overran it

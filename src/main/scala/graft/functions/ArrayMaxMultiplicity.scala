@@ -55,6 +55,19 @@ case class ArrayMaxMultiplicity(child: Expression) extends UnaryExpression {
 
 object ArrayMaxMultiplicity {
 
+  /** Binary order, nulls first (like `sort_array` ascending) — a
+    * single shared instance so the per-row kernel allocates nothing
+    * beyond its working array.
+    */
+  private val NullsFirstBinary: java.util.Comparator[UTF8String] =
+    new java.util.Comparator[UTF8String] {
+      override def compare(x: UTF8String, y: UTF8String): Int =
+        if (x == null && y == null) 0
+        else if (x == null) -1
+        else if (y == null) 1
+        else x.compareTo(y)
+    }
+
   /** Row kernel (also the static entry the generated Java calls via
     * the companion's forwarder): copy out the row's UTF8Strings, sort
     * binary (nulls first, like `sort_array` ascending), scan for the
@@ -69,15 +82,7 @@ object ArrayMaxMultiplicity {
       items(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
       i += 1
     }
-    java.util.Arrays.sort(
-      items,
-      new java.util.Comparator[UTF8String] {
-        override def compare(x: UTF8String, y: UTF8String): Int =
-          if (x == null && y == null) 0
-          else if (x == null) -1
-          else if (y == null) 1
-          else x.compareTo(y)
-      })
+    java.util.Arrays.sort(items, NullsFirstBinary)
     var best = 0L
     var run = 0L
     var prev: UTF8String = null

@@ -834,19 +834,25 @@ object Dedup {
     // persist, the distinct-name universe recomputes three times (gate
     // + both self-join sides) — the fan-out-recompute class the repo
     // pins against everywhere else. Released with the session's
-    // releaseAllCaches, like every operator-level cache.
-    val biggestRow = names.groupBy(col("block")).count().agg(max(col("count"))).first()
-    val biggest = if (biggestRow.isNullAt(0)) 0L else biggestRow.getLong(0)
-    require(biggest <= maxBlockRows,
-      s"editDistancePairs: largest block has $biggest entities > maxBlockRows=$maxBlockRows — " +
-        "blocking key too coarse (per-block pairing is quadratic in block size)")
-    val a = names.select(col("block"), col("name").as("name_a"))
-    val b = names.select(col("block"), col("name").as("name_b"))
-    a.join(b, Seq("block"))
-      .filter(col("name_a") < col("name_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= maxDist)
-      .select(col("name_a"), col("name_b"), col("dist"))
+    // releaseAllCaches on success; the gate's throw path (degenerate
+    // blocking is an EXPECTED failure mode) unpersists before
+    // rethrowing, mirroring the graph loops' cleanup.
+    try {
+      val biggestRow = names.groupBy(col("block")).count().agg(max(col("count"))).first()
+      val biggest = if (biggestRow.isNullAt(0)) 0L else biggestRow.getLong(0)
+      require(biggest <= maxBlockRows,
+        s"editDistancePairs: largest block has $biggest entities > maxBlockRows=$maxBlockRows — " +
+          "blocking key too coarse (per-block pairing is quadratic in block size)")
+      val a = names.select(col("block"), col("name").as("name_a"))
+      val b = names.select(col("block"), col("name").as("name_b"))
+      a.join(b, Seq("block"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= maxDist)
+        .select(col("name_a"), col("name_b"), col("dist"))
+    } catch {
+      case t: Throwable => names.unpersist(); throw t
+    }
   }
 
   /** EXACT set-similarity join by prefix filtering (the AllPairs /
@@ -886,23 +892,42 @@ object Dedup {
       tNum: Int,
       tDen: Int): DataFrame = {
     require(tNum >= 1 && tDen >= 1 && tNum <= tDen, s"need 0 < tNum/tDen <= 1 (got $tNum/$tDen)")
+    // The corpus-wide token explode feeds TWO consumers (the
+    // document-frequency pass and the rank-join array build) — persist
+    // it so the corpus explodes once. Safe against the
+    // InferFiltersFromGenerate trap: tokensCol is a plain materialized
+    // array column, so the inferred size()>0 conjunct is cheap. The
+    // dfreq aggregation under globalRowNumber's leaf materialization
+    // fills every cache partition before the array build reads it.
     val toks = df
       .select(col(idCol).as("__id"), explode(col(tokensCol)).as("token"))
-    val dfreq = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val ranked = Relational
-      .globalRowNumber(dfreq, "df", numPartitions = 8, outCol = "rank")
-      .select(col("token"), col("rank"))
-    val arrs = toks
-      .join(ranked, Seq("token"))
-      .groupBy(col("__id"))
-      .agg(sort_array(collect_list(struct(col("rank"), col("token")))).as("ts"))
-      .select(
-        col("__id"),
-        transform(col("ts"), x => x.getField("token")).as("toks"),
-        size(col("ts")).cast("long").as("n"))
-      .withColumn("k", col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1L)
-      .persist()
-    arrs.count() // pin ONE evaluation before prefix + both verify sides read it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var arrs: DataFrame = null
+    try {
+      val dfreq = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val ranked = Relational
+        .globalRowNumber(dfreq, "df", numPartitions = 8, outCol = "rank")
+        .select(col("token"), col("rank"))
+      arrs = toks
+        .join(ranked, Seq("token"))
+        .groupBy(col("__id"))
+        .agg(sort_array(collect_list(struct(col("rank"), col("token")))).as("ts"))
+        .select(
+          col("__id"),
+          transform(col("ts"), x => x.getField("token")).as("toks"),
+          size(col("ts")).cast("long").as("n"))
+        .withColumn("k", col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1L)
+        .persist()
+      arrs.count() // pin ONE evaluation before prefix + both verify sides read it
+    } catch {
+      // rank/array-build actions can throw (globalRowNumber
+      // materializes a leaf): release both operator caches before
+      // surfacing, mirroring the graph loops' cleanup
+      case t: Throwable =>
+        toks.unpersist()
+        if (arrs != null) arrs.unpersist(): Unit
+        throw t
+    }
     val prefix = arrs.select(
       col("__id"),
       col("n"),

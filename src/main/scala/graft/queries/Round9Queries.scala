@@ -38,9 +38,14 @@ object Round9Queries {
     * block size only (max-block gate in-operator).
     */
   val q158FuzzyEntities: Q = (s, d) => {
+    // Three consumers (the operator's universe build + both
+    // enrichment joins) — persist the tiny name aggregate so the part
+    // scan runs once; pinned by the operator's block-gate action,
+    // released by the session sweep.
     val names = Tables.part(s, d)
       .groupBy(col("p_name").as("name"))
       .agg(count(lit(1)).as("n"))
+      .persist()
     val pairs = Dedup.editDistancePairs(
       names, "name", n => regexp_extract(n, "[^ ]+$", 0), maxDist = 3)
     pairs
