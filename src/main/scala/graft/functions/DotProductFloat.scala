@@ -114,6 +114,11 @@ object GraftFunctions {
       exprs => { val a = arity2(exprs, "graft_minhash")
         MinHashFold(a.head, foldableInt(a(1), "graft_minhash k")) },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_win_mins",
+      exprs => { val a = arity2(exprs, "graft_win_mins")
+        WindowMins(a.head, foldableInt(a(1), "graft_win_mins w")) },
+      "built-in")
   }
 
   /** `graft_vocab_hits(text, 'w1', 'w2', ...)` — trailing literal
@@ -192,6 +197,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => {
           val a = GraftFunctions.arity2(exprs, "graft_minhash")
           MinHashFold(a.head, GraftFunctions.foldableInt(a(1), "graft_minhash k"))
+        }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_win_mins"),
+        new ExpressionInfo(classOf[WindowMins].getCanonicalName, "graft_win_mins"),
+        (exprs: Seq[Expression]) => {
+          val a = GraftFunctions.arity2(exprs, "graft_win_mins")
+          WindowMins(a.head, GraftFunctions.foldableInt(a(1), "graft_win_mins w"))
         }))
     // The whole-operator extension stack: GRAFT_TOPK hint → custom
     // logical node → custom physical operator (graft.plans.TopKPerGroup).

@@ -168,33 +168,43 @@ object Dedup {
     * shorter than k+w−1 characters yield an empty fingerprint set
     * (same descending-`sequence` guard as [[charShingles]]).
     *
-    * The window minima are computed as `w` aligned slices of the hash
-    * array zipped with `least` — the same argument-position discipline
-    * as [[charGramsAll]]. An index-lambda formulation
-    * (`transform(sequence(…), j => array_min(slice(hs, j, w)))`) is
-    * NOT safe even with the hash array staged as its own column:
-    * in multi-consumer plans (q80's explode→join) the optimizer
-    * inlines the alias back into the lambda and the per-window body
-    * re-evaluates the whole O(len) md5 array — O(len²) per row
-    * (measured: one task burned 28 CPU-minutes at sf0.1). With
-    * slices, every hash-array reference sits in argument position, so
-    * the worst case under ANY plan rewrite is w+1 linear evaluations
-    * per row.
+    * The window minima are computed by the native
+    * [[graft.functions.WindowMins]] kernel (O(n) monotonic deque).
+    * Historical hazard note, still binding on any composed rewrite: an
+    * index-lambda formulation (`transform(sequence(…), j =>
+    * array_min(slice(hs, j, w)))`) is NOT safe even with the hash
+    * array staged as its own column — in multi-consumer plans (q80's
+    * explode→join) the optimizer inlines the alias back into the
+    * lambda and the per-window body re-evaluates the whole O(len) md5
+    * array, O(len²) per row (measured: one task burned 28 CPU-minutes
+    * at sf0.1). The retained composed reference [[hofWindowMins]] uses
+    * aligned slices in argument position for exactly that reason.
     */
-  def winnowFingerprints(df: DataFrame, textCol: String, k: Int, w: Int, outCol: String): DataFrame = {
-    val nWins = size(col("__wf_hs")) - (w - 1)
-    val mins = when(
+  def winnowFingerprints(df: DataFrame, textCol: String, k: Int, w: Int, outCol: String): DataFrame =
+    // Both stages native: the md5 gram stream (graft_gram_hashes) and
+    // the sliding window minima (graft_win_mins — O(n) deque vs the
+    // O(n·w) slice/zip_with chain, which also ran interpreted). The
+    // composed twins are hofCharGramHashes and hofWindowMins,
+    // equivalence-gated in their specs.
+    df.withColumn("__wf_hs", charGramHashes(col(textCol), k))
+      .withColumn(
+        outCol,
+        array_sort(array_distinct(
+          call_function("graft_win_mins", col("__wf_hs"), lit(w)))))
+      .drop("__wf_hs")
+
+  /** Composed-operator reference for the window-minima stage of
+    * [[winnowFingerprints]] (spec-only): `w` aligned slices reduced
+    * with `zip_with(least)`, empty-guarded like the original.
+    */
+  def hofWindowMins(hs: Column, w: Int): Column = {
+    val nWins = size(hs) - (w - 1)
+    when(
       nWins >= 1,
       (0 until w)
-        .map(o => slice(col("__wf_hs"), lit(o + 1), nWins))
+        .map(o => slice(hs, lit(o + 1), nWins))
         .reduce((a, b) => zip_with(a, b, (x, y) => least(x, y))))
       .otherwise(typedLit(Seq.empty[Long]))
-    // Hash stage through the native kernel (one md5 pass over byte
-    // slices, inside codegen) — the composed grams+transform stage it
-    // replaces is hofCharGramHashes, equivalence-gated in its spec.
-    df.withColumn("__wf_hs", charGramHashes(col(textCol), k))
-      .withColumn(outCol, array_sort(array_distinct(mins)))
-      .drop("__wf_hs")
   }
 
   /** Winnowing candidate pairs: documents sharing at least one RARE
