@@ -344,14 +344,17 @@ $detail
 
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Cap the inline failed list (summary-line size budget) but mark
-    // the truncation explicitly so the list can never silently
-    // disagree with n_failed — retry tooling must read n_failed.
+    // the truncation with a SEPARATE numeric field — a sentinel string
+    // inside the array would read as a phantom query name to any
+    // consumer iterating the list. failed_truncated + list size always
+    // reconstructs n_failed.
     val failedJson =
       if (failed.isEmpty) ""
       else {
-        val shown = failed.take(10).map("\"" + _ + "\"")
-        val marker = if (failed.size > 10) Seq("\"+" + (failed.size - 10) + " more\"") else Nil
-        (shown ++ marker).mkString(",\"failed\":[", ",", "]")
+        val shown = failed.take(10).map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
+        val trunc =
+          if (failed.size > 10) s""","failed_truncated":${failed.size - 10}""" else ""
+        shown + trunc
       }
     // Per-query detail first (a ~4 KB line at 157 queries), compact
     // summary LAST: the driver's tail capture keeps only the final

@@ -14,13 +14,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Replaces the composed `w` aligned slices reduced with
   * `zip_with(least)` — w−1 interpreted lambda passes and their
   * transient arrays per row — with one monotonic-deque walk (O(n)
-  * regardless of `w`, where the slice chain is O(n·w)). Semantics
-  * match the composed form exactly, including nulls: `least` skips
-  * nulls, so a window's minimum is the least NON-NULL member and an
-  * all-null window yields a null element. Arrays shorter than `w`
-  * yield an EMPTY array (the composed form's descending-guard
-  * `otherwise`), which this expression reproduces so callers need no
-  * guard.
+  * regardless of `w`, where the slice chain is O(n·w)). Element
+  * semantics match the composed form exactly: `least` skips nulls, so
+  * a window's minimum is the least NON-NULL member and an all-null
+  * window yields a null element; arrays shorter than `w` yield an
+  * EMPTY array (the composed form's descending-guard `otherwise`).
+  * One deliberate divergence: a NULL input ARRAY null-propagates here
+  * (SQL convention), where the composed `when` guard falls through to
+  * `otherwise(empty)` — callers needing the legacy []-on-null
+  * contract coalesce, exactly like
+  * [[graft.operators.Dedup.charGramHashes]] does for its kernel
+  * (winnowFingerprints is protected through that same coalesce).
   */
 case class WindowMins(child: Expression, w: Int) extends UnaryExpression {
   require(w >= 1 && w <= 4096, s"graft_win_mins: w in [1,4096]; got $w")

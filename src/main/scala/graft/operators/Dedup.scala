@@ -904,11 +904,16 @@ object Dedup {
     require(tNum >= 1 && tDen >= 1 && tNum <= tDen, s"need 0 < tNum/tDen <= 1 (got $tNum/$tDen)")
     // The corpus-wide token explode feeds TWO consumers (the
     // document-frequency pass and the rank-join array build) — persist
-    // it so the corpus explodes once. Safe against the
-    // InferFiltersFromGenerate trap: tokensCol is a plain materialized
-    // array column, so the inferred size()>0 conjunct is cheap. The
-    // dfreq aggregation under globalRowNumber's leaf materialization
-    // fills every cache partition before the array build reads it.
+    // it so the corpus explodes once. InferFiltersFromGenerate note:
+    // the inferred size(tokensCol)>0 conjunct under the explode
+    // substitutes tokensCol's full expression per row, so a COMPUTED
+    // token projection (q165 passes array_distinct(split(...))) is
+    // re-evaluated once per row in the cache build — linear and
+    // acceptable here, NOT the O(len²) winnow-class hazard; callers
+    // passing genuinely expensive token expressions should stage them
+    // as a materialized column first. The dfreq aggregation under
+    // globalRowNumber's leaf materialization fills every cache
+    // partition before the array build reads it.
     val toks = df
       .select(col(idCol).as("__id"), explode(col(tokensCol)).as("token"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -929,6 +934,11 @@ object Dedup {
         .withColumn("k", col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1L)
         .persist()
       arrs.count() // pin ONE evaluation before prefix + both verify sides read it
+      // toks has no consumers past this point — release it here rather
+      // than holding the operator's largest intermediate (the exploded
+      // corpus) until the session sweep, where it would compete with
+      // arrs and sibling caches for executor memory.
+      toks.unpersist(): Unit
     } catch {
       // rank/array-build actions can throw (globalRowNumber
       // materializes a leaf): release both operator caches before

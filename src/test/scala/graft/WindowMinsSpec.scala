@@ -58,6 +58,18 @@ class WindowMinsSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL input array null-propagates (documented divergence from the composed guard)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val r = Seq(Tuple1(null: Array[java.lang.Long])).toDF("hs")
+      .select(
+        call_function("graft_win_mins", col("hs"), lit(3)).as("native"),
+        Dedup.hofWindowMins(col("hs"), 3).as("composed"))
+      .collect()(0)
+    assert(r.isNullAt(0)) // expression: SQL null convention
+    assert(r.getSeq[Long](1).isEmpty) // composed when-guard: empty
+  }
+
   test("runs inside whole-stage codegen") {
     import spark.implicits._
     GraftFunctions.register(spark)
