@@ -23,6 +23,27 @@ class GraftSessionSpec extends AnyFunSuite {
       .getDouble(0)
     assert(r == 11.0)
     assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+    // every injected function must resolve FROM SQL TEXT (the
+    // extensions wiring a cluster-installed session depends on) —
+    // a registration typo in injectFunction would pass the
+    // call_function specs (which go through GraftFunctions.register)
+    // and only fail here
+    val sqlProbe = spark.sql(
+      """SELECT
+        |  graft_dot(array(cast(1.0 as float)), array(cast(2.0 as float))) AS d,
+        |  graft_dot_dec(array(cast(1.0 as float)), array(cast(2.0 as float))) AS dd,
+        |  graft_max_mult(array('a','a','b')) AS mm,
+        |  size(graft_gram_hashes('abcd', 2)) AS gh,
+        |  graft_vocab_hits('the cat the', 'the') AS vh,
+        |  size(graft_minhash(array(cast(7 as bigint)), 4)) AS mh,
+        |  size(graft_win_mins(array(cast(3 as bigint), cast(1 as bigint)), 2)) AS wm
+        |""".stripMargin).collect()(0)
+    assert(sqlProbe.getDouble(0) == 2.0)
+    assert(sqlProbe.getLong(2) == 2L) // max_mult
+    assert(sqlProbe.getInt(3) == 3) // 3 grams of "abcd"
+    assert(sqlProbe.getLong(4) == 2L) // two exact "the" tokens
+    assert(sqlProbe.getInt(5) == 4) // k signature members
+    assert(sqlProbe.getInt(6) == 1) // one window of 2 over 2 elements
   }
 
   test("GraftSession.builder carries AQE + skew-join + shuffle sizing") {
