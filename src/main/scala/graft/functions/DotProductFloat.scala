@@ -119,6 +119,18 @@ object GraftFunctions {
       exprs => { val a = arity2(exprs, "graft_win_mins")
         WindowMins(a.head, foldableInt(a(1), "graft_win_mins w")) },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cdc_lens",
+      exprs => mkCdcLens(exprs),
+      "built-in")
+  }
+
+  /** `graft_cdc_lens(hs, mod, textLen)` — the literal modulus sits
+    * between the two column arguments.
+    */
+  private[functions] def mkCdcLens(exprs: Seq[Expression]): CdcSegLens = {
+    require(exprs.size == 3, s"graft_cdc_lens expects exactly 3 arguments, got ${exprs.size}")
+    CdcSegLens(exprs.head, exprs(2), foldableInt(exprs(1), "graft_cdc_lens mod"))
   }
 
   /** `graft_vocab_hits(text, 'w1', 'w2', ...)` — trailing literal
@@ -206,6 +218,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           val a = GraftFunctions.arity2(exprs, "graft_win_mins")
           WindowMins(a.head, GraftFunctions.foldableInt(a(1), "graft_win_mins w"))
         }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_cdc_lens"),
+        new ExpressionInfo(classOf[CdcSegLens].getCanonicalName, "graft_cdc_lens"),
+        (exprs: Seq[Expression]) => GraftFunctions.mkCdcLens(exprs)))
     // The whole-operator extension stack: GRAFT_TOPK hint → custom
     // logical node → custom physical operator (graft.plans.TopKPerGroup).
     ext.injectResolutionRule(spark => graft.plans.ResolveTopKHint(spark))

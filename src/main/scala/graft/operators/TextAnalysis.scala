@@ -130,41 +130,53 @@ object TextAnalysis {
       k: Int,
       mod: Int): org.apache.spark.sql.DataFrame = {
     require(k >= 1 && mod >= 1, s"need gram width k >= 1 and modulus >= 1 (got k=$k, mod=$mod)")
-    // Hash array and boundary list staged as columns (each referenced
-    // ≥2× downstream) so the optimizer cannot inline the O(len) md5
-    // stream into a per-element lambda body — see the winnowing
-    // inlining note in Dedup.winnowFingerprints. The md5-heavy pass is
+    // Both stages native (graft_gram_hashes → graft_cdc_lens); the
+    // lens array is the only staged column, referenced 2× (n_seg,
+    // max_seg) — a non-cheap alias CollapseProject won't duplicate.
+    // The coalesce mirrors the composed chain's NULL-text path: hash
+    // array [] but length(text) NULL made the boundary concat produce
+    // [0, null] and the diff chain [null] — n_seg=1, max_seg=null —
+    // where the kernel null-propagates (see hofCdcSegLens, the
+    // equivalence-gated composed reference). The md5-heavy pass is
     // spread beyond a single input split first (identity on any real
     // multi-split table).
     val spread = Relational.spreadFewSplits(df, df.columns.head)
-    val hs = col("__cdc_hs")
-    val bnd = col("__cdc_bnd")
-    val allB = col("__cdc_allb")
     val out = spread
-      .withColumn("__cdc_hs", Dedup.charGramHashes(col(textCol), k))
-      .withColumn(
-        "__cdc_bnd",
-        when(
-          size(hs) >= 1,
-          filter(
-            zip_with(
-              hs,
-              sequence(lit(1L), size(hs).cast("long")),
-              (h, i) => when(h % mod === 0, i)),
-            x => x.isNotNull))
-          .otherwise(typedLit(Seq.empty[Long])))
-      .withColumn(
-        "__cdc_allb",
-        concat(array(lit(0L)), bnd, array(length(col(textCol)).cast("long"))))
       .withColumn(
         "__cdc_lens",
-        zip_with(
-          slice(allB, lit(2), size(allB) - 1),
-          slice(allB, lit(1), size(allB) - 1),
-          (hi, lo) => hi - lo))
+        coalesce(
+          call_function(
+            "graft_cdc_lens",
+            Dedup.charGramHashes(col(textCol), k),
+            lit(mod),
+            length(col(textCol)).cast("long")),
+          array(lit(null).cast("long"))))
       .withColumn("n_seg", size(col("__cdc_lens")).cast("long"))
       .withColumn("max_seg", array_max(col("__cdc_lens")))
-    out.drop("__cdc_hs", "__cdc_bnd", "__cdc_allb", "__cdc_lens")
+    out.drop("__cdc_lens")
+  }
+
+  /** Composed-operator reference for the boundary/diff stage of
+    * [[cdcSegmentStats]] (spec-only): index-marking zip_with →
+    * null filter → boundary concat → aligned-slice diffs, exactly the
+    * pre-kernel formulation (including the NULL-length → [null]
+    * corner the operator's coalesce replicates).
+    */
+  def hofCdcSegLens(hs: Column, mod: Int, len: Column): Column = {
+    val bnd = when(
+      size(hs) >= 1,
+      filter(
+        zip_with(
+          hs,
+          sequence(lit(1L), size(hs).cast("long")),
+          (h, i) => when(h % mod === 0, i)),
+        x => x.isNotNull))
+      .otherwise(typedLit(Seq.empty[Long]))
+    val allB = concat(array(lit(0L)), bnd, array(len))
+    zip_with(
+      slice(allB, lit(2), size(allB) - 1),
+      slice(allB, lit(1), size(allB) - 1),
+      (hi, lo) => hi - lo)
   }
 
   /** Sequence packing: assign documents to fixed-`seqLen` training

@@ -36,7 +36,8 @@ class GraftSessionSpec extends AnyFunSuite {
         |  size(graft_gram_hashes('abcd', 2)) AS gh,
         |  graft_vocab_hits('the cat the', 'the') AS vh,
         |  size(graft_minhash(array(cast(7 as bigint)), 4)) AS mh,
-        |  size(graft_win_mins(array(cast(3 as bigint), cast(1 as bigint)), 2)) AS wm
+        |  size(graft_win_mins(array(cast(3 as bigint), cast(1 as bigint)), 2)) AS wm,
+        |  size(graft_cdc_lens(array(cast(4 as bigint)), 4, cast(3 as bigint))) AS cl
         |""".stripMargin).collect()(0)
     assert(sqlProbe.getDouble(0) == 2.0)
     assert(sqlProbe.getLong(2) == 2L) // max_mult
@@ -44,6 +45,7 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(sqlProbe.getLong(4) == 2L) // two exact "the" tokens
     assert(sqlProbe.getInt(5) == 4) // k signature members
     assert(sqlProbe.getInt(6) == 1) // one window of 2 over 2 elements
+    assert(sqlProbe.getInt(7) == 2) // one boundary -> two segments
   }
 
   test("GraftSession.builder carries AQE + skew-join + shuffle sizing") {
