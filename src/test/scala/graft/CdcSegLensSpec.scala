@@ -41,6 +41,25 @@ class CdcSegLensSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL child null-propagates (documented divergence the operator's coalesce covers)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val r = Seq(
+      (null: Array[java.lang.Long], java.lang.Long.valueOf(5L)), // null hs
+      (Array(java.lang.Long.valueOf(4L)), null: java.lang.Long)) // null len
+      .toDF("hs", "len")
+      .select(
+        call_function("graft_cdc_lens", col("hs"), lit(4), col("len")).as("native"),
+        TextAnalysis.hofCdcSegLens(col("hs"), 4, col("len")).as("composed"))
+      .collect()
+    assert(r(0).isNullAt(0)) // expression: SQL null convention
+    assert(r(1).isNullAt(0))
+    // composed null-hs path: when-guard -> [] boundaries -> [0, len] -> [5]
+    assert(r(0).getSeq[Long](1) == Seq(5L))
+    // composed null-len path: concat carries the null through the diffs
+    assert(r(1).getSeq[Any](1) == Seq(1L, null))
+  }
+
   test("cdcSegmentStats end-to-end unchanged, incl. the NULL-text corner") {
     import spark.implicits._
     GraftFunctions.register(spark)
