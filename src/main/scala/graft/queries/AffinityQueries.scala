@@ -91,6 +91,13 @@ object AffinityQueries {
     val day = expr("(ts_us - 1704067200000000) div 86400000000")
     Tables
       .events(s, d)
+      // Pre-anchor guard BEFORE the division: Spark `div` truncates
+      // toward zero while DuckDB `//` floors, so a ts in the 24h
+      // before the anchor lands on day 0 here but day -1 in the
+      // oracle. Filtering the raw timestamp first keeps the division
+      // operand non-negative on both engines (the file's div-vs-//
+      // contract); the same WHERE guards the oracle.
+      .filter(col("ts_us") >= 1704067200000000L)
       .withColumn("day", day)
       .filter(col("day").between(0, 29))
       .withColumn("w", expr("shiftleft(CAST(1 AS BIGINT), CAST(29 - day AS INT))"))
@@ -104,7 +111,7 @@ object AffinityQueries {
   val q147Sql: String =
     """WITH e AS (SELECT user_id, value,
       |                  (epoch_us(ts) - 1704067200000000) // 86400000000 AS day
-      |           FROM events),
+      |           FROM events WHERE epoch_us(ts) >= 1704067200000000),
       |w AS (SELECT user_id,
       |             CAST(round(value * 100) AS BIGINT)
       |               * (CAST(1 AS BIGINT) << CAST(29 - day AS INTEGER)) AS wv
@@ -334,16 +341,22 @@ object AffinityQueries {
           markerHits(col("text"), markers("en")),
           markerHits(col("text"), markers("es")),
           markerHits(col("text"), markers("fr"))).as("predicted"))
-    val classes = p
-      .select(col("actual").as("lang"))
-      .unionByName(p.select(col("predicted").as("lang")))
-      .distinct()
+      // four consumers below — pin the scored pass so the five
+      // vocab-hit/CJK kernels run over the corpus ONCE (released by
+      // the session sweep)
+      .persist()
     val tp = p
       .filter(col("actual") === col("predicted"))
       .groupBy(col("actual").as("lang"))
       .agg(count(lit(1)).as("tp"))
     val na = p.groupBy(col("actual").as("lang")).agg(count(lit(1)).as("n_actual"))
     val np = p.groupBy(col("predicted").as("lang")).agg(count(lit(1)).as("n_pred"))
+    // the class universe is derivable from the already-aggregated
+    // per-class frames — no further corpus passes
+    val classes = na
+      .select(col("lang"))
+      .unionByName(np.select(col("lang")))
+      .distinct()
     classes
       .join(broadcast(tp), Seq("lang"), "left")
       .join(broadcast(na), Seq("lang"), "left")

@@ -773,10 +773,14 @@ object SelectionQueries {
       .select(
         when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"),
         col("lang"))
-    val o = cells.groupBy(col("split"), col("lang")).agg(count(lit(1)).as("o"))
-    val r = cells.groupBy(col("split")).agg(count(lit(1)).as("r"))
-    val c = cells.groupBy(col("lang")).agg(count(lit(1)).as("c"))
-    val n = cells.agg(count(lit(1)).as("n"))
+    // One corpus-grain pass (the per-row md5 bucket): r, c, and n are
+    // exact rollups of the tiny (split, lang) cell frame — persisted
+    // so its four consumers read it once (released by the session
+    // sweep). SUM of counts ≡ the direct COUNT per marginal.
+    val o = cells.groupBy(col("split"), col("lang")).agg(count(lit(1)).as("o")).persist()
+    val r = o.groupBy(col("split")).agg(sum(col("o")).as("r"))
+    val c = o.groupBy(col("lang")).agg(sum(col("o")).as("c"))
+    val n = o.agg(sum(col("o")).as("n"))
     val dec = "decimal(38,0)"
     o.join(broadcast(r), Seq("split"))
       .join(broadcast(c), Seq("lang"))

@@ -591,9 +591,20 @@ object SketchQueries {
     */
   val q145SortedNeighbors: Q = (s, d) => {
     val w = 3
+    // ASCII-only case fold via translate: Spark's lower() applies
+    // full Unicode case mapping (U+0130 'İ' EXPANDS to i+combining
+    // dot) while DuckDB's lower() uses the simple mapping ('i') —
+    // keys containing such characters would sort differently and
+    // reorder the global numbering. translate's 1:1 code-point map
+    // is bit-identical across both engines on ANY input.
     val keyed = Tables
       .documents(s, d)
-      .select(lower(substring(col("text"), 1, 16)).as("k"), col("doc_id"))
+      .select(
+        translate(
+          substring(col("text"), 1, 16),
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+          "abcdefghijklmnopqrstuvwxyz").as("k"),
+        col("doc_id"))
     val rn = Relational.globalRowNumber(keyed, "k", numPartitions = 32, outCol = "rn")
     val left = rn.select(col("rn").as("ra"), col("doc_id").as("da"), expr(s"rn div $w").as("blk"))
     val right = rn.select(
@@ -612,7 +623,10 @@ object SketchQueries {
     * reproduce — then the rank-distance band as a plain join.
     */
   val q145Sql: String =
-    """WITH t AS (SELECT lower(substr(text, 1, 16)) AS k, doc_id FROM documents),
+    """WITH t AS (SELECT translate(substr(text, 1, 16),
+      |                            'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+      |                            'abcdefghijklmnopqrstuvwxyz') AS k,
+      |                  doc_id FROM documents),
       |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM t)
       |SELECT a.rn AS ra, b.rn AS rb, a.doc_id AS da, b.doc_id AS db
       |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
