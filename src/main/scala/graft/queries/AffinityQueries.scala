@@ -210,20 +210,35 @@ object AffinityQueries {
     * fan-out is C(set, 2)); the floor prunes before the PageRank
     * loop's one-shuffle rounds.
     */
-  val q150CoSupplyRank: Q = (s, d) => {
-    val cs = Tables
+  /** Distinct (customer, supplier) incidence on the ¼ order slice —
+    * the base q150 and q151 project from (q156 builds its own
+    * three-column variant carrying the order-date day, so it cannot
+    * share this frame).
+    */
+  private def coSupplyIncidence(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables
       .orders(s, d)
       .filter(col("o_orderkey") % 4 === 0)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
       .distinct()
-    val proj = cs
-      .select(col("c"), col("sk").as("sa"))
+
+  /** Supplier co-supply pairs (sa < sb) with shared-customer weight,
+    * support floor 5 — ONE definition for the q150/q151 graph builds
+    * so the two queries cannot gate against diverging projections.
+    */
+  private def coSupplyPairs(cs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cs.select(col("c"), col("sk").as("sa"))
       .join(cs.select(col("c"), col("sk").as("sb")), Seq("c"))
       .filter(col("sa") < col("sb"))
       .groupBy(col("sa"), col("sb"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 5)
+
+  val q150CoSupplyRank: Q = (s, d) => {
+    val proj = coSupplyPairs(coSupplyIncidence(s, d))
       .select(col("sa").as("src"), col("sb").as("dst"), col("w"))
     Graph
       .integerPageRank(proj, iterations = 2, undirected = true, weightCol = Some("w"))
@@ -235,11 +250,19 @@ object AffinityQueries {
   /** Oracle: q116's weighted-round chain over the projected edge
     * list (HUGEINT `(r·w) // Σw`, 2 unrolled rounds).
     */
-  val q150Sql: String =
-    """WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s FROM orders
+  /** Shared CTE prefix (declared before both consumers — vals
+    * initialize in order): the ¼-slice incidence and the
+    * support-5 weighted pair projection, the SQL twin of
+    * [[coSupplyIncidence]]+[[coSupplyPairs]].
+    */
+  private val coSupplyPairCtes: String =
+    """cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s FROM orders
       |            JOIN lineitem ON l_orderkey = o_orderkey WHERE (o_orderkey % 4) = 0),
       |pw AS (SELECT a.s AS sa, b.s AS sb, COUNT(*) AS w FROM cs a
-      |       JOIN cs b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      |       JOIN cs b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2 HAVING COUNT(*) >= 5)""".stripMargin
+
+  val q150Sql: String =
+    s"""WITH $coSupplyPairCtes,
       |e AS (SELECT sa AS src, sb AS dst, w FROM pw UNION ALL SELECT sb AS src, sa AS dst, w FROM pw),
       |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
       |ws AS (SELECT src AS node, SUM(w) AS wsum FROM e GROUP BY 1),
@@ -263,10 +286,7 @@ object AffinityQueries {
     * non-positive costs).
     */
   private val coSupplyCostCtes: String =
-    """cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s FROM orders
-      |            JOIN lineitem ON l_orderkey = o_orderkey WHERE (o_orderkey % 4) = 0),
-      |pw AS (SELECT a.s AS sa, b.s AS sb, COUNT(*) AS w FROM cs a
-      |       JOIN cs b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    s"""$coSupplyPairCtes,
       |pc AS (SELECT sa, sb, GREATEST(1, 1000 // w) AS cost FROM pw),
       |e AS (SELECT sa AS src, sb AS dst, cost FROM pc UNION ALL SELECT sb, sa, cost FROM pc)""".stripMargin
 
@@ -279,19 +299,8 @@ object AffinityQueries {
     * weak direct edge — distance ≠ adjacency.
     */
   val q151TrustDist: Q = (s, d) => {
-    val cs = Tables
-      .orders(s, d)
-      .filter(col("o_orderkey") % 4 === 0)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-      .distinct()
-    val proj = cs
-      .select(col("c"), col("sk").as("sa"))
-      .join(cs.select(col("c"), col("sk").as("sb")), Seq("c"))
-      .filter(col("sa") < col("sb"))
-      .groupBy(col("sa"), col("sb"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 5)
+    val cs = coSupplyIncidence(s, d)
+    val proj = coSupplyPairs(cs)
       .select(col("sa"), col("sb"), expr("greatest(1, 1000 div w)").as("cost"))
     val seeds = cs.select(col("sk")).distinct().filter(col("sk") % 10 === 0)
     Graph
