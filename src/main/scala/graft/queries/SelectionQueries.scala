@@ -68,12 +68,14 @@ object SelectionQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Oracle: the same integer fraction per term —
+  /** q119's oracle-side BM25 builder, shared with q137's lexical leg
+    * (SketchQueries) so the two oracles cannot drift: the same integer
+    * fraction per term —
     * `(2N−2df+1)·44·S·tf // ((2df+1)·(20·S·tf + 6·S + 18·dl·N))`
     * at 10⁶ fixed point, HUGEINT to absorb the ~10¹⁸ numerator.
+    * Returns a pre-stripped CTE chain ending in `bm(doc_id, bm25)`.
     */
-  val q119Sql: String = {
-    val terms = Seq("spark", "join", "filter", "hash")
+  private[queries] def bm25Ctes(terms: Seq[String]): String = {
     val tfCols = terms.indices
       .map(i => s"len(list_filter(toks, x -> x = '${terms(i)}')) AS tf$i")
       .mkString(",\n      |         ")
@@ -84,20 +86,24 @@ object SelectionQueries {
       .map(i =>
         s"((CAST(1000000 AS HUGEINT) * (((2 * n) - (2 * df$i)) + 1) * 44 * s * tf$i) // (((2 * df$i) + 1) * (((20 * s) * tf$i) + (6 * s) + ((18 * dl) * n))))")
       .mkString("\n      |  + ")
-    s"""WITH base AS (
+    s"""base AS (
       |  SELECT doc_id, len(toks) AS dl,
       |         $tfCols
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
       |tot AS (
       |  SELECT COUNT(*) AS n, SUM(dl) AS s,
       |         $dfCols
-      |  FROM base)
-      |SELECT doc_id, CAST(
+      |  FROM base),
+      |bm AS (SELECT doc_id, CAST(
       |  $scoreTerms
-      |  AS BIGINT) AS bm25
-      |FROM base, tot
-      |ORDER BY doc_id NULLS FIRST""".stripMargin
+      |  AS BIGINT) AS bm25 FROM base, tot)""".stripMargin
   }
+
+  /** Oracle: [[bm25Ctes]] over the q119 seed terms, ordered by id. */
+  val q119Sql: String =
+    s"""WITH ${bm25Ctes(Seq("spark", "join", "filter", "hash"))}
+      |SELECT doc_id, bm25 FROM bm
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
 
   /** q120 — deterministic 2-round Lloyd k-means over the embedding
     * corpus ([[Similarity.kmeansAssign]]): seeds are every 50th
@@ -118,15 +124,18 @@ object SelectionQueries {
       .orderBy(col("vec_id"))
   }
 
-  /** Oracle: the same two rounds as chained CTEs — round-0 centroids
-    * are the seed rows as clusters of one ((n, s) = (1, dec(x))), the
-    * shared distance formula is Σ dec((n·x − s_double)²) / n², argmin
-    * via ROW_NUMBER ordered by (dist, cid).
+  /** The two Lloyd rounds as a pre-stripped CTE chain ending in
+    * `a2(vec_id, cid)` — ONE definition for q120's oracle and q122's
+    * (which layers its quota draw on top) so the two cannot gate
+    * against diverging clusterings: round-0 centroids are the seed
+    * rows as clusters of one ((n, s) = (1, dec(x))), the shared
+    * distance formula is Σ dec((n·x − s_double)²) / n², argmin via
+    * ROW_NUMBER ordered by (dist, cid).
     */
-  val q120Sql: String =
-    """WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-      |                  generate_subscripts(embedding, 1) AS pos
-      |           FROM embeddings),
+  private[queries] val kmeansCtes: String =
+    """x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |             generate_subscripts(embedding, 1) AS pos
+      |      FROM embeddings),
       |c0 AS (SELECT vec_id AS cid, CAST(1 AS BIGINT) AS n, pos,
       |              CAST(v AS DECIMAL(28,10)) AS s
       |       FROM x WHERE (vec_id % 50) = 0),
@@ -144,7 +153,11 @@ object SelectionQueries {
       |       FROM x JOIN s1 ON s1.pos = x.pos JOIN n1 ON n1.cid = s1.cid GROUP BY x.vec_id, s1.cid, n1.n),
       |a2 AS (SELECT vec_id, cid FROM
       |        (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
-      |       WHERE rn = 1)
+      |       WHERE rn = 1)""".stripMargin
+
+  /** Oracle: [[kmeansCtes]], one row per vector. */
+  val q120Sql: String =
+    s"""WITH $kmeansCtes
       |SELECT vec_id, cid AS cluster FROM a2 ORDER BY vec_id NULLS FIRST""".stripMargin
 
   /** q121 — temperature-scaled mixture sampling over languages: at
@@ -208,33 +221,14 @@ object SelectionQueries {
       .orderBy(col("cluster"), col("pick"))
   }
 
-  /** Oracle: q120's two k-means rounds, then the same md5-ordered
-    * ROW_NUMBER quota per cluster.
+  /** Oracle: [[kmeansCtes]] (q120's two rounds, shared so the
+    * clusterings cannot drift), then the same md5-ordered ROW_NUMBER
+    * quota per cluster.
     */
   val q122Sql: String =
-    """WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-      |                  generate_subscripts(embedding, 1) AS pos
-      |           FROM embeddings),
-      |c0 AS (SELECT vec_id AS cid, CAST(1 AS BIGINT) AS n, pos,
-      |              CAST(v AS DECIMAL(28,10)) AS s
-      |       FROM x WHERE (vec_id % 50) = 0),
-      |d1 AS (SELECT x.vec_id, c.cid,
-      |        CAST(SUM(CAST(((c.n * x.v) - CAST(c.s AS DOUBLE)) * ((c.n * x.v) - CAST(c.s AS DOUBLE)) AS DECIMAL(28,10))) AS DOUBLE) / (c.n * c.n) AS dist
-      |       FROM x JOIN c0 c ON c.pos = x.pos GROUP BY x.vec_id, c.cid, c.n),
-      |a1 AS (SELECT vec_id, cid FROM
-      |        (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
-      |       WHERE rn = 1),
-      |n1 AS (SELECT cid, COUNT(*) AS n FROM a1 GROUP BY 1),
-      |s1 AS (SELECT a1.cid, x.pos, SUM(CAST(x.v AS DECIMAL(28,10))) AS s
-      |       FROM a1 JOIN x ON x.vec_id = a1.vec_id GROUP BY 1, 2),
-      |d2 AS (SELECT x.vec_id, s1.cid,
-      |        CAST(SUM(CAST(((n1.n * x.v) - CAST(s1.s AS DOUBLE)) * ((n1.n * x.v) - CAST(s1.s AS DOUBLE)) AS DECIMAL(28,10))) AS DOUBLE) / (n1.n * n1.n) AS dist
-      |       FROM x JOIN s1 ON s1.pos = x.pos JOIN n1 ON n1.cid = s1.cid GROUP BY x.vec_id, s1.cid, n1.n),
-      |a2 AS (SELECT vec_id, cid AS cluster FROM
-      |        (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
-      |       WHERE rn = 1),
-      |p AS (SELECT vec_id, cluster,
-      |       CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+    s"""WITH $kmeansCtes,
+      |p AS (SELECT vec_id, cid AS cluster,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY cid
       |         ORDER BY CAST('0x' || substr(md5('cbal:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id) AS BIGINT) AS pick
       |      FROM a2)
       |SELECT vec_id, cluster, pick FROM p WHERE pick <= 20
@@ -394,7 +388,22 @@ object SelectionQueries {
     * is a 1-row broadcast; the scoring pass is one [[Similarity.dot]]
     * per corpus row — no shuffle at corpus grain, then top-50.
     */
-  val q126CentroidSelect: Q = (s, d) => {
+  val q126CentroidSelect: Q = (s, d) =>
+    centroidRelevance(s, d)
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(50)
+
+  /** The q126 scorer without its top-k cut — every non-eval vector's
+    * decimal-exact dot with the eval-slice centroid direction, as
+    * `(vec_id, rel)`. ONE definition for q126 and q137's dense leg
+    * (SketchQueries) so the two cannot gate against diverging
+    * scorers. The centroid is a 1-row broadcast; the scoring pass is
+    * one [[Similarity.dot]] per corpus row — no shuffle at corpus
+    * grain.
+    */
+  private[queries] def centroidRelevance(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val emb = Tables.embeddings(s, d)
     val cent = emb
       .filter(col("vec_id") % 10 === 0)
@@ -408,22 +417,27 @@ object SelectionQueries {
       .filter(col("vec_id") % 10 =!= 0)
       .crossJoin(broadcast(cent))
       .select(col("vec_id"), Similarity.dot(col("embedding"), col("cent")).as("rel"))
-      .orderBy(col("rel").desc, col("vec_id"))
-      .limit(50)
   }
 
-  /** Oracle: per-position decimal sums over the eval slice, then the
-    * same per-element double→decimal rounded dot.
+  /** [[centroidRelevance]]'s oracle twin, shared with q137Sql: a
+    * pre-stripped CTE chain ending in `crel(vec_id, rel)` — per-
+    * position decimal sums over the eval slice, then the same
+    * per-element double→decimal rounded dot. (`crel`, not `sc`,
+    * because q137 composes it beside the BM25 chain.)
     */
-  val q126Sql: String =
-    """WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-      |                  generate_subscripts(embedding, 1) AS pos
-      |           FROM embeddings),
+  private[queries] val centroidRelevanceCtes: String =
+    """x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |             generate_subscripts(embedding, 1) AS pos
+      |      FROM embeddings),
       |ev AS (SELECT pos, SUM(CAST(v AS DECIMAL(28,10))) AS s FROM x WHERE (vec_id % 10) = 0 GROUP BY pos),
-      |sc AS (SELECT x.vec_id,
-      |        CAST(SUM(CAST(x.v * CAST(ev.s AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS rel
-      |       FROM x JOIN ev ON ev.pos = x.pos WHERE (x.vec_id % 10) <> 0 GROUP BY x.vec_id)
-      |SELECT vec_id, rel FROM sc
+      |crel AS (SELECT x.vec_id,
+      |          CAST(SUM(CAST(x.v * CAST(ev.s AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS rel
+      |         FROM x JOIN ev ON ev.pos = x.pos WHERE (x.vec_id % 10) <> 0 GROUP BY x.vec_id)""".stripMargin
+
+  /** Oracle: [[centroidRelevanceCtes]], top-50 by (rel, id). */
+  val q126Sql: String =
+    s"""WITH $centroidRelevanceCtes
+      |SELECT vec_id, rel FROM crel
       |ORDER BY rel DESC NULLS FIRST, vec_id NULLS FIRST LIMIT 50""".stripMargin
 
   /** q127 — exact phrase search ([[TextAnalysis.phraseMatch]] for

@@ -125,20 +125,9 @@ object SketchQueries {
         numPartitions = 1,
         outCol = "r_lex")
       .select(col("doc_id").as("id"), col("r_lex"))
-    // Dense side: q126's centroid scorer verbatim.
-    val emb = Tables.embeddings(s, d)
-    val cent = emb
-      .filter(col("vec_id") % 10 === 0)
-      .select(posexplode(col("embedding")).as(Seq("pos", "__x")))
-      .groupBy(col("pos"))
-      .agg(sum(col("__x").cast("double").cast("decimal(28,10)")).as("__s"))
-      .groupBy()
-      .agg(array_sort(collect_list(struct(col("pos"), col("__s")))).as("__raw"))
-      .select(transform(col("__raw"), p => p.getField("__s").cast("double")).as("cent"))
-    val den = emb
-      .filter(col("vec_id") % 10 =!= 0)
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id"), Similarity.dot(col("embedding"), col("cent")).as("rel"))
+    // Dense side: q126's scorer, shared ([[SelectionQueries.centroidRelevance]]).
+    val den = SelectionQueries
+      .centroidRelevance(s, d)
       .orderBy(col("rel").desc, col("vec_id"))
       .limit(100)
     val denR = Relational
@@ -160,50 +149,25 @@ object SketchQueries {
       .limit(20)
   }
 
-  /** Oracle: q119's HUGEINT BM25 fraction + q126's decimal dot, each
-    * top-100 with the same tie-break, ROW_NUMBER on the bounded
-    * frames, identical integer RRF contributions.
+  /** Oracle: q119's HUGEINT BM25 fraction and q126's decimal dot via
+    * the SHARED builders ([[SelectionQueries.bm25Ctes]] /
+    * [[SelectionQueries.centroidRelevanceCtes]] — this oracle cannot
+    * drift from the two it fuses), each top-100 with the same
+    * tie-break, ROW_NUMBER on the bounded frames, identical integer
+    * RRF contributions.
     */
-  val q137Sql: String = {
-    val terms = Seq("spark", "join", "filter", "hash")
-    val tfCols = terms.indices
-      .map(i => s"len(list_filter(toks, x -> x = '${terms(i)}')) AS tf$i")
-      .mkString(",\n      |         ")
-    val dfCols = terms.indices
-      .map(i => s"COUNT(*) FILTER (WHERE tf$i > 0) AS df$i")
-      .mkString(",\n      |         ")
-    val scoreTerms = terms.indices
-      .map(i =>
-        s"((CAST(1000000 AS HUGEINT) * (((2 * n) - (2 * df$i)) + 1) * 44 * s * tf$i) // (((2 * df$i) + 1) * (((20 * s) * tf$i) + (6 * s) + ((18 * dl) * n))))")
-      .mkString("\n      |  + ")
-    s"""WITH base AS (
-      |  SELECT doc_id, len(toks) AS dl,
-      |         $tfCols
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-      |tot AS (
-      |  SELECT COUNT(*) AS n, SUM(dl) AS s,
-      |         $dfCols
-      |  FROM base),
-      |sc AS (SELECT doc_id, CAST(
-      |  $scoreTerms
-      |  AS BIGINT) AS bm25 FROM base, tot),
-      |lex AS (SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 100),
+  val q137Sql: String =
+    s"""WITH ${SelectionQueries.bm25Ctes(Seq("spark", "join", "filter", "hash"))},
+      |lex AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100),
       |lexr AS (SELECT doc_id AS id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex FROM lex),
-      |x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-      |             generate_subscripts(embedding, 1) AS pos
-      |      FROM embeddings),
-      |ev AS (SELECT pos, SUM(CAST(v AS DECIMAL(28,10))) AS s FROM x WHERE (vec_id % 10) = 0 GROUP BY pos),
-      |den AS (SELECT x.vec_id,
-      |         CAST(SUM(CAST(x.v * CAST(ev.s AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS rel
-      |        FROM x JOIN ev ON ev.pos = x.pos WHERE (x.vec_id % 10) <> 0 GROUP BY x.vec_id
-      |        ORDER BY rel DESC, vec_id LIMIT 100),
+      |${SelectionQueries.centroidRelevanceCtes},
+      |den AS (SELECT vec_id, rel FROM crel ORDER BY rel DESC, vec_id LIMIT 100),
       |denr AS (SELECT vec_id AS id, ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS r_cent FROM den)
       |SELECT COALESCE(lexr.id, denr.id) AS id, lexr.r_lex, denr.r_cent,
       |       (COALESCE(CAST(1000000000 AS BIGINT) // (60 + lexr.r_lex), 0) +
       |        COALESCE(CAST(1000000000 AS BIGINT) // (60 + denr.r_cent), 0)) AS rrf
       |FROM lexr FULL OUTER JOIN denr ON denr.id = lexr.id
       |ORDER BY rrf DESC, id NULLS FIRST LIMIT 20""".stripMargin
-  }
 
   /** q138 — ordered event funnel view → click → purchase
     * ([[Relational.funnelStages]]): per-stage survivor counts plus
