@@ -14,8 +14,13 @@ import graft.sources.Sinks.DimSpec
   * against embedded Derby; this spec replays them on the reference's
   * actual target dialect, schema.sql:22-59).
   *
-  * No Postgres server or JDBC driver ships in this container (zero
-  * egress), so the suite CANCELS unless both are provided:
+  * No pgjdbc JDBC driver ships in this container (zero egress), so
+  * the suite CANCELS unless a server and driver are provided — the
+  * dialect semantics themselves (DDL, constraints, REAL rounding,
+  * JSON/TIMESTAMPTZ round-trip) are already proven against the
+  * container's real PostgreSQL 15 via psql in
+  * [[PostgresDdlConformanceSpec]]; what remains opt-in here is only
+  * the Spark JDBC wire:
   *
   * {{{
   * GRAFT_PG_URL=jdbc:postgresql://host:5432/db \
