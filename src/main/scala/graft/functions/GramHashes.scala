@@ -8,23 +8,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: position-ordered [[Hashing.h32]] hashes
-  * of every character `k`-gram of the LOWERCASED text — the rolling
-  * hash stream under winnowing fingerprints and content-defined
-  * segmentation (q79/q80/q91/q97, the engine's md5-bound family).
+  * of every character `k`-gram of the ASCII-CASE-FOLDED text — the
+  * rolling hash stream under winnowing fingerprints and
+  * content-defined segmentation (q79/q80/q91/q97, the engine's
+  * md5-bound family).
   *
   * Semantics are bit-identical to the composed form it replaces
-  * (`transform(charGramsAll(lower(text), k), g => h32(g))`): Spark's
-  * `lower` is `UTF8String.toLowerCase`, its `split(s, "")` yields CODE
-  * POINTS, and `md5(gram)` hashes the gram's UTF-8 bytes — so this
-  * kernel walks the lowered text's bytes once, records each code
-  * point's byte offset, and feeds every k-gram's byte slice straight
-  * into one thread-local MessageDigest. No per-gram string objects, no
+  * (`transform(charGramsAll(text, k), g => h32(g))`, which folds via
+  * [[graft.operators.Dedup.asciiFold]]): Spark's `split(s, "")` yields
+  * CODE POINTS and `md5(gram)` hashes the gram's UTF-8 bytes — so this
+  * kernel folds A–Z in one byte pass (a 1:1 map on single-byte code
+  * points; multi-byte sequences are untouched, so the byte structure
+  * is IDENTICAL to the input's), records each code point's byte
+  * offset, and feeds every k-gram's byte slice straight into one
+  * thread-local MessageDigest. No per-gram string objects, no
   * slice/zip_with intermediate arrays, no interpreted lambda dispatch
   * — and the stage stays inside whole-stage codegen, which any
   * higher-order function would eject it from.
   *
-  * Texts shorter than `k` code points (ORIGINAL count — see the
-  * kernel note on lowercase expansion) yield an EMPTY array (the
+  * ASCII-only fold, not `lower()`: the JVM's full Unicode lowercase
+  * EXPANDS U+0130 while DuckDB's simple mapping does not, so a
+  * lowered-text hash stream diverges cross-engine on such inputs
+  * (caught by the adversarial-fixture parity gate). `translate`-style
+  * folding is bit-identical everywhere — and removes the
+  * expansion corner the previous kernel had to pin.
+  *
+  * Texts shorter than `k` code points yield an EMPTY array (the
   * descending-`sequence` guard of the composed form). h32 = the first
   * 8 md5 hex digits as an unsigned 32-bit value in a BIGINT — the
   * DuckDB twin is unchanged. NULL text propagates NULL at this
@@ -63,30 +72,30 @@ object GramHashes {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** Row kernel (static entry for the generated Java): lowercase,
-    * index code-point byte offsets, md5 each k-gram byte slice, take
-    * the first 4 digest bytes as an unsigned 32-bit value.
-    *
-    * The gram COUNT is `numChars(ORIGINAL) − (k−1)` — the composed
-    * form's `length(text)` guard — not the lowered text's count:
-    * lowercasing can EXPAND code points (U+0130 'İ' lowers to
-    * i + combining dot), and the composed slices window the lowered
-    * stream but only `len(original) − k + 1` times. Emitting windows
-    * from the lowered count would add phantom grams on such rows and,
-    * downstream, let CDC boundary indices exceed `length(text)`.
-    * Lowercasing never shrinks a code point, so every emitted window
-    * fits in the lowered stream (clamped defensively anyway).
+  /** Row kernel (static entry for the generated Java): ASCII-fold the
+    * bytes (A–Z are single-byte code points, so the fold is a 1:1 byte
+    * map that cannot change the code-point structure), index
+    * code-point byte offsets, md5 each k-gram byte slice, take the
+    * first 4 digest bytes as an unsigned 32-bit value. Gram count is
+    * `numChars − (k−1)` — with no expansion possible, the folded
+    * stream's count IS the original's (the composed form's
+    * `length(text)` guard).
     */
   def compute(text: UTF8String, k: Int): ArrayData = {
-    val origCp = text.numChars()
-    val lower = text.toLowerCase
-    val bytes = lower.getBytes
-    val nBytes = bytes.length
-    // lowered code-point start offsets, plus the end sentinel
-    var cp = 0
+    val src = text.getBytes
+    val nBytes = src.length
+    val bytes = new Array[Byte](nBytes)
     var i = 0
+    while (i < nBytes) {
+      val b = src(i)
+      bytes(i) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+      i += 1
+    }
+    // code-point start offsets, plus the end sentinel
+    var cp = 0
+    i = 0
     while (i < nBytes) { i += utf8Len(bytes(i)); cp += 1 }
-    val nGrams = math.min(origCp - (k - 1), cp - (k - 1))
+    val nGrams = cp - (k - 1)
     if (nGrams < 1) return new GenericArrayData(Array.empty[Long])
     val offsets = new Array[Int](cp + 1)
     i = 0

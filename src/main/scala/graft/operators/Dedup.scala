@@ -26,27 +26,43 @@ import graft.functions.Hashing._
   */
 object Dedup {
 
-  /** All character `w`-grams of the lowercased text, order-preserved
-    * with multiplicity. Formulated as `w` aligned slices of the char
-    * array zipped together so every per-row invariant (`lower`,
-    * `split`) sits in ARGUMENT position — evaluated once per row.
-    * Higher-order-function lambdas re-evaluate their body per element,
-    * so the naive `transform(sequence(…), i => lower(text).substr(i,
-    * w))` re-lowercases the whole document per gram — O(len²) per row
-    * (measured 12.8 s on a 0.6 s query shape; see q78).
+  /** ASCII-only case fold (A–Z → a–z), the case normalization every
+    * cross-engine-hashed content path uses INSTEAD of `lower()`:
+    * Spark's `lower` applies the full Unicode mapping (U+0130 'İ'
+    * EXPANDS to i + combining dot) while DuckDB's applies the simple
+    * mapping ('i') — so any md5/h32 of lowered text silently diverges
+    * on such code points (caught by the adversarial-fixture parity
+    * run; q145 hit the same trap in round 9 and took this exact fold).
+    * `translate`'s 1:1 code-point map is bit-identical across engines
+    * on ANY input; non-ASCII letters deliberately pass through
+    * unfolded — determinism over linguistic completeness. SQL twin:
+    * `translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abc…z')`.
+    */
+  def asciiFold(text: Column): Column =
+    translate(text, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
+  /** All character `w`-grams of the ASCII-case-folded text,
+    * order-preserved with multiplicity. Formulated as `w` aligned
+    * slices of the char array zipped together so every per-row
+    * invariant ([[asciiFold]], `split`) sits in ARGUMENT position —
+    * evaluated once per row. Higher-order-function lambdas re-evaluate
+    * their body per element, so the naive `transform(sequence(…), i =>
+    * fold(text).substr(i, w))` re-folds the whole document per gram —
+    * O(len²) per row (measured 12.8 s on a 0.6 s query shape; see
+    * q78).
     *
     * Note: Spark's `split(s, "")` appends one trailing `""` element;
     * gram windows stop at index `len`, so it is never touched.
     */
   private def charGramsAll(text: Column, w: Int): Column = {
-    val chars = split(lower(text), "")
+    val chars = split(asciiFold(text), "")
     val m = length(text) - (w - 1)
     (0 until w)
       .map(o => slice(chars, lit(o + 1), m))
       .reduce((a, b) => zip_with(a, b, (x, y) => concat(x, y)))
   }
 
-  /** Distinct character `w`-shingles of the lowercased text. The
+  /** Distinct character `w`-shingles of the ASCII-case-folded text. The
     * shingle space is large (≈ alphabet^w), so unrelated documents
     * share few shingles — the precondition for LSH banding to have low
     * false-positive rates.

@@ -81,6 +81,10 @@ object TextAnalysis {
 
   /** Whitespace normalization: lowercase + collapse runs of whitespace
     * (the canonical form fingerprints and exact dedup hash over).
+    * Uses the full Unicode `lower()` — fine for Spark-internal
+    * canonicalization; a hash of this form compared against ANOTHER
+    * engine must use [[graft.operators.Dedup.asciiFold]] instead
+    * (U+0130's lowercase differs across engines).
     */
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

@@ -134,7 +134,11 @@ object AnalyticQueries {
     Tables
       .events(s, d)
       .select(
-        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        // try_cast, not cast: a non-numeric k value must group under
+        // NULL, not crash the scan — ANSI cast THROWS on malformed
+        // input where DuckDB's plain CAST errors too; TRY_CAST is the
+        // shared total semantic (adversarial-fixture finding).
+        expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"),
         col("value"),
         col("event_type"))
       .groupBy(col("k"))
@@ -143,7 +147,7 @@ object AnalyticQueries {
   }
 
   val q14Sql: String =
-    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+    """SELECT TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
       | COUNT(*) AS n,
       | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events

@@ -21,6 +21,14 @@ object CoreQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** DuckDB twin of [[graft.operators.Dedup.asciiFold]] — the
+    * ASCII-only case fold every cross-engine-hashed oracle uses in
+    * place of `lower()` (whose U+0130 mapping differs between the JVM
+    * and DuckDB; see asciiFold's scaladoc).
+    */
+  def foldSql(col: String): String =
+    s"translate($col, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
+
   /** q01 — grouped aggregation (SURVEY.md §2.5 A1–A4): filter + groupBy
     * + exact sums + avg + count. The reference's per-issue worklog sum
     * (helpers.js:124-133) generalized to a TPC-H-Q1-shaped pricing

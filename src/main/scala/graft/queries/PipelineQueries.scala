@@ -108,7 +108,7 @@ object PipelineQueries {
     val estSum = (0 until MinHashK)
       .map(j => s"CASE WHEN x.mh$j = y.mh$j THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH d AS (SELECT doc_id, list_distinct([substr(lower(text), i, 5) for i in range(1, len(text)-3)]) AS sh
+    s"""WITH d AS (SELECT doc_id, list_distinct([substr(${CoreQueries.foldSql("text")}, i, 5) for i in range(1, len(text)-3)]) AS sh
        |           FROM documents WHERE doc_id < 1000),
        |dh AS (SELECT doc_id, list_distinct(list_transform(sh, t -> CAST('0x'||substr(md5(t),1,8) AS BIGINT))) AS hs FROM d),
        |s AS (SELECT doc_id, hs,
@@ -336,7 +336,14 @@ object PipelineQueries {
       .select(
         col("doc_id"),
         col("n_tokens"),
-        (col("n_alpha").cast("double") / col("n_chars_m").cast("double")).as("alpha_ratio"),
+        // Empty documents: alpha ratio 0.0, not a 0/0 crash — ANSI
+        // Spark THROWS on double /0 where DuckDB yields NULL (caught
+        // by the adversarial-fixture run); try_divide+coalesce is the
+        // shared "no content scores zero" semantic on both engines,
+        // keeping the score NULL-free for the q124/q125 consumers.
+        coalesce(
+          expr("try_divide(CAST(n_alpha AS DOUBLE), CAST(n_chars_m AS DOUBLE))"),
+          lit(0.0)).as("alpha_ratio"),
         (col("n_stop").cast("double") / col("n_tokens").cast("double")).as("stop_ratio"))
       .withColumn(
         "score",
@@ -352,7 +359,7 @@ object PipelineQueries {
        | (0.4*alpha_ratio + 0.3*least(1.0, CAST(n_tokens AS DOUBLE)/100.0) + 0.3*(1.0 - stop_ratio)) >= 0.6 AS pass
        |FROM (SELECT doc_id,
        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-       |  CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/CAST(len(text) AS DOUBLE) AS alpha_ratio,
+       |  COALESCE(CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/CAST(len(text) AS DOUBLE), 0.0) AS alpha_ratio,
        |  CAST(len(list_filter(string_split(text,' '), t -> t IN $stop)) AS DOUBLE)
        |    / CAST(len(string_split(text,' ')) AS DOUBLE) AS stop_ratio
        | FROM documents)

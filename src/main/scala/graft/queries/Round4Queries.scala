@@ -52,11 +52,11 @@ object Round4Queries {
   }
 
   val q75Sql: String =
-    """WITH b AS (SELECT doc_id, substr(text, 1, CAST(doc_id % 7 AS INT)) AS t FROM documents),
+    s"""WITH b AS (SELECT doc_id, substr(text, 1, CAST(doc_id % 7 AS INT)) AS t FROM documents),
       |w AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM b),
       |sh AS (SELECT doc_id,
       |  CAST(length(t) AS BIGINT) AS len,
-      |  CAST(len(list_distinct([substr(lower(t), i, 3) for i in range(1, CAST(length(t)-1 AS BIGINT))])) AS BIGINT) AS n_shingles,
+      |  CAST(len(list_distinct([substr(${CoreQueries.foldSql("t")}, i, 3) for i in range(1, CAST(length(t)-1 AS BIGINT))])) AS BIGINT) AS n_shingles,
       |  CAST(len(list_distinct([ws[i]||' '||ws[i+1] for i in range(1, CAST(len(ws) AS BIGINT))])) AS BIGINT) AS n_ngrams
       |  FROM w),
       |c AS (SELECT doc_id, CAST(greatest(floor((length(t)-1)/2.0)+1, 0) AS BIGINT) AS n_chunks FROM b)
@@ -189,12 +189,17 @@ object Round4Queries {
       .select(
         col("doc_id"),
         size(col("fps")).cast("long").as("n_fp"),
-        md5(array_join(transform(col("fps"), _.cast("string")), ",")).as("fp_md5"))
+        // NULL, not md5(''), when a document is too short to fingerprint:
+        // the oracle's list comprehension yields NULL there (DuckDB
+        // array_to_string of an empty list is NULL) — md5-of-nothing is
+        // not a meaningful fingerprint digest on either engine.
+        when(size(col("fps")) > 0,
+          md5(array_join(transform(col("fps"), _.cast("string")), ","))).as("fp_md5"))
       .orderBy(col("doc_id"))
 
   val q79Sql: String =
-    """WITH g AS (SELECT doc_id,
-      |  [substr(lower(text), i, 5) for i in range(1, CAST(length(text)-3 AS BIGINT))] AS gs
+    s"""WITH g AS (SELECT doc_id,
+      |  [substr(${CoreQueries.foldSql("text")}, i, 5) for i in range(1, CAST(length(text)-3 AS BIGINT))] AS gs
       | FROM documents),
       |h AS (SELECT doc_id, list_transform(gs, t -> CAST('0x'||substr(md5(t),1,8) AS BIGINT)) AS hs FROM g),
       |m AS (SELECT doc_id, [list_min(hs[j:j+3]) for j in range(1, CAST(len(hs)-2 AS BIGINT))] AS mins FROM h),
@@ -214,8 +219,8 @@ object Round4Queries {
       .orderBy(col("doc_a"), col("doc_b"))
 
   val q80Sql: String =
-    """WITH g AS (SELECT doc_id,
-      |  [substr(lower(text), i, 5) for i in range(1, CAST(length(text)-3 AS BIGINT))] AS gs
+    s"""WITH g AS (SELECT doc_id,
+      |  [substr(${CoreQueries.foldSql("text")}, i, 5) for i in range(1, CAST(length(text)-3 AS BIGINT))] AS gs
       | FROM documents),
       |h AS (SELECT doc_id, list_transform(gs, t -> CAST('0x'||substr(md5(t),1,8) AS BIGINT)) AS hs FROM g),
       |m AS (SELECT doc_id, [list_min(hs[j:j+3]) for j in range(1, CAST(len(hs)-2 AS BIGINT))] AS mins FROM h),

@@ -136,8 +136,8 @@ object Round5Queries {
       .orderBy(col("doc_id"))
 
   val q91Sql: String =
-    """WITH g AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
-      |  [substr(lower(text), i, 8) for i in range(1, CAST(length(text)-6 AS BIGINT))] AS gs
+    s"""WITH g AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+      |  [substr(${CoreQueries.foldSql("text")}, i, 8) for i in range(1, CAST(length(text)-6 AS BIGINT))] AS gs
       | FROM documents),
       |h AS (SELECT doc_id, L,
       |  list_transform(gs, t -> CAST('0x'||substr(md5(t),1,8) AS BIGINT)) AS hs FROM g),
@@ -381,7 +381,7 @@ object Round5Queries {
       }
       .mkString
     s"""WITH RECURSIVE
-       |d AS (SELECT doc_id, lang, list_distinct([substr(lower(text), i, 5) for i in range(1, len(text)-3)]) AS sh
+       |d AS (SELECT doc_id, lang, list_distinct([substr(${CoreQueries.foldSql("text")}, i, 5) for i in range(1, len(text)-3)]) AS sh
        |      FROM documents WHERE doc_id < 1000),
        |dh AS (SELECT doc_id, list_distinct(list_transform(sh, t -> CAST('0x'||substr(md5(t),1,8) AS BIGINT))) AS hs FROM d),
        |s AS (SELECT doc_id, hs,
@@ -513,7 +513,7 @@ object Round5Queries {
         if (b == bands - 1) s"ELSE md5($cat) END" else s"WHEN $b THEN md5($cat) "
       }
       .mkString
-    s"""WITH d AS (SELECT doc_id, list_distinct([substr(lower(text), i, 5) for i in range(1, len(text)-3)]) AS sh
+    s"""WITH d AS (SELECT doc_id, list_distinct([substr(${CoreQueries.foldSql("text")}, i, 5) for i in range(1, len(text)-3)]) AS sh
        |           FROM documents WHERE doc_id < 1000),
        |dh AS (SELECT doc_id, list_distinct(list_transform(sh, t -> CAST('0x'||substr(md5(t),1,8) AS BIGINT))) AS hs FROM d),
        |s AS (SELECT doc_id, hs,

@@ -298,7 +298,11 @@ object Round7Queries {
         markerHits(col("text"), markers("es")).as("s_es"),
         markerHits(col("text"), markers("fr")).as("s_fr"),
         wsTokenCount(col("text")).as("nt"),
-        (alphaCount(col("text")).cast("double") / length(col("text")).cast("double"))
+        // empty doc -> 0.0, not an ANSI /0 throw (q27's shared semantic)
+        when(
+          length(col("text")) > 0,
+          alphaCount(col("text")).cast("double") / length(col("text")).cast("double"))
+          .otherwise(0.0)
           .as("alpha_ratio"))
       .withColumn(
         "predicted",
@@ -349,7 +353,7 @@ object Round7Queries {
        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ${inList(m("es"))})) AS BIGINT) AS s_es,
        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ${inList(m("fr"))})) AS BIGINT) AS s_fr,
        |  CAST(len(string_split(text,' ')) AS BIGINT) AS nt,
-       |  CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/CAST(len(text) AS DOUBLE) AS alpha_ratio
+       |  COALESCE(CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/CAST(len(text) AS DOUBLE), 0.0) AS alpha_ratio
        | FROM docs),
        |pred AS (SELECT doc_id, source,
        |  CASE WHEN cjk > 0 THEN 'zh'

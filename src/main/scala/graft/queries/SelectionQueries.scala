@@ -284,7 +284,11 @@ object SelectionQueries {
         col("doc_id"),
         col("lang"),
         qualityScore(
-          col("__na").cast("double") / col("__nc").cast("double"),
+          // empty doc -> alpha ratio 0.0, not an ANSI /0 throw (q27's
+          // shared semantic; DuckDB twin COALESCEs the NULL division)
+          coalesce(
+            expr("try_divide(CAST(__na AS DOUBLE), CAST(__nc AS DOUBLE))"),
+            lit(0.0)),
           col("__nt"),
           col("__ns").cast("double") / col("__nt").cast("double")).as("score"))
   }
@@ -292,7 +296,7 @@ object SelectionQueries {
   private def scoredSql: String = {
     val stop = TextAnalysis.markers("en").map(v => s"'$v'").mkString("(", ", ", ")")
     s"""SELECT doc_id, lang,
-       |  0.4*(CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/CAST(len(text) AS DOUBLE))
+       |  0.4*COALESCE(CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/CAST(len(text) AS DOUBLE), 0.0)
        |  + 0.3*least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100.0)
        |  + 0.3*(1.0 - CAST(len(list_filter(string_split(text,' '), t -> t IN $stop)) AS DOUBLE)
        |               / CAST(len(string_split(text,' ')) AS DOUBLE)) AS score

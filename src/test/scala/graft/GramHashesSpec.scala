@@ -7,7 +7,7 @@ import graft.operators.Dedup
 
 /** The native `graft_gram_hashes` expression: bit-equivalence against
   * the independent composed reference ([[Dedup.hofCharGramHashes]] —
-  * lower→split→slice/zip_with→md5 per gram) on adversarial inputs
+  * asciiFold→split→slice/zip_with→md5 per gram) on adversarial inputs
   * including multi-byte code points, codegen fusion, and the row
   * kernel directly.
   */
@@ -18,10 +18,10 @@ class GramHashesSpec extends AnyFunSuite {
     import spark.implicits._
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(41)
-    // mixed 1/2/3/4-byte code points, uppercase (exercises the
-    // internal lowercase), spaces, repeats, and U+0130 'İ' — the one
-    // code point whose lowercase EXPANDS (i + combining dot), pinning
-    // that the gram count follows the ORIGINAL text's length guard
+    // mixed 1/2/3/4-byte code points, uppercase ASCII (exercises the
+    // internal A-Z fold), non-ASCII uppercase É and U+0130 'İ' (which
+    // the fold must pass through UNTOUCHED — full lower() would map
+    // them engine-divergently), spaces, and repeats
     val alphabet = ("aA bB zZ éÉ ßü 中文 𝒳😀" + "İ").toVector
     val rows: Seq[String] = (0 until 300).map { _ =>
       val n = rnd.nextInt(40)
@@ -109,7 +109,7 @@ class GramHashesSpec extends AnyFunSuite {
     assert(!plan.contains("CodegenFallback"), plan.take(1500))
   }
 
-  test("row kernel directly: code-point windows over the lowered bytes") {
+  test("row kernel directly: code-point windows over the ASCII-folded bytes") {
     import org.apache.spark.unsafe.types.UTF8String
     def h(s: String, k: Int): Seq[Long] = {
       val ad = GramHashes.compute(UTF8String.fromString(s), k)
@@ -126,11 +126,14 @@ class GramHashesSpec extends AnyFunSuite {
     assert(h("", 2).isEmpty)
     assert(h("a", 2).isEmpty)
     assert(h("AbC", 2) == Seq(md5h32("ab"), md5h32("bc")))
-    // multi-byte: É lowers to é (2 bytes); grams are code-point windows
-    assert(h("Éx中", 2) == Seq(md5h32("éx"), md5h32("x中")))
-    // U+0130 lowercase expansion: "İab" lowers to i+̇+a+b (4 cps)
-    // but the gram count follows the ORIGINAL 3 cps -> 2 windows over
-    // the lowered stream, exactly the composed slices
-    assert(h("İab", 2) == Seq(md5h32("i̇"), md5h32("̇a")))
+    // ASCII-only fold: non-ASCII uppercase É passes through UNCHANGED
+    // (full lower() maps it é on the JVM but the fold must not — the
+    // cross-engine contract); grams are code-point windows
+    assert(h("Éx中", 2) == Seq(md5h32("Éx"), md5h32("x中")))
+    // U+0130 'İ': the code point whose FULL lowercase expands on the
+    // JVM (i + combining dot) and simple-maps to 'i' in DuckDB — the
+    // fold passes it through untouched, so both engines hash the same
+    // bytes and no expansion corner exists at all
+    assert(h("İab", 2) == Seq(md5h32("İa"), md5h32("ab")))
   }
 }

@@ -20,15 +20,22 @@ class TextPropertySpec extends AnyFunSuite {
   // spaces to exercise empty tokens and space runs.
   private val cases: Seq[(Long, String)] = {
     val rnd = new scala.util.Random(42)
-    val alphabet = "abc x yz "
+    // uppercase A/B exercise the ASCII fold; İ and É pin that NON-ASCII
+    // letters pass through UNfolded (full lower() would map them
+    // engine-divergently — the adversarial-parity finding)
+    val alphabet = "abc x yz AB İÉ"
     (0L until 300L).map { i =>
       val len = rnd.nextInt(41)
       i -> (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
     }
   }
 
+  /** Independent twin of [[Dedup.asciiFold]]: A–Z only, 1:1. */
+  private def refFold(s: String): String =
+    s.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+
   private def refShingles(s: String, w: Int): Seq[String] =
-    s.toLowerCase.sliding(w).filter(_.length == w).toSeq.distinct
+    refFold(s).sliding(w).filter(_.length == w).toSeq.distinct
 
   private def refNGrams(s: String, n: Int): Seq[String] =
     s.split(" ", -1).toSeq.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq.distinct
@@ -46,7 +53,7 @@ class TextPropertySpec extends AnyFunSuite {
   }
 
   private def refWinnow(s: String, k: Int, w: Int): Seq[Long] =
-    s.toLowerCase.sliding(k).filter(_.length == k).map(h32Ref).toSeq
+    refFold(s).sliding(k).filter(_.length == k).map(h32Ref).toSeq
       .sliding(w).filter(_.length == w).map(_.min).toSeq.distinct.sorted
 
   test("charShingles / wordNGrams / chunk / winnow agree with reference implementations on 300 random strings") {
@@ -111,11 +118,11 @@ class TextPropertySpec extends AnyFunSuite {
   }
 
   /** Reference content-defined segmentation: boundary at 1-based gram
-    * position i where h32(lower k-gram at i) % mod == 0; segment
-    * lengths are diffs over 0 ++ boundaries ++ len.
+    * position i where h32(ASCII-folded k-gram at i) % mod == 0;
+    * segment lengths are diffs over 0 ++ boundaries ++ len.
     */
   private def refCdc(s: String, k: Int, mod: Int): (Long, Long) = {
-    val low = s.toLowerCase
+    val low = refFold(s)
     val bnd =
       if (low.length < k) Seq.empty[Long]
       else (1 to (low.length - k + 1))
@@ -147,7 +154,7 @@ class TextPropertySpec extends AnyFunSuite {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home"
     val edit = base.updated(5, 'x')
     def bounds(s: String): Seq[Long] = {
-      val low = s.toLowerCase
+      val low = refFold(s)
       (1 to (low.length - 2)).filter(i => refH32(low.substring(i - 1, i + 2)) % 4 == 0).map(_.toLong)
     }
     val (b0, b1) = (bounds(base), bounds(edit))

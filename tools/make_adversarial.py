@@ -1,0 +1,168 @@
+#!/usr/bin/env python3
+"""Synthesize an ADVERSARIAL variant of a scale-factor directory.
+
+Usage: python3 tools/make_adversarial.py <srcSfDir> <outDir>
+
+Copies every fixture table and APPENDS crafted rows to the three
+content-bearing tables (documents / embeddings / events). The point is
+to make the repo's recurring review finding — "parity is green on the
+driver fixtures but X would bite on adversarial data" — executable:
+run `graft.Verify <outDir>` + `tools/check_parity.py <outDir>` and the
+166-query cross-engine gate now covers the corners the driver corpus
+(ASCII text, post-2024 timestamps, no exact ties) never reaches.
+
+Additive-only by design: every Verify non-vacuity guard is a
+"something exists" assertion, so appending rows can never re-vacuate a
+gate, and all new ids sit far above the fixture id ranges.
+
+Adversarial axes (each row is a named probe):
+  documents  — one-to-many case mappings (U+0130, ß), NFC-vs-NFD byte
+               divergence, CJK mixed with ASCII, empty / 1-token /
+               whitespace-run texts (empty-token splits), quote /
+               backslash / percent metacharacters through generated
+               SQL, \\b word-boundary traps, exact + near duplicates of
+               EXISTING docs (cross-range dedup tie-breaks), degenerate
+               repetition, a 400-char single token, astral emoji
+               (UTF-8 4-byte / UTF-16 surrogate pairs).
+  embeddings — exact duplicate of an existing vector, its negation
+               (cosine −1), a twice-duplicated new vector (all
+               distances tie EXACTLY → id tie-breaks decide),
+               axis-aligned one-hot vectors (zero products), all under
+               the documented near-unit-norm contract.
+  events     — exact (user, ts) ties differing only by event_id,
+               .000000/.999999 microsecond boundaries, a pre-2024 row
+               (q147's anchor guard), midnight day-boundary rows,
+               value 0.0 and an extreme value, JSON-metachar props.
+"""
+import shutil
+import sys
+import unicodedata
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def append_rows(src: Path, out: Path, rows: dict):
+    t = pq.read_table(src)
+    extra = pa.table(rows).cast(pa.schema([f.remove_metadata() for f in t.schema]))
+    merged = pa.concat_tables([t.cast(extra.schema), extra])
+    pq.write_table(merged, out)
+    return len(t), len(merged)
+
+
+def adversarial_documents(src: Path, out: Path):
+    base = pq.read_table(src)
+    texts = base.column("text").to_pylist()
+    dup_src = texts[7]            # exact cross-range duplicate
+    near = texts[11].split(" ")
+    near[len(near) // 2] = "adversarial"
+    probes = [
+        # one-to-many case mappings: lower('İ') expands, upper('ß') -> 'SS'
+        "İstanbul İ file ß STRASSE groß İİ",
+        # NFC vs NFD: same rendering, different bytes — engines must agree per byte
+        unicodedata.normalize("NFC", "café résumé naïve"),
+        unicodedata.normalize("NFD", "café résumé naïve"),
+        # CJK mixed with the corpus vocabulary
+        "深度学习 spark 训练 join 数据 去重 hash 分区",
+        # tokenization edges: empty text, 1 token, whitespace runs
+        "",
+        "x",
+        "  leading and trailing  ",
+        "a  b   c    d",
+        # SQL / regex metacharacters through every generated-SQL path
+        "it's a \"test\" with 100% _like_ and \\ backslash '' quotes",
+        # \b word-boundary trap (q161: 'customers' must NOT match \bcustomer\b)
+        "customers customering customer. customer, customer",
+        # phrase-search alignment multiples + conjunctive-only decoy
+        "hash join hash join hash join",
+        "join something hash elsewhere join hash",
+        # degenerate repetition (max-run / Gopher metrics saturation)
+        "spam " * 59 + "spam",
+        # one 400-char token (shingle windows, winnowing, token counting)
+        "q" * 400,
+        # astral-plane emoji: UTF-16 surrogate pairs vs UTF-8 4-byte
+        "🚀 data 🚀🚀 pipeline 🧪",
+        # exact duplicate + near duplicate of EXISTING fixture docs
+        dup_src,
+        " ".join(near),
+    ]
+    rows = {
+        "doc_id": [9000 + i for i in range(len(probes))],
+        "text": probes,
+        "lang": [["en", "de", "fr", "zh", "es"][i % 5] for i in range(len(probes))],
+        "source": [f"src{i % 20}" for i in range(len(probes))],
+        "n_chars": [len(t) for t in probes],
+    }
+    return append_rows(src, out, rows)
+
+
+def adversarial_embeddings(src: Path, out: Path):
+    base = pq.read_table(src)
+    v7 = base.column("embedding").to_pylist()[7]
+    dim = len(v7)
+    import struct
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+    onehot0 = [1.0] + [0.0] * (dim - 1)
+    onehot1 = [0.0, 1.0] + [0.0] * (dim - 2)
+    tie = [f32((1.0 / dim) ** 0.5)] * dim  # duplicated twice below
+    vecs = [
+        v7,                        # exact duplicate of an existing vector
+        [f32(-x) for x in v7],     # its negation: cosine exactly -1
+        tie, tie,                  # identical pair: every distance ties, id breaks
+        onehot0, onehot1,          # axis-aligned: zero products dominate
+    ]
+    rows = {
+        "vec_id": [9000 + i for i in range(len(vecs))],
+        "embedding": vecs,
+        "label": [i % 3 for i in range(len(vecs))],
+    }
+    return append_rows(src, out, rows)
+
+
+def adversarial_events(src: Path, out: Path):
+    from datetime import datetime
+    ts = [
+        datetime(2024, 6, 1, 12, 0, 0, 0),        # exact (user, ts) tie pair —
+        datetime(2024, 6, 1, 12, 0, 0, 0),        #   only event_id differs
+        datetime(2024, 6, 1, 12, 0, 0, 999999),   # µs boundary .999999
+        datetime(2024, 6, 2, 0, 0, 0, 0),         # midnight day boundary
+        datetime(2023, 12, 31, 23, 59, 59, 0),    # pre-2024: q147 anchor guard
+        datetime(2024, 6, 3, 8, 30, 15, 1),       # .000001
+    ]
+    rows = {
+        "event_id": [90000 + i for i in range(len(ts))],
+        "ts": ts,
+        "user_id": [3, 3, 3, 7, 7, 12],
+        "event_type": ["view", "click", "view", "purchase", "view", "error"],
+        "value": [0.0, 1.0, 2.5, 99999.99, 1.0, -1.0],
+        "props": ['{"k":"v\'s \\"q\\""}', "{}", '{"emoji":"🚀"}', "{}", "{}", "{}"],
+    }
+    return append_rows(src, out, rows)
+
+
+def main():
+    src_dir, out_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for t in TABLES:
+        src, out = src_dir / f"{t}.parquet", out_dir / f"{t}.parquet"
+        if t == "documents":
+            n0, n1 = adversarial_documents(src, out)
+        elif t == "embeddings":
+            n0, n1 = adversarial_embeddings(src, out)
+        elif t == "events":
+            n0, n1 = adversarial_events(src, out)
+        else:
+            shutil.copyfile(src, out)
+            n0 = n1 = "-"
+        print(f"{t}: {n0} -> {n1}")
+
+
+if __name__ == "__main__":
+    main()
