@@ -92,6 +92,17 @@ def adversarial_documents(src: Path, out: Path):
         dup_src,
         " ".join(near),
     ]
+    # Seeded random soup: 40 docs over a mixed-script alphabet with
+    # uppercase (ASCII and non-ASCII), digits, punctuation, whitespace
+    # runs — the probabilistic sweep behind the named probes above.
+    import random
+    rnd = random.Random(1729)
+    soup_alphabet = (
+        "abcdefghij ABCDEFGHIJ 0123456789 "
+        "àéîõüßÀÉÎÕÜ İı 中文漢字 -'\".,%_\\ ")
+    for _ in range(40):
+        n = rnd.randint(0, 120)
+        probes.append("".join(rnd.choice(soup_alphabet) for _ in range(n)))
     rows = {
         "doc_id": [9000 + i for i in range(len(probes))],
         "text": probes,
