@@ -42,8 +42,20 @@ object Round9Queries {
     // enrichment joins) — persist the tiny name aggregate so the part
     // scan runs once; pinned by the operator's block-gate action,
     // released by the session sweep.
+    //
+    // Names are folded to an ASCII-sentinel form FIRST: the two
+    // engines implement Levenshtein over different alphabets — Spark
+    // counts CODE POINTS, DuckDB counts BYTES (measured:
+    // levenshtein('çold','cold') = 1 vs 2) — so non-ASCII mentions
+    // would gate-diverge. Replacing every non-ASCII code point with
+    // the single-byte sentinel 0x7F makes byte ≡ code-point distance
+    // on both sides. The OPERATOR keeps true code-point distances
+    // (Round9OpsSpec's hand cases); the fold is this gate query's
+    // cross-engine contract, and it slightly under-counts only when
+    // two DIFFERENT non-ASCII code points substitute for each other.
     val names = Tables.part(s, d)
-      .groupBy(col("p_name").as("name"))
+      .groupBy(
+        regexp_replace(col("p_name"), "[^\\x00-\\x7F]", "\u007F").as("name"))
       .agg(count(lit(1)).as("n"))
       .persist()
     val pairs = Dedup.editDistancePairs(
@@ -55,13 +67,15 @@ object Round9Queries {
       .orderBy(col("dist"), col("name_a"), col("name_b"))
   }
 
-  /** Oracle: same distinct-name universe, last-token block, and
-    * Levenshtein predicate (both engines implement classic
-    * unit-cost ins/del/sub edit distance); dist cast to BIGINT to
-    * match the engine's long (DuckDB `levenshtein` returns INTEGER).
+  /** Oracle: the same ASCII-sentinel fold (DuckDB's `levenshtein` is
+    * BYTE-based where Spark's is code-point-based — the fold makes
+    * the alphabets coincide), same distinct-name universe, last-token
+    * block, and unit-cost edit-distance predicate; dist cast to
+    * BIGINT to match the engine's long (DuckDB returns INTEGER).
     */
   val q158Sql: String =
-    """WITH e AS (SELECT p_name AS name, COUNT(*) AS n FROM part GROUP BY 1),
+    """WITH e AS (SELECT regexp_replace(p_name, '[^\x00-\x7f]', chr(127), 'g') AS name,
+      |                  COUNT(*) AS n FROM part GROUP BY 1),
       |b AS (SELECT name, n, regexp_extract(name, '[^ ]+$') AS block FROM e)
       |SELECT a.name AS name_a, c.name AS name_b,
       |       CAST(levenshtein(a.name, c.name) AS BIGINT) AS dist,

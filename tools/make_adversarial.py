@@ -158,17 +158,99 @@ def adversarial_events(src: Path, out: Path):
     return append_rows(src, out, rows)
 
 
+def adversarial_customer(src: Path, out: Path):
+    rows = {
+        "c_custkey": [9000, 9001, 9002],
+        # apostrophe / unicode names through the dim/get-or-create and
+        # join paths; never template-interpolated into oracle SQL, but
+        # they must survive parquet->engine->hash identically
+        "c_name": ["O'Brien & Co \"North\"", "Müller Straße GmbH", "顧客 株式会社"],
+        "c_nationkey": [0, 1, 2],
+        # .005 at the cent boundary: double->decimal rounding-tie bait
+        "c_acctbal": [0.005, -0.005, 9999.995],
+        "c_mktsegment": ["MACHINERY", "BUILDING", "FURNITURE"],
+    }
+    return append_rows(src, out, rows)
+
+
+def adversarial_supplier(src: Path, out: Path):
+    rows = {
+        "s_suppkey": [9000, 9001],
+        "s_name": ["Supplier#00000000ß", "O'Hare Supply 中文"],
+        "s_nationkey": [0, 1],
+        "s_acctbal": [0.005, -1.115],
+    }
+    return append_rows(src, out, rows)
+
+
+def adversarial_part(src: Path, out: Path):
+    rows = {
+        "p_partkey": [9000, 9001, 9002],
+        # last-token "widget" joins the q158 blocking universe at small
+        # edit distances; the unicode variant exercises cross-engine
+        # code-point (not byte) Levenshtein
+        "p_name": ["cold widgett", "çold widget", "it's widget"],
+        "p_brand": ["Brand#13", "Brand#5", "Brand#13"],
+        "p_type": ["ECONOMY", "ECONOMY", "ECONOMY"],
+        "p_size": [1, 50, 7],
+        "p_retailprice": [0.005, 1234.565, 99.995],
+    }
+    return append_rows(src, out, rows)
+
+
+def adversarial_orders(src: Path, out: Path):
+    from datetime import datetime
+    rows = {
+        "o_orderkey": [9000, 9001, 9002],
+        "o_custkey": [0, 149, 9000],  # existing edge keys + a new customer
+        "o_orderstatus": ["O", "F", "P"],
+        # cent-boundary ties again, plus a zero
+        "o_totalprice": [12345.005, 0.0, 0.015],
+        # fixture date range boundaries
+        "o_orderdate": [datetime(1995, 1, 1), datetime(2001, 8, 1), datetime(1998, 2, 28)],
+        "o_orderpriority": ["1-URGENT", "5-LOW", "3-MEDIUM"],
+    }
+    return append_rows(src, out, rows)
+
+
+def adversarial_lineitem(src: Path, out: Path):
+    from datetime import datetime
+    rows = {
+        "l_orderkey": [9000, 9000, 9001, 9002],
+        "l_partkey": [0, 9000, 199, 9002],
+        "l_suppkey": [0, 9000, 9, 9001],
+        "l_linenumber": [1, 2, 1, 1],
+        "l_quantity": [1.0, 50.0, 1.0, 7.0],
+        # 4th-decimal .00005 ties bait the DECIMAL(18,4) cast recipe;
+        # repeating-9 doubles bait shortest-repr formatting
+        "l_extendedprice": [0.0001, 1234.56785, 9999.99999999, 0.005],
+        "l_discount": [0.0, 0.1, 0.05, 0.1],
+        "l_tax": [0.0, 0.08, 0.04, 0.08],
+        "l_returnflag": ["N", "A", "R", "N"],
+        "l_linestatus": ["O", "F", "F", "O"],
+        "l_shipdate": [datetime(1995, 1, 2), datetime(2001, 11, 4),
+                       datetime(1996, 12, 31), datetime(2000, 2, 29)],
+    }
+    return append_rows(src, out, rows)
+
+
 def main():
     src_dir, out_dir = Path(sys.argv[1]), Path(sys.argv[2])
     out_dir.mkdir(parents=True, exist_ok=True)
+    special = {
+        "documents": adversarial_documents,
+        "embeddings": adversarial_embeddings,
+        "events": adversarial_events,
+        "customer": adversarial_customer,
+        "supplier": adversarial_supplier,
+        "part": adversarial_part,
+        "orders": adversarial_orders,
+        "lineitem": adversarial_lineitem,
+    }
     for t in TABLES:
         src, out = src_dir / f"{t}.parquet", out_dir / f"{t}.parquet"
-        if t == "documents":
-            n0, n1 = adversarial_documents(src, out)
-        elif t == "embeddings":
-            n0, n1 = adversarial_embeddings(src, out)
-        elif t == "events":
-            n0, n1 = adversarial_events(src, out)
+        if t in special:
+            n0, n1 = special[t](src, out)
         else:
             shutil.copyfile(src, out)
             n0 = n1 = "-"
