@@ -342,6 +342,10 @@ object AffinityQueries {
     import graft.operators.TextAnalysis._
     val p = Tables
       .documents(s, d)
+      // classifier eval is over LABELED rows: an unlabeled (NULL-lang)
+      // document has no truth to score against, and its NULL class
+      // would join-drop on both engines into a 0/0 f1 division
+      .filter(col("lang").isNotNull)
       .select(
         col("lang").as("actual"),
         predictLang(
@@ -392,7 +396,7 @@ object AffinityQueries {
       |  ${markerScoreSql("en")},
       |  ${markerScoreSql("es")},
       |  ${markerScoreSql("fr")}
-      | FROM documents)),
+      | FROM documents WHERE lang IS NOT NULL)),
       |classes AS (SELECT actual AS lang FROM p UNION SELECT predicted FROM p),
       |tp AS (SELECT actual AS lang, COUNT(*) AS tp FROM p WHERE actual = predicted GROUP BY 1),
       |na AS (SELECT actual AS lang, COUNT(*) AS n_actual FROM p GROUP BY 1),
@@ -423,6 +427,10 @@ object AffinityQueries {
     import graft.operators.TextAnalysis.wsTokenCount
     val t = Tables
       .documents(s, d)
+      // order statistics over READABLE rows only: a NULL text yields
+      // NULL weight/value, whose rank order differs across engines
+      // (the operator's null guard throws by design)
+      .filter(col("text").isNotNull)
       .select(
         col("lang"),
         col("n_chars").cast("long").as("v"),
@@ -434,7 +442,8 @@ object AffinityQueries {
 
   val q153Sql: String =
     """WITH t AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
-      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS w FROM documents),
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+      |           FROM documents WHERE text IS NOT NULL),
       |c AS (SELECT lang, v,
       |        SUM(w) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
       |        SUM(w) OVER (PARTITION BY lang) AS tw FROM t)

@@ -56,10 +56,10 @@ object Round4Queries {
       |w AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM b),
       |sh AS (SELECT doc_id,
       |  CAST(length(t) AS BIGINT) AS len,
-      |  CAST(len(list_distinct([substr(${CoreQueries.foldSql("t")}, i, 3) for i in range(1, CAST(length(t)-1 AS BIGINT))])) AS BIGINT) AS n_shingles,
-      |  CAST(len(list_distinct([ws[i]||' '||ws[i+1] for i in range(1, CAST(len(ws) AS BIGINT))])) AS BIGINT) AS n_ngrams
+      |  COALESCE(CAST(len(list_distinct([substr(${CoreQueries.foldSql("t")}, i, 3) for i in range(1, CAST(length(t)-1 AS BIGINT))])) AS BIGINT), 0) AS n_shingles,
+      |  COALESCE(CAST(len(list_distinct([ws[i]||' '||ws[i+1] for i in range(1, CAST(len(ws) AS BIGINT))])) AS BIGINT), 0) AS n_ngrams
       |  FROM w),
-      |c AS (SELECT doc_id, CAST(greatest(floor((length(t)-1)/2.0)+1, 0) AS BIGINT) AS n_chunks FROM b)
+      |c AS (SELECT doc_id, COALESCE(CAST(greatest(floor((length(t)-1)/2.0)+1, 0) AS BIGINT), 0) AS n_chunks FROM b)
       |SELECT sh.doc_id, len, n_shingles, n_ngrams, c.n_chunks
       |FROM sh JOIN c ON sh.doc_id = c.doc_id
       |ORDER BY sh.doc_id NULLS FIRST""".stripMargin
@@ -204,7 +204,7 @@ object Round4Queries {
       |h AS (SELECT doc_id, list_transform(gs, t -> CAST('0x'||substr(md5(t),1,8) AS BIGINT)) AS hs FROM g),
       |m AS (SELECT doc_id, [list_min(hs[j:j+3]) for j in range(1, CAST(len(hs)-2 AS BIGINT))] AS mins FROM h),
       |f AS (SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m)
-      |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, md5(array_to_string(fps, ',')) AS fp_md5
+      |SELECT doc_id, COALESCE(CAST(len(fps) AS BIGINT), 0) AS n_fp, md5(array_to_string(fps, ',')) AS fp_md5
       |FROM f ORDER BY doc_id NULLS FIRST""".stripMargin
 
   /** q80 — winnowing near-dup candidates: pairs of documents sharing

@@ -93,6 +93,10 @@ object Round6Queries {
       .groupedDiscreteQuantiles(
         Tables
           .documents(s, d)
+          // readable rows only: a NULL text's NULL token count would
+          // rank-order differently across engines (operator null
+          // guard throws by design)
+          .filter(col("text").isNotNull)
           .select(col("lang"), TextAnalysis.wsTokenCount(col("text")).as("n_tok")),
         "lang",
         "n_tok",
@@ -109,7 +113,8 @@ object Round6Queries {
       |FROM (SELECT lang, n_tok,
       |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tok) AS rn,
       |  COUNT(*) OVER (PARTITION BY lang) AS n
-      | FROM (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents))
+      | FROM (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |       FROM documents WHERE text IS NOT NULL))
       |GROUP BY lang
       |ORDER BY lang NULLS FIRST""".stripMargin
 

@@ -347,7 +347,10 @@ object Round9Queries {
     * totals is the 1-row total-weight max.
     */
   val q164WeightedSample: Q = (s, d) => {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars").as("w"))
+    // measurable rows only: a NULL weight throws in prefixSum by design
+    val docs = Tables.documents(s, d)
+      .filter(col("n_chars").isNotNull)
+      .select(col("doc_id"), col("n_chars").as("w"))
     val c = Relational.prefixSum(docs, "doc_id", "w", numPartitions = 8)
     val totRow = c.agg(max(col("cumw") + col("w"))).first()
     // A null max means an empty corpus — fail with the contract message,
@@ -369,7 +372,7 @@ object Round9Queries {
     * avoids); HUGEINT window/total SUMs cast back to BIGINT.
     */
   val q164Sql: String =
-    """WITH w AS (SELECT doc_id, n_chars AS w FROM documents),
+    """WITH w AS (SELECT doc_id, n_chars AS w FROM documents WHERE n_chars IS NOT NULL),
       |c AS (SELECT doc_id, w,
       |        CAST(COALESCE(SUM(w) OVER (ORDER BY doc_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumw

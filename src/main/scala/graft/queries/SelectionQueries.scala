@@ -244,7 +244,10 @@ object SelectionQueries {
     */
   val q123LoopScreen: Q = (s, d) => {
     // Raw scan: one cheap O(len) fold per row (round-8 rule).
+    // Readable rows only: the oracle's unnest drops NULL-text docs
+    // while the engine's per-row fold would keep them — align both.
     Tables.table(s, d, "documents")
+      .filter(col("text").isNotNull)
       .select(
         col("doc_id"),
         TextAnalysis.maxTokenRun(col("text")).as("max_run"))
@@ -258,7 +261,7 @@ object SelectionQueries {
   val q123Sql: String =
     """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
       |                  generate_subscripts(string_split(text, ' '), 1) AS ord
-      |           FROM documents),
+      |           FROM documents WHERE text IS NOT NULL),
       |i AS (SELECT doc_id, tok, ord - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY ord) AS g FROM t),
       |r AS (SELECT doc_id, COUNT(*) AS run FROM i GROUP BY doc_id, tok, g)
       |SELECT doc_id, MAX(run) AS max_run, (MAX(run) >= 3) AS loopy
@@ -273,6 +276,10 @@ object SelectionQueries {
     import TextAnalysis._
     Tables
       .table(s, d, "documents")
+      // quality statistics are over READABLE rows: a NULL text has no
+      // score, and downstream q125 quantiles would hit the operator's
+      // null-rank guard (null order differs across engines)
+      .filter(col("text").isNotNull)
       .select(
         col("doc_id"),
         col("lang"),
@@ -300,7 +307,7 @@ object SelectionQueries {
        |  + 0.3*least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100.0)
        |  + 0.3*(1.0 - CAST(len(list_filter(string_split(text,' '), t -> t IN $stop)) AS DOUBLE)
        |               / CAST(len(string_split(text,' ')) AS DOUBLE)) AS score
-       |FROM documents""".stripMargin
+       |FROM documents WHERE text IS NOT NULL""".stripMargin
   }
 
   /** q124 — quality-tiered epoch upsampling: the "repeat the best data

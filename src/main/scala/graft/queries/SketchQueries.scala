@@ -501,6 +501,8 @@ object SketchQueries {
   val q144Deciles: Q = (s, d) => {
     val sc = Tables
       .documents(s, d)
+      // readable rows only (NULL token counts rank-order engine-divergently)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), TextAnalysis.wsTokenCount(col("text")).as("n_tok"))
     val qs = Relational.groupedDiscreteQuantiles(
       sc.select(col("lang"), col("n_tok")),
@@ -526,7 +528,8 @@ object SketchQueries {
     val cases = (1 to 9)
       .map(i => s"(CASE WHEN t.n_tok > qs.b$i THEN 1 ELSE 0 END)")
       .mkString("\n      |   + ")
-    s"""WITH t AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+    s"""WITH t AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |           FROM documents WHERE text IS NOT NULL),
       |r AS (SELECT lang, n_tok,
       |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tok) AS rn,
       |        COUNT(*) OVER (PARTITION BY lang) AS n
@@ -591,7 +594,7 @@ object SketchQueries {
       |                            'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
       |                            'abcdefghijklmnopqrstuvwxyz') AS k,
       |                  doc_id FROM documents),
-      |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM t)
+      |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k NULLS FIRST, doc_id) AS rn FROM t)
       |SELECT a.rn AS ra, b.rn AS rb, a.doc_id AS da, b.doc_id AS db
       |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
       |ORDER BY ra NULLS FIRST, rb NULLS FIRST""".stripMargin

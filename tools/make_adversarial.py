@@ -110,6 +110,15 @@ def adversarial_documents(src: Path, out: Path):
         "source": [f"src{i % 20}" for i in range(len(probes))],
         "n_chars": [len(t) for t in probes],
     }
+    # NULL probes: a failed extraction (NULL text + NULL n_chars) and an
+    # unlabeled document (NULL lang). These pin the catalog's null
+    # contract — corpus statistics run over readable/labeled rows, and
+    # per-row operators coalesce null text to the empty-content value.
+    rows["doc_id"] += [9900, 9901]
+    rows["text"] += [None, "unlabeled but readable text"]
+    rows["lang"] += ["en", None]
+    rows["source"] += ["src0", "src1"]
+    rows["n_chars"] += [None, 27]
     return append_rows(src, out, rows)
 
 
@@ -155,6 +164,13 @@ def adversarial_events(src: Path, out: Path):
         "value": [0.0, 1.0, 2.5, 99999.99, 1.0, -1.0],
         "props": ['{"k":"v\'s \\"q\\""}', "{}", '{"emoji":"🚀"}', "{}", "{}", "{}"],
     }
+    # NULL value/props probe (a dropped payload)
+    rows["event_id"].append(90006)
+    rows["ts"].append(datetime(2024, 7, 1, 1, 2, 3))
+    rows["user_id"].append(5)
+    rows["event_type"].append("view")
+    rows["value"].append(None)
+    rows["props"].append(None)
     return append_rows(src, out, rows)
 
 
