@@ -916,8 +916,16 @@ object Dedup {
       idCol: String,
       tokensCol: String,
       tNum: Int,
-      tDen: Int): DataFrame = {
+      tDen: Int,
+      rankPartitions: Int = 0): DataFrame = {
     require(tNum >= 1 && tDen >= 1 && tNum <= tDen, s"need 0 < tNum/tDen <= 1 (got $tNum/$tDen)")
+    // The vocabulary-ranking sort is range-partitioned; at 100 TB the
+    // token-df frame is billions of rows, so the partition count must
+    // scale with the session, not a constant. 0 (the default) means
+    // "inherit spark.sql.shuffle.partitions".
+    val rankParts =
+      if (rankPartitions > 0) rankPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     // The corpus-wide token explode feeds TWO consumers (the
     // document-frequency pass and the rank-join array build) — persist
     // it so the corpus explodes once. InferFiltersFromGenerate note:
@@ -937,7 +945,7 @@ object Dedup {
     try {
       val dfreq = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val ranked = Relational
-        .globalRowNumber(dfreq, "df", numPartitions = 8, outCol = "rank")
+        .globalRowNumber(dfreq, "df", numPartitions = rankParts, outCol = "rank")
         .select(col("token"), col("rank"))
       arrs = toks
         .join(ranked, Seq("token"))

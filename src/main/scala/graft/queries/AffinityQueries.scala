@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Coverage, Graph, Similarity}
+import graft.operators.{Bipartite, Coverage, Graph, Similarity}
 import graft.queries.CoreQueries.Q
 
 /** Round-8 affinity/distance/selection batch:
@@ -35,11 +35,14 @@ object AffinityQueries {
     * support floor 3, lift in exact parts-per-million:
     * `(n_ab · N_orders · 10^6) div (n_a · n_b)`. Top 25 by lift.
     *
-    * Scale shape: the self-join is a co-located shuffle join on the
-    * order key (baskets are small — the per-order pair fan-out is
-    * C(items,2) with items ≈ 4); counts are map-side-combined aggs;
-    * the per-part counts and the 1-row order total join back
-    * broadcast. No step is quadratic in parts or orders.
+    * Scale shape: the pairing is [[graft.operators.Bipartite.pairProjection]]
+    * — co-located self-join on the order key (baskets are small, the
+    * per-order fan-out is C(items,2) with items ≈ 4) behind the
+    * operator's per-key incidence gate, which throws if any basket
+    * exceeds `maxKeyRows` before the quadratic step runs; counts are
+    * map-side-combined aggs; the per-part counts and the 1-row order
+    * total join back broadcast. No step is quadratic in parts or
+    * orders, and a degenerate hub basket fails loudly.
     */
   val q146CoPurchase: Q = (s, d) => {
     val b = Tables
@@ -48,13 +51,9 @@ object AffinityQueries {
       .distinct()
     val nOrders = b.agg(countDistinct(col("ok")).as("n_orders"))
     val perPart = b.groupBy(col("pk")).agg(count(lit(1)).as("n"))
-    val pairs = b
-      .select(col("ok"), col("pk").as("pa"))
-      .join(b.select(col("ok"), col("pk").as("pb")), Seq("ok"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= 3)
+    val pairs = Bipartite
+      .pairProjection(b, "ok", "pk", minSupport = 3)
+      .select(col("item_a").as("pa"), col("item_b").as("pb"), col("w").as("n_ab"))
     pairs
       .join(broadcast(perPart.select(col("pk").as("pa"), col("n").as("n_a"))), Seq("pa"))
       .join(broadcast(perPart.select(col("pk").as("pb"), col("n").as("n_b"))), Seq("pb"))
@@ -228,14 +227,14 @@ object AffinityQueries {
   /** Supplier co-supply pairs (sa < sb) with shared-customer weight,
     * support floor 5 — ONE definition for the q150/q151 graph builds
     * so the two queries cannot gate against diverging projections.
+    * Delegates to [[graft.operators.Bipartite.pairProjection]], whose
+    * per-customer incidence gate throws before the quadratic fan-out
+    * if a hub customer exceeds `maxKeyRows` suppliers.
     */
   private def coSupplyPairs(cs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    cs.select(col("c"), col("sk").as("sa"))
-      .join(cs.select(col("c"), col("sk").as("sb")), Seq("c"))
-      .filter(col("sa") < col("sb"))
-      .groupBy(col("sa"), col("sb"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 5)
+    Bipartite
+      .pairProjection(cs, "c", "sk", minSupport = 5)
+      .select(col("item_a").as("sa"), col("item_b").as("sb"), col("w"))
 
   val q150CoSupplyRank: Q = (s, d) => {
     val proj = coSupplyPairs(coSupplyIncidence(s, d))
@@ -583,11 +582,11 @@ object AffinityQueries {
         col("l_suppkey").as("sk"),
         datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))).cast("long").as("day"))
       .distinct()
-    val te = cs
-      .select(col("c"), col("sk").as("src"), col("day").as("dep"))
-      .join(cs.select(col("c"), col("sk").as("dst"), col("day").as("arr")), Seq("c"))
-      .filter(col("arr") > col("dep") && col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), col("dep"), col("arr"))
+    // Guarded temporal projection: same per-customer fan-out gate as
+    // the q150/q151 static pairs; output is distinct timed edges
+    // (duplicate-invariant under earliestArrival's min-fold, and the
+    // oracle's projection is DISTINCT too).
+    val te = Bipartite.temporalPairProjection(cs, "c", "sk", "day")
     val seeds = cs.select(col("sk")).distinct().filter(col("sk") % 10 === 0)
     graft.operators.Graph
       .earliestArrival(te, seeds, rounds = 3)
