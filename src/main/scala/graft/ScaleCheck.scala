@@ -159,14 +159,10 @@ object ScaleCheck {
           .join(Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
           .distinct()
-        val proj = cs
-          .select(col("c"), col("sk").as("sa"))
-          .join(cs.select(col("c"), col("sk").as("sb")), Seq("c"))
-          .filter(col("sa") < col("sb"))
-          .groupBy(col("sa"), col("sb"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 5)
-          .select(col("sa"), col("sb"), expr("greatest(1, 1000 div w)").as("cost"))
+        val proj = graft.operators.Bipartite
+          .pairProjection(cs, "c", "sk", minSupport = 5)
+          .select(col("item_a").as("sa"), col("item_b").as("sb"),
+            expr("greatest(1, 1000 div w)").as("cost"))
         graft.operators.Graph.weightedDistances(
           proj, cs.select(col("sk")).distinct().filter(col("sk") % 10 === 0), rounds = 4)
       }),
@@ -189,13 +185,28 @@ object ScaleCheck {
             col("l_suppkey").as("sk"),
             datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))).cast("long").as("day"))
           .distinct()
-        val te = cs
-          .select(col("c"), col("sk").as("src"), col("day").as("dep"))
-          .join(cs.select(col("c"), col("sk").as("dst"), col("day").as("arr")), Seq("c"))
-          .filter(col("arr") > col("dep") && col("src") =!= col("dst"))
-          .select(col("src"), col("dst"), col("dep"), col("arr"))
+        val te = graft.operators.Bipartite.temporalPairProjection(cs, "c", "sk", "day")
         graft.operators.Graph.earliestArrival(
           te, cs.select(col("sk")).distinct().filter(col("sk") % 10 === 0), rounds = 3)
+      }),
+      // q168 shape: distinct-word BPE (merge-rank kernel once per
+      // vocabulary word) broadcast back over the growing corpus — the
+      // slope should be flat-ish in the vocab stage and linear in the
+      // rollup.
+      "bpe" -> (() => {
+        val dw = docs
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("n"))
+        val wordToks = dw
+          .select(col("word"))
+          .distinct()
+          .withColumn("n_toks", size(call_function("graft_bpe", col("word"))).cast("long"))
+        dw.join(broadcast(wordToks), Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("n") * col("n_toks")).as("bpe_tokens"), sum(col("n")).as("n_words"))
       }),
       // q140 shape over the trading graph; --docs bounds the ORDER key
       // here so the edge list (and with it the node universe) grows.

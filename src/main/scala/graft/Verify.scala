@@ -83,6 +83,15 @@ object Verify {
           df.count() > 0,
           "q146 vacuous: no part pair reaches support 3 — basket overlap drifted")
       },
+      "q167_bpe_tokenize" -> { df =>
+        import org.apache.spark.sql.functions.col
+        require(
+          df.filter(col("n_toks") > 1).count() > 0,
+          "q167 vacuous: every word is a single BPE token — merge fixture saturated the vocab")
+        require(
+          df.filter(col("n_toks") === 1 && org.apache.spark.sql.functions.length(col("word")) > 1).count() > 0,
+          "q167 vacuous: no multi-char word fully merges — merge fixture never fires end-to-end")
+      },
       "q148_bfs_dist" -> { df =>
         import org.apache.spark.sql.functions.col
         require(

@@ -223,6 +223,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_cdc_lens"),
         new ExpressionInfo(classOf[CdcSegLens].getCanonicalName, "graft_cdc_lens"),
         (exprs: Seq[Expression]) => GraftFunctions.mkCdcLens(exprs)))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_bpe"),
+        new ExpressionInfo(classOf[BpeTokens].getCanonicalName, "graft_bpe"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 1, s"graft_bpe expects exactly 1 argument, got ${exprs.size}")
+          BpeTokens(exprs.head)
+        }))
     // The whole-operator extension stack: GRAFT_TOPK hint → custom
     // logical node → custom physical operator (graft.plans.TopKPerGroup).
     ext.injectResolutionRule(spark => graft.plans.ResolveTopKHint(spark))

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.CoreQueries.Q
+
+/** Round-10 surface — the REAL tokenizer the budgeting family was
+  * missing:
+  *
+  *  - q167 word-level BPE tokenization ([[graft.functions.BpeTokens]]
+  *    — greedy merge-rank byte-pair encoding over the checked-in
+  *    merge fixture, Sennrich 2016 / GPT-2-style): every distinct
+  *    corpus word with its full token split, pinning the complete
+  *    merge sequence cross-engine (the DuckDB oracle REPLAYS the
+  *    merge loop with a recursive CTE over the same inlined table);
+  *  - q168 per-document exact token budget: the distinct-word token
+  *    counts broadcast-joined back onto the corpus — the number every
+  *    training-data pipeline actually budgets by, where q28's
+  *    whitespace/regex proxy can drift 10–20%.
+  *
+  * Scale shape: BPE cost is paid once per DISTINCT word (vocabulary ≪
+  * corpus at 100 TB), the word→tokens map is the broadcast side, and
+  * the per-document rollup is one map-side-combined aggregate.
+  */
+object Round10Queries {
+
+  /** The merge table inlined as SQL VALUES — generated from the SAME
+    * classpath fixture the native kernel loads, so the two engines
+    * cannot train apart. Single quotes doubled (defensive; current
+    * fixture is ASCII letters).
+    */
+  private def mergeValues: String =
+    graft.functions.BpeTokens.merges.zipWithIndex
+      .map { case ((l, r), i) =>
+        val ql = l.replace("'", "''")
+        val qr = r.replace("'", "''")
+        s"('$ql','$qr',$i)"
+      }
+      .mkString(", ")
+
+  /** The recursive merge-replay CTE chain, parameterized on a `w(word)`
+    * CTE the caller must have defined: `init` splits each word into
+    * code points (`string_split(w,'')` — code-point granularity,
+    * matching the kernel's `codePointAt` walk), each recursion step
+    * finds the lowest-rank adjacent pair via the chr(1) pair-key
+    * encoding (merges never contain control chars — trainer contract)
+    * and replaces occurrences with ONE left-to-right non-overlapping
+    * `list_reduce` fold, and `fin` keeps exactly the states with no
+    * mergeable pair left. Identical loop to
+    * [[graft.functions.BpeTokens.encode]] by construction.
+    */
+  private def bpeCtes: String =
+    s"""m(l, r, rank) AS (VALUES $mergeValues),
+      |init AS (SELECT word, string_split(word,'') AS syms FROM w),
+      |bpe AS (
+      |  SELECT word, syms FROM init
+      |  UNION ALL
+      |  SELECT word,
+      |    list_reduce(
+      |      list_transform(syms, s -> [s]),
+      |      (acc, x) -> CASE WHEN acc[-1] = bl AND x[1] = br
+      |                       THEN acc[1:len(acc)-1] || [bl || br]
+      |                       ELSE acc || x END) AS syms
+      |  FROM (
+      |    SELECT b.word, b.syms, mm.l AS bl, mm.r AS br
+      |    FROM bpe b JOIN m mm ON mm.rank = (
+      |      SELECT MIN(m2.rank) FROM m m2
+      |      WHERE list_contains(
+      |        list_transform(range(1, len(b.syms)), i -> b.syms[i] || chr(1) || b.syms[i+1]),
+      |        m2.l || chr(1) || m2.r)))),
+      |fin AS (
+      |  SELECT word, syms FROM bpe t WHERE NOT EXISTS (
+      |    SELECT 1 FROM m m2 WHERE list_contains(
+      |      list_transform(range(1, len(t.syms)), i -> t.syms[i] || chr(1) || t.syms[i+1]),
+      |      m2.l || chr(1) || m2.r)))""".stripMargin
+
+  /** q167 — the distinct-word BPE table: every corpus word
+    * (single-space tokens, empties dropped — the corpus convention)
+    * with its occurrence count, token count, and the FULL token split
+    * joined with '|'. Pinning the joined split means a single
+    * out-of-order merge anywhere in the greedy loop fails the hash
+    * gate — far stronger than count equality.
+    */
+  val q167BpeTokenize: Q = (s, d) => {
+    Tables
+      .documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("t", call_function("graft_bpe", col("word")))
+      .select(
+        col("word"),
+        col("n_occ"),
+        size(col("t")).cast("long").as("n_toks"),
+        concat_ws("|", col("t")).as("toks"))
+      .orderBy(col("word"))
+  }
+
+  val q167Sql: String =
+    s"""WITH RECURSIVE
+      |wc AS (SELECT w AS word, COUNT(*) AS n_occ FROM (
+      |         SELECT unnest(string_split(text, ' ')) AS w
+      |         FROM documents WHERE text IS NOT NULL)
+      |       WHERE len(w) > 0 GROUP BY 1),
+      |w AS (SELECT word FROM wc),
+      |$bpeCtes
+      |SELECT wc.word, wc.n_occ, CAST(len(f.syms) AS BIGINT) AS n_toks,
+      |       array_to_string(f.syms, '|') AS toks
+      |FROM wc JOIN fin f ON f.word = wc.word
+      |ORDER BY wc.word NULLS FIRST""".stripMargin
+
+  /** q168 — per-document exact BPE token budget: (doc, word)
+    * occurrence counts joined to the broadcast distinct-word token
+    * counts, rolled up per document. `n_words` rides along so the
+    * proxy-vs-exact gap is visible per row.
+    */
+  val q168BpeBudget: Q = (s, d) => {
+    val dw = Tables
+      .documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val wordToks = dw
+      .select(col("word"))
+      .distinct()
+      .withColumn("n_toks", size(call_function("graft_bpe", col("word"))).cast("long"))
+    dw.join(broadcast(wordToks), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n") * col("n_toks")).as("bpe_tokens"),
+        sum(col("n")).as("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q168Sql: String =
+    s"""WITH RECURSIVE
+      |dw AS (SELECT doc_id, w AS word, COUNT(*) AS n FROM (
+      |         SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |         FROM documents WHERE text IS NOT NULL)
+      |       WHERE len(w) > 0 GROUP BY 1, 2),
+      |w AS (SELECT DISTINCT word FROM dw),
+      |$bpeCtes
+      |SELECT dw.doc_id, CAST(SUM(dw.n * len(f.syms)) AS BIGINT) AS bpe_tokens,
+      |       CAST(SUM(dw.n) AS BIGINT) AS n_words
+      |FROM dw JOIN fin f ON f.word = dw.word
+      |GROUP BY 1 ORDER BY dw.doc_id NULLS FIRST""".stripMargin
+
+  def all: Map[String, Q] = Map(
+    "q167_bpe_tokenize" -> q167BpeTokenize,
+    "q168_bpe_budget" -> q168BpeBudget)
+
+  def oracles: Map[String, String] = Map(
+    "q167_bpe_tokenize" -> q167Sql,
+    "q168_bpe_budget" -> q168Sql)
+}
