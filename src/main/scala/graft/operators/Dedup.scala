@@ -918,6 +918,45 @@ object Dedup {
       tNum: Int,
       tDen: Int,
       rankPartitions: Int = 0): DataFrame = {
+    val (arrs, cands) = prefixFilterBuild(df, idCol, tokensCol, tNum, tDen, rankPartitions)
+    prefixFilterVerify(arrs, cands, tNum, tDen)
+  }
+
+  /** Candidate volume diagnostics for [[prefixFilterSimilarityJoin]]
+    * — the at-scale evidence that the prefix filter actually PRUNES on
+    * a given corpus (on a degenerate ~30-word vocabulary it can't:
+    * every token is common, candidates ≈ all pairs — measured 12.5 M
+    * on the sf0.1 fixture — which is why the q165 gate is sliced).
+    * Returns one driver-side row (nDocs, allPairs, candidates,
+    * verified). Candidate COUNT depends on the df-rank tie order, so
+    * this is a probe, not an oracle surface; the verified count is
+    * order-independent.
+    */
+  def prefixFilterSelectivity(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      tNum: Int,
+      tDen: Int,
+      rankPartitions: Int = 0): (Long, Long, Long, Long) = {
+    val (arrs, cands) = prefixFilterBuild(df, idCol, tokensCol, tNum, tDen, rankPartitions)
+    val n = arrs.count()
+    val nCands = cands.count()
+    val nVerified = prefixFilterVerify(arrs, cands, tNum, tDen).count()
+    (n, n * (n - 1) / 2, nCands, nVerified)
+  }
+
+  /** Shared build: ranked-token arrays (persisted) + distinct
+    * candidate id pairs from the prefix equi-join and AllPairs size
+    * filter.
+    */
+  private def prefixFilterBuild(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      tNum: Int,
+      tDen: Int,
+      rankPartitions: Int): (DataFrame, DataFrame) = {
     require(tNum >= 1 && tDen >= 1 && tNum <= tDen, s"need 0 < tNum/tDen <= 1 (got $tNum/$tDen)")
     // The vocabulary-ranking sort is range-partitioned; at 100 TB the
     // token-df frame is billions of rows, so the partition count must
@@ -994,6 +1033,17 @@ object Dedup {
           col("n_b") * tDen >= col("n_a") * tNum)
       .select(col("id_a"), col("id_b"))
       .distinct()
+    (arrs, cands)
+  }
+
+  /** Exact integer verification of the candidate pairs against the
+    * ranked-token arrays.
+    */
+  private def prefixFilterVerify(
+      arrs: DataFrame,
+      cands: DataFrame,
+      tNum: Int,
+      tDen: Int): DataFrame =
     cands
       .join(arrs.select(col("__id").as("id_a"), col("toks").as("toks_a"), col("n").as("n_a")), Seq("id_a"))
       .join(arrs.select(col("__id").as("id_b"), col("toks").as("toks_b"), col("n").as("n_b")), Seq("id_b"))
@@ -1001,7 +1051,6 @@ object Dedup {
       .withColumn("union_n", col("n_a") + col("n_b") - col("inter"))
       .filter(col("inter") * tDen >= col("union_n") * tNum)
       .select(col("id_a"), col("id_b"), col("inter"), col("union_n"))
-  }
 
   /** One row per corpus id with its near-dup cluster's canonical id:
     * [[connectedComponents]] labels over `pairs` left-joined onto the
