@@ -118,15 +118,19 @@ object Bench {
     }
     burn(100000): Unit // JIT warmup on the calling thread
     val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
-    val t0 = System.nanoTime()
-    val futs = (1 to n).map(_ => pool.submit(new java.util.concurrent.Callable[Long] {
-      def call(): Long = burn(1000000)
-    }))
-    val sink = futs.map(_.get()).sum
-    val dt = (System.nanoTime() - t0) / 1e9
-    pool.shutdown()
-    if (sink == Long.MinValue) println("")
-    dt
+    // try/finally + bounded get: a wedged or throwing worker must not
+    // leak the pool or hang the bench before any query runs — the
+    // calibration is diagnostics, never worth blocking the suite on.
+    try {
+      val t0 = System.nanoTime()
+      val futs = (1 to n).map(_ => pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = burn(1000000)
+      }))
+      val sink = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS): Long).sum
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (sink == Long.MinValue) println("")
+      dt
+    } finally pool.shutdownNow()
   }
 
   /** Scheduler-wakeup calibration: seconds for 100k two-thread
@@ -356,19 +360,19 @@ $detail
           if (failed.size > 10) s""","failed_truncated":${failed.size - 10}""" else ""
         shown + trunc
       }
-    // Per-query detail first (a ~4 KB line at 157 queries), compact
-    // summary LAST: the driver's tail capture keeps only the final
-    // ~2000 chars of stdout, so round 8's single full line overran it
-    // and BENCH_r08.json recorded "parsed": null. The last line now
-    // carries the headline stats plus the 20 slowest queries (the ones
-    // a baseline comparison actually reads) and always fits the window;
-    // the full per-query map is the preceding line and bench_detail.json.
-    val qsFull = headline.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"queries_full","unit":"sec","queries":$qsFull}""")
+    // ONE compact summary line, emitted last and sized well under the
+    // driver's ~2000-char tail window: round 9's record truncated
+    // mid-JSON because a full 166-entry per-query line preceded the
+    // summary (only 123 entries survived the tail). The full per-query
+    // map now lives ONLY in bench_detail.json; stdout carries the
+    // headline stats plus the 20 slowest queries (what a baseline
+    // comparison actually reads), with "queries_truncated" marking the
+    // subset explicitly so a stale consumer keying on "queries" fails
+    // loudly instead of silently averaging 20 lines as if they were
+    // the suite (ADVICE r9).
     val slowest = headline.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"queries":$slowest,"sf":"$sfDir","calib_md5":${ms(calib)},"calib_md5_mt":${ms(calibMt)},"calib_sched":${ms(calibSched)},"reps":$reps,"stat":"min"$failedJson}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"queries":$slowest,"queries_truncated":true,"detail":"bench_detail.json","sf":"$sfDir","calib_md5":${ms(calib)},"calib_md5_mt":${ms(calibMt)},"calib_sched":${ms(calibSched)},"reps":$reps,"stat":"min"$failedJson}""")
   }
 }

@@ -116,11 +116,15 @@ object GramHashes {
     new GenericArrayData(out)
   }
 
-  private def utf8Len(b: Byte): Int = {
-    val u = b & 0xff
-    if (u < 0x80) 1
-    else if (u < 0xe0) 2
-    else if (u < 0xf0) 3
-    else 4
-  }
+  /** Byte length of the code point starting at `b` — DELEGATED to
+    * Spark's own `UTF8String.numBytesForFirstByte` so malformed UTF-8
+    * (a continuation byte 0x80–0xBF or invalid lead 0xF5+ at a lead
+    * position, which Spark counts as a 1-byte char) segments exactly
+    * like the composed `split('')`/`length()` path this kernel
+    * replaces. The previous hand-rolled table treated continuation
+    * leads as 2-byte, silently misaligning gram offsets on malformed
+    * input instead of matching `numChars`.
+    */
+  private def utf8Len(b: Byte): Int =
+    UTF8String.numBytesForFirstByte(b)
 }

@@ -63,6 +63,16 @@ object MinHashFold {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val h = arr.getLong(i)
+        // Loud contract enforcement (one compare per element): the
+        // affine products are raw 64-bit math, identical to the
+        // composed ANSI form only for the engine's h32 range. An
+        // out-of-contract SQL caller (graft_minhash is session-
+        // registered) must fail like ANSI would, not wrap silently.
+        if (h < 0L || h > (1L << 33)) {
+          throw new IllegalArgumentException(
+            s"graft_minhash: input hash $h outside the h32 contract [0, 2^33] — " +
+              "raw affine math would overflow-wrap where ANSI arithmetic throws")
+        }
         var j = 0
         while (j < k) {
           val v = (h * (2L * j + 3L) + (5L * j + 7L)) % Hashing.AffineP

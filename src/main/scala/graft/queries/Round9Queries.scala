@@ -53,6 +53,16 @@ object Round9Queries {
     // (Round9OpsSpec's hand cases); the fold is this gate query's
     // cross-engine contract, and it slightly under-counts only when
     // two DIFFERENT non-ASCII code points substitute for each other.
+    //
+    // ENTITY-FIDELITY caveat (ADVICE r9): because the fold happens
+    // BEFORE the distinct, names differing only in different
+    // non-ASCII characters collapse into one entity here (and their
+    // mention counts merge) — fine for this gate's fixture, but a
+    // deployment where such names are distinct entities should group
+    // by the RAW name and apply the sentinel fold only inside the
+    // Levenshtein predicate on both engines, keeping the name
+    // universe unmerged. The operator itself (editDistancePairs)
+    // already works on raw names and needs no change.
     val names = Tables.part(s, d)
       .groupBy(
         regexp_replace(col("p_name"), "[^\\x00-\\x7F]", "\u007F").as("name"))

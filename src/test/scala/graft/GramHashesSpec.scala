@@ -136,4 +136,23 @@ class GramHashesSpec extends AnyFunSuite {
     // bytes and no expansion corner exists at all
     assert(h("İab", 2) == Seq(md5h32("İa"), md5h32("ab")))
   }
+
+  test("malformed UTF-8 segments like UTF8String.numChars (ADVICE r9)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // a continuation byte at lead position and a truncated 2-byte
+    // sequence: Spark counts invalid leads as 1-byte chars, and the
+    // kernel's gram count must track numChars exactly (the composed
+    // form's length(text) guard)
+    val malformed = Seq(
+      Array[Byte]('a', 0x80.toByte, 'b'),        // bare continuation mid-string
+      Array[Byte](0xbf.toByte, 0xbf.toByte),     // two bare continuations
+      Array[Byte]('x', 0xc3.toByte),             // truncated 2-byte tail
+      Array[Byte](0xf5.toByte, 'y', 'z'))        // invalid lead 0xF5
+    for (bytes <- malformed; k <- Seq(1, 2)) {
+      val s = UTF8String.fromBytes(bytes)
+      val got = GramHashes.compute(s, k).numElements()
+      val want = math.max(s.numChars() - (k - 1), 0)
+      assert(got == want, s"bytes=${bytes.map(b => f"${b & 0xff}%02x").mkString} k=$k: $got != $want")
+    }
+  }
 }

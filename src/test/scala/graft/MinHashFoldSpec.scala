@@ -85,4 +85,17 @@ class MinHashFoldSpec extends AnyFunSuite {
     val withNull = MinHashFold.compute(ad(null, 7L), 1)
     assert(withNull.getLong(0) == (7 * 3 + 7) % P)
   }
+
+  test("out-of-contract hashes fail loudly instead of overflow-wrapping (ADVICE r9)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def ad(xs: Any*): ArrayData = ArrayData.toArrayData(xs.toArray)
+    // the session-registered SQL surface can feed arbitrary BIGINTs;
+    // raw affine math would wrap where the composed ANSI form throws
+    val eNeg = intercept[IllegalArgumentException](MinHashFold.compute(ad(-1L), 2))
+    assert(eNeg.getMessage.contains("h32"))
+    val eBig = intercept[IllegalArgumentException](MinHashFold.compute(ad(Long.MaxValue), 2))
+    assert(eBig.getMessage.contains("h32"))
+    // the h32 ceiling itself stays in contract
+    assert(MinHashFold.compute(ad(1L << 33), 1).numElements() == 1)
+  }
 }

@@ -48,9 +48,22 @@ def load_bench(path):
     if full is not None:
         total = {**total, "queries": full["queries"]}
     elif len(total.get("queries", {})) <= 20 and total.get("n_queries", 0) > 20:
-        print(f"WARNING: {path} carries only the {len(total['queries'])} slowest "
-              f"queries of {total['n_queries']} — no queries_full line found; "
-              "ratios below cover that subset only.\n")
+        # Round-10 records drop the queries_full stdout line entirely
+        # (it was what overran the driver's tail window); the full map
+        # lives in bench_detail.json beside the record. Reconstruct the
+        # short-name -> min map from it when present.
+        detail = Path(path).parent / total.get("detail", "bench_detail.json")
+        if detail.exists():
+            d = json.loads(detail.read_text())
+            qmin = {name.split("_")[0]: v["min"]
+                    for name, v in d.get("queries", {}).items()
+                    if isinstance(v, dict) and v.get("min", -1) >= 0}
+            if len(qmin) >= total.get("n_queries", 0) - total.get("n_failed", 0):
+                total = {**total, "queries": qmin}
+        if len(total.get("queries", {})) <= 20 and total.get("n_queries", 0) > 20:
+            print(f"WARNING: {path} carries only the {len(total['queries'])} slowest "
+                  f"queries of {total['n_queries']} — no queries_full line or "
+                  "bench_detail.json found; ratios below cover that subset only.\n")
     return total
 
 
