@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Execution-shape pins for the ITERATIVE tail — the suite's
+  * expensive queries (q113/q115/q140/q150/q159), whose loop rounds
+  * never appear in the returned frame's static plan, so
+  * PlanAuditSpec's operator asserts can't see a loop regression.
+  * [[ExecShape.measure]] counts the jobs and stages the scheduler
+  * actually submits end-to-end at sf0.001; the counts are pinned here
+  * AND recorded in BASELINE.md, so a future "graph tail is 2× slower"
+  * bench round is decidable from the record alone: counts unchanged ⇒
+  * container/scheduler regression (check calib_sched), counts grown ⇒
+  * a plan or loop-structure regression in the tree.
+  *
+  * Re-derive after an intentional loop change:
+  * `tools/run_main.sh graft.ExecShape <query...>` (stable across
+  * runs — two identical back-to-back measurements recorded r10).
+  */
+class ExecShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private val pinned = Seq(
+    // query                 jobs  stages
+    ("q113_pagerank", 21, 48),
+    ("q115_trustrank", 27, 61),
+    ("q140_hits", 43, 133),
+    ("q150_cosupply_rank", 25, 85),
+    ("q159_power_iteration", 21, 89))
+
+  for ((name, jobs, stages) <- pinned)
+    test(s"$name submits exactly $jobs jobs / $stages stages at sf0.001") {
+      GraftSession.releaseAllCaches(spark)
+      val fn = SparkEntry.queries(name)
+      val (j, s) = ExecShape.measure(spark, name)(fn(spark, sf).queryExecution.toRdd.count(): Unit)
+      assert((j, s) == ((jobs, stages)),
+        s"$name execution shape drifted: got jobs=$j stages=$s, pinned jobs=$jobs stages=$stages — " +
+          "if the loop change is intentional, re-derive with tools/run_main.sh graft.ExecShape " +
+          "and update this pin plus BASELINE.md's shape row")
+    }
+}
