@@ -25,6 +25,59 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Rows per loop-shuffle partition: the target that sizes the
+    * iterative rounds' exchanges from the MATERIALIZED edge count
+    * instead of the corpus-sized session setting.
+    */
+  private val LoopRowsPerPartition = 500000L
+
+  /** Right-size the iterative rounds for edge-sized data.
+    *
+    * The loop operators' per-round frames are node/edge-sized — tiny
+    * relative to the corpus the session's `spark.sql.shuffle.partitions`
+    * is tuned for — yet every round's join/agg exchange inherits the
+    * session setting, so at small-to-medium graph sizes each of the
+    * loop's many stages pays per-task scheduler wakeups for dozens of
+    * near-empty partitions, and AQE adds a per-exchange planning job
+    * on top. Measured on the r10 container (sf0.1, 32 session
+    * partitions): q113 PageRank 5.7 → 1.9 s and q140 HITS 7.4 → 3.6 s
+    * with loop shuffles at the edge-derived width and AQE's per-stage
+    * orchestration off for the rounds.
+    *
+    * Mechanism: once the canonical edge frame is materialized (its
+    * count is an action the loops already pay), partitions =
+    * `ceil(edgeRows / 500k)` clamped to the session setting. If that
+    * equals the session setting — the 100 TB regime — NOTHING changes:
+    * same session, AQE stays on, skew handling intact. Otherwise the
+    * rounds build against a CLONED session (shared SparkContext,
+    * shared cache manager) with the derived width and AQE off —
+    * justified for the rounds only, whose shapes are fixed node-sized
+    * equi-join + map-side-combined agg with no skew or stats surprises
+    * for AQE to exploit. The edge frame crosses sessions as an
+    * RDD-backed leaf (reading THROUGH the caller-session cache), which
+    * also freezes the caller's optimized plan — the conjunct-leak
+    * guard the loops already require.
+    *
+    * Returns the session to run rounds on and the edge frame rebound
+    * to it. The caller keeps releasing the original cache handle.
+    */
+  private[operators] def loopStage(
+      cached: DataFrame,
+      cachedRows: Long): (org.apache.spark.sql.SparkSession, DataFrame) = {
+    val sess = cached.sparkSession
+    val sessParts = sess.sessionState.conf.numShufflePartitions
+    val p = math.max(
+      1L,
+      math.min(sessParts.toLong, (cachedRows + LoopRowsPerPartition - 1) / LoopRowsPerPartition)).toInt
+    if (p >= sessParts) (sess, cached)
+    else {
+      val loop = sess.newSession()
+      loop.conf.set("spark.sql.shuffle.partitions", p.toString)
+      loop.conf.set("spark.sql.adaptive.enabled", "false")
+      (loop, loop.createDataFrame(cached.rdd, cached.schema))
+    }
+  }
+
   /** PageRank in integer micro-units — deterministic across engines,
     * partitionings, and reruns.
     *
@@ -147,13 +200,17 @@ object Graph {
       cached.unpersist()
       return (cached.select(col("src").as("node"), col("src").as("rank")), () => ())
     }
+    // Edge-derived loop sizing (see loopStage): the rounds below run
+    // at a shuffle width matched to the materialized edge count, not
+    // the corpus-sized session setting.
+    val (loopSpark, loopEdges) = loopStage(cached, edgeRows)
     // Canonical pairs are strictly (min < max), so the mirrored rows
     // cannot collide with the originals — no second dedup needed; the
     // mirror carries the pair's weight in both directions.
     val e =
       if (undirected)
-        cached.unionByName(cached.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      else cached
+        loopEdges.unionByName(loopEdges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      else loopEdges
     // Per-source outgoing totals fold into a persisted per-edge sender
     // frame (src, dst, w, wsum) — iteration-invariant, computed once.
     // The node universe is persisted too: it seeds rank 0 and anchors
@@ -192,7 +249,7 @@ object Graph {
       else "(CAST(rank AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) div CAST(wsum AS DECIMAL(38,0))"
     def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (spark.createDataFrame(rdd, df.schema), rdd)
+      (loopSpark.createDataFrame(rdd, df.schema), rdd)
     }
     // Rounds STACK LAZILY — one action evaluates several rounds as a
     // single multi-stage job instead of paying scheduler + cache-write
@@ -603,9 +660,13 @@ object Graph {
       // branches, and racing first-touch stages each recompute an
       // uncached upstream (see bfsDistances — measured ~6x on an
       // expensive pair build).
-      e.count()
-      nodes = e.select(col("src").as("node"))
-        .unionByName(e.select(col("dst").as("node")))
+      val eRows = e.count()
+      // Edge-derived loop sizing (loopStage): the alternating
+      // hub/auth rounds run at a shuffle width matched to the
+      // materialized edge count, not the corpus-sized session setting.
+      val (_, eLoop) = loopStage(e, eRows)
+      nodes = eLoop.select(col("src").as("node"))
+        .unionByName(eLoop.select(col("dst").as("node")))
         .distinct()
         .persist()
       if (nodes.count() == 0L) {
@@ -649,12 +710,12 @@ object Graph {
       var auth = nodes.select(col("node"), lit(0L).as("auth"))
       for (_ <- 1 to iterations) {
         auth = rescaled(
-          e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+          eLoop.join(hub.withColumnRenamed("node", "src"), Seq("src"))
             .groupBy(col("dst").as("node"))
             .agg(sum(col("hub")).as("raw")),
           "auth")
         hub = rescaled(
-          e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+          eLoop.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
             .groupBy(col("src").as("node"))
             .agg(sum(col("auth")).as("raw")),
           "hub")

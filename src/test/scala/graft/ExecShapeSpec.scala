@@ -22,11 +22,11 @@ class ExecShapeSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   private val pinned = Seq(
-    // query                 jobs  stages
-    ("q113_pagerank", 21, 48),
-    ("q115_trustrank", 27, 61),
-    ("q140_hits", 43, 133),
-    ("q150_cosupply_rank", 25, 85),
+    // query                 jobs  stages   (post-loopStage, r10)
+    ("q113_pagerank", 8, 19),
+    ("q115_trustrank", 10, 22),
+    ("q140_hits", 23, 59),
+    ("q150_cosupply_rank", 15, 44),
     ("q159_power_iteration", 21, 89))
 
   for ((name, jobs, stages) <- pinned)
