@@ -573,6 +573,12 @@ object Dedup {
       ud.unpersist()
       return (ud.select(col("src").as("node"), col("src").as("component")), () => ())
     }
+    // Edge-derived loop sizing (Graph.loopStage): the label rounds run
+    // at a shuffle width matched to the materialized edge count, not
+    // the corpus-sized session setting (the upstream pair build, the
+    // corpus-facing stage, already ran at session width into the ud
+    // cache the transplant reads through).
+    val (loopSpark, udLoop) = Graph.loopStage(ud, udRows)
     // Decimal sum: label sums can exceed Long at planetary node counts,
     // and Spark 4 ANSI mode would throw on long-sum overflow.
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -583,21 +589,21 @@ object Dedup {
     // iteration history.
     def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (spark.createDataFrame(rdd, df.schema), rdd)
+      (loopSpark.createDataFrame(rdd, df.schema), rdd)
     }
     // Env-gated per-round diagnostics (driver-side, once per round):
     // round wall-clock and label sum, for attributing CC cost between
     // round COUNT (algorithmic) and per-round fixed job overhead.
     val ccLog = sys.env.contains("GRAFT_CC_LOG")
     var (labels, labelsRdd) = materialize(
-      ud.groupBy(col("src").as("node"))
+      udLoop.groupBy(col("src").as("node"))
         .agg(min(least(col("src"), col("dst"))).as("component")))
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val roundT0 = System.nanoTime()
-      val viaNeighbor = ud
+      val viaNeighbor = udLoop
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("component"))
       // Pointer jump: also offer every node its LABEL's label.

@@ -63,18 +63,30 @@ object Graph {
     */
   private[operators] def loopStage(
       cached: DataFrame,
-      cachedRows: Long): (org.apache.spark.sql.SparkSession, DataFrame) = {
-    val sess = cached.sparkSession
+      cachedRows: Long): (org.apache.spark.sql.SparkSession, DataFrame) =
+    loopSessionFor(cached.sparkSession, cachedRows) match {
+      case None => (cached.sparkSession, cached)
+      case Some(loop) => (loop, loop.createDataFrame(cached.rdd, cached.schema))
+    }
+
+  /** The clone-or-not decision behind [[loopStage]]: Some(clone) with
+    * the derived shuffle width and AQE off when the edge count sits
+    * below the session width × 500k rows, None (run on the caller
+    * session untouched) otherwise.
+    */
+  private[operators] def loopSessionFor(
+      sess: org.apache.spark.sql.SparkSession,
+      rows: Long): Option[org.apache.spark.sql.SparkSession] = {
     val sessParts = sess.sessionState.conf.numShufflePartitions
     val p = math.max(
       1L,
-      math.min(sessParts.toLong, (cachedRows + LoopRowsPerPartition - 1) / LoopRowsPerPartition)).toInt
-    if (p >= sessParts) (sess, cached)
+      math.min(sessParts.toLong, (rows + LoopRowsPerPartition - 1) / LoopRowsPerPartition)).toInt
+    if (p >= sessParts) None
     else {
       val loop = sess.newSession()
       loop.conf.set("spark.sql.shuffle.partitions", p.toString)
       loop.conf.set("spark.sql.adaptive.enabled", "false")
-      (loop, loop.createDataFrame(cached.rdd, cached.schema))
+      Some(loop)
     }
   }
 
@@ -344,8 +356,7 @@ object Graph {
     // the caller's pair plan and reorder them with the caller's own
     // filters (measured re-running an exact decimal verify for every
     // candidate pair, 32 s vs 1 s).
-    val (canon, canonRelease) = canonPairLeaf(spark, edges, srcName, dstName)
-    val canonRows = canon.count()
+    val (loopSpark, canon, canonRows, canonRelease) = canonPairLeaf(spark, edges, srcName, dstName)
     if (canonRows == 0L) {
       canonRelease()
       return (
@@ -370,7 +381,7 @@ object Graph {
       .persist()
     def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (spark.createDataFrame(rdd, df.schema), rdd)
+      (loopSpark.createDataFrame(rdd, df.schema), rdd)
     }
     var labels = nodes.select(col("node"), col("seed_label").as("label"))
     var labelsRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
@@ -436,9 +447,8 @@ object Graph {
     val srcName = edges.columns(0)
     val dstName = edges.columns(1)
     // Same raw-leaf-first conjunct-leak guard as labelPropagation.
-    val (canon0, canonRelease) = canonPairLeaf(spark, edges, srcName, dstName)
+    val (_, canon0, canonRows, canonRelease) = canonPairLeaf(spark, edges, srcName, dstName)
     val canon = canon0.select(col("src").as("a"), col("dst").as("b"))
-    val canonRows = canon.count()
     if (canonRows == 0L) {
       canonRelease()
       return (canon.select(col("a").as("node"), col("a").as("triangles")), () => ())
@@ -536,12 +546,18 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .distinct()
     val canonRdd = canonPlan.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val canon = spark.createDataFrame(canonRdd, canonPlan.schema)
-    val nCanon = canon.count()
+    val canon0 = spark.createDataFrame(canonRdd, canonPlan.schema)
+    val nCanon = canon0.count()
     rawRdd.unpersist() // canonical leaf is built; the raw rows are dead weight
     if (nCanon == 0L) {
       canonRdd.unpersist()
-      return (canon.select(col("src").as("node"), lit(0L).as("deg")).limit(0), () => ())
+      return (canon0.select(col("src").as("node"), lit(0L).as("deg")).limit(0), () => ())
+    }
+    // Edge-derived loop sizing (loopStage doc): the peel rounds run at
+    // a width matched to the canonical edge count.
+    val (loopSpark, canon) = loopSessionFor(spark, nCanon) match {
+      case None => (spark, canon0)
+      case Some(s) => (s, s.createDataFrame(canonRdd, canonPlan.schema))
     }
     val e = canon.unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
     // Each round materializes through an RDD-backed LEAF (the PageRank
@@ -553,7 +569,7 @@ object Graph {
     // unpersisted predecessor can never be re-demanded.
     def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (spark.createDataFrame(rdd, df.schema), rdd)
+      (loopSpark.createDataFrame(rdd, df.schema), rdd)
     }
     // Only the EDGE list is leaf-materialized; the survivor frame
     // stays a lazy aggregate over the cached edge leaf. The survivor
@@ -776,10 +792,14 @@ object Graph {
     // evaluation (no first-touch race), and every round reads rows.
     val leaves = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    // Rounds rebind to the edge-sized loop session once the canonical
+    // count is known (loopStage doc); the canon build itself runs at
+    // session width — it's the corpus-facing stage.
+    var loopSpark = spark
     def materialize(df: DataFrame): DataFrame = {
       val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       leaves += rdd
-      spark.createDataFrame(rdd, df.schema)
+      loopSpark.createDataFrame(rdd, df.schema)
     }
     // Raw leaf FIRST (freeze the caller's optimized plan), then the
     // canonical distinct over plain rows — see kCoreReleasable: a lazy
@@ -789,13 +809,19 @@ object Graph {
     val rawPlan = edges
       .select(col(srcName).cast("long").as("src"), col(dstName).cast("long").as("dst"))
     val rawRdd = rawPlan.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val canon = materialize(
+    val canon0 = materialize(
       spark.createDataFrame(rawRdd, rawPlan.schema)
         .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct())
-    canon.count()
+    val canonRows = canon0.count()
     rawRdd.unpersist()
+    val canon = loopSessionFor(spark, canonRows) match {
+      case None => canon0
+      case Some(s) =>
+        loopSpark = s
+        s.createDataFrame(leaves.head, canon0.schema) // leaves.head IS canon's leaf
+    }
     val e = canon.unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
     val seedCol = seeds.columns(0)
     var frontier = materialize(
@@ -863,10 +889,13 @@ object Graph {
     // cheap-filter-first ordering).
     val leaves = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    // Rounds rebind to the edge-sized loop session once the canonical
+    // count is known (loopStage doc).
+    var loopSpark = spark
     def materialize(df: DataFrame): DataFrame = {
       val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       leaves += rdd
-      spark.createDataFrame(rdd, df.schema)
+      loopSpark.createDataFrame(rdd, df.schema)
     }
     // Raw leaf first — same conjunct-leak guard as kCore/bfsDistances.
     val rawPlan = edges
@@ -881,14 +910,20 @@ object Graph {
     // actually surface; starting the try any later would leak rawRdd
     // and the canon leaf on exactly those throws.
     try {
-      val canon = materialize(
+      val canon0 = materialize(
         spark.createDataFrame(rawRdd, rawPlan.schema)
           .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"), col("w"))
           .filter(col("src") =!= col("dst"))
           .groupBy(col("src"), col("dst"))
           .agg(min(col("w")).as("w")))
-      canon.count()
+      val canonRows = canon0.count()
       rawRdd.unpersist()
+      val canon = loopSessionFor(spark, canonRows) match {
+        case None => canon0
+        case Some(s) =>
+          loopSpark = s
+          s.createDataFrame(leaves.head, canon0.schema) // leaves.head IS canon's leaf
+      }
       // Positive-cost contract check: the count reads the already-cached
       // canonical leaf (no recompute).
       val nonPos = canon.filter(col("w") < 1L).count()
@@ -957,10 +992,13 @@ object Graph {
     val Array(srcName, dstName, depName, arrName) = edges.columns.take(4)
     val leaves = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    // Rounds rebind to the edge-sized loop session once the temporal
+    // edge count is known (loopStage doc).
+    var loopSpark = spark
     def materialize(df: DataFrame): DataFrame = {
       val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       leaves += rdd
-      spark.createDataFrame(rdd, df.schema)
+      loopSpark.createDataFrame(rdd, df.schema)
     }
     // Raw leaf first (conjunct-leak guard), then dedup + the dep<arr
     // contract filter over plain rows.
@@ -970,12 +1008,18 @@ object Graph {
       col(depName).cast("long").as("dep"),
       col(arrName).cast("long").as("arr"))
     val rawRdd = rawPlan.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val e = materialize(
+    val e0 = materialize(
       spark.createDataFrame(rawRdd, rawPlan.schema)
         .filter(col("src") =!= col("dst") && col("dep") < col("arr"))
         .distinct())
-    e.count()
+    val eRows = e0.count()
     rawRdd.unpersist()
+    val e = loopSessionFor(spark, eRows) match {
+      case None => e0
+      case Some(s) =>
+        loopSpark = s
+        s.createDataFrame(leaves.head, e0.schema) // leaves.head IS e's leaf
+    }
     val seedCol = seeds.columns(0)
     var at = materialize(
       seeds.select(col(seedCol).cast("long").as("node")).distinct().withColumn("at", lit(0L)))
@@ -1000,14 +1044,19 @@ object Graph {
     * the caller plan and reorder them with its filters — measured on
     * the prefiltered near-dup pair build: the exact decimal-cosine
     * conjunct ran before the cheap double prefilter, for all 12.5M
-    * candidates (32 s vs 1 s, identical rows). Returns the canonical
-    * (src, dst) leaf plus a release closure.
+    * candidates (32 s vs 1 s, identical rows).
+    *
+    * Raw-leaf-first conjunct-leak guard, canonical distinct over
+    * plain rows, result REBOUND to an
+    * edge-sized loop session when [[loopSessionFor]] says the count
+    * warrants one. Returns (session for the loop, canonical frame
+    * bound to it, canonical row count, cache release).
     */
   private def canonPairLeaf(
       spark: org.apache.spark.sql.SparkSession,
       edges: DataFrame,
       srcName: String,
-      dstName: String): (DataFrame, () => Unit) = {
+      dstName: String): (org.apache.spark.sql.SparkSession, DataFrame, Long, () => Unit) = {
     val rawPlan = edges
       .select(col(srcName).cast("long").as("src"), col(dstName).cast("long").as("dst"))
     val rawRdd = rawPlan.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1017,8 +1066,12 @@ object Graph {
       .distinct()
     val canonRdd = canonPlan.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canon = spark.createDataFrame(canonRdd, canonPlan.schema)
-    canon.count()
+    val rows = canon.count()
     rawRdd.unpersist()
-    (canon, () => { canonRdd.unpersist(); () })
+    val (loopSpark, loopCanon) = loopSessionFor(spark, rows) match {
+      case None => (spark, canon)
+      case Some(s) => (s, s.createDataFrame(canonRdd, canonPlan.schema))
+    }
+    (loopSpark, loopCanon, rows, () => { canonRdd.unpersist(); () })
   }
 }

@@ -160,35 +160,95 @@ object Multimodal {
     */
   def decodeImagesJdk(records: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[DecodedImage] = {
     import spark.implicits._
-    records.mapPartitions(_.map { r =>
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-      require(img != null, s"undecodable image payload for doc ${r.docId}")
-      val w = img.getWidth
-      val h = img.getHeight
-      // Single-band (gray) images: read raster samples directly —
-      // getRGB would route them through color management (gamma) and
-      // come back non-identity. Multi-band: Rec.601 luma from RGB.
-      val gray = img.getRaster.getNumBands == 1
-      val hist = new Array[Long](16)
-      var sum = 0.0
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val luma =
-            if (gray) img.getRaster.getSample(x, y, 0).toDouble
-            else {
-              val rgb = img.getRGB(x, y)
-              0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-            }
-          sum += luma
-          hist(math.min((luma / 16).toInt, 15)) += 1
-          x += 1
-        }
-        y += 1
+    records.mapPartitions(_.map(decodeOneImage))
+  }
+
+  /** One payload through the JDK codec — throws on undecodable bytes
+    * (shared by the fail-loud and routed decode paths).
+    */
+  private def decodeOneImage(r: MediaRecord): DecodedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"undecodable image payload for doc ${r.docId}")
+    val w = img.getWidth
+    val h = img.getHeight
+    // Single-band (gray) images: read raster samples directly —
+    // getRGB would route them through color management (gamma) and
+    // come back non-identity. Multi-band: Rec.601 luma from RGB.
+    val gray = img.getRaster.getNumBands == 1
+    val hist = new Array[Long](16)
+    var sum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val luma =
+          if (gray) img.getRaster.getSample(x, y, 0).toDouble
+          else {
+            val rgb = img.getRGB(x, y)
+            0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          }
+        sum += luma
+        hist(math.min((luma / 16).toInt, 15)) += 1
+        x += 1
       }
-      DecodedImage(r.docId, w, h, sum / (w.toLong * h), hist)
-    })
+      y += 1
+    }
+    DecodedImage(r.docId, w, h, sum / (w.toLong * h), hist)
+  }
+
+  /** A payload the codec boundary rejected, routed instead of thrown. */
+  case class MediaError(docId: Long, stage: String, error: String)
+
+  private case class ImageAttempt(ok: Option[DecodedImage], err: Option[MediaError])
+  private case class AudioAttempt(ok: Option[DecodedAudio], err: Option[MediaError])
+
+  /** Corrupt-TOLERANT image decode — the P6 error-routing discipline
+    * applied at the codec boundary: undecodable payloads (truncated
+    * files, flipped header bytes, empty blobs — routine at 100 TB
+    * media scale) go to a (docId, stage, error) side channel instead
+    * of killing the job, while clean records decode exactly like
+    * [[decodeImagesJdk]]. A silent skip is NOT an option — dropped
+    * blobs poison downstream dedup and per-corpus statistics — so the
+    * error frame is a first-class output the caller must consume.
+    * One decode pass (cached attempt frame), split twice, release
+    * closure — the [[graft.sources.Sources.jsonLinesWithErrors]]
+    * shape.
+    */
+  def decodeImagesJdkRouted(records: Dataset[MediaRecord])(
+      implicit spark: SparkSession): (Dataset[DecodedImage], Dataset[MediaError], () => Unit) = {
+    import spark.implicits._
+    val attempts = records
+      .mapPartitions(_.map { r =>
+        try ImageAttempt(Some(decodeOneImage(r)), None)
+        catch {
+          case e: Exception =>
+            ImageAttempt(None, Some(MediaError(r.docId, "image-decode", String.valueOf(e.getMessage))))
+        }
+      })
+      .cache()
+    val clean = attempts.flatMap(_.ok)
+    val errors = attempts.flatMap(_.err)
+    (clean, errors, () => { attempts.unpersist(blocking = false); () })
+  }
+
+  /** Corrupt-TOLERANT audio decode — routed twin of [[decodeAudioWav]],
+    * same contract as [[decodeImagesJdkRouted]].
+    */
+  def decodeAudioWavRouted(records: Dataset[MediaRecord])(
+      implicit spark: SparkSession): (Dataset[DecodedAudio], Dataset[MediaError], () => Unit) = {
+    import spark.implicits._
+    val attempts = records
+      .mapPartitions(_.map { r =>
+        try AudioAttempt(Some(decodeOneAudio(r)), None)
+        catch {
+          case e: Exception =>
+            AudioAttempt(None, Some(MediaError(r.docId, "audio-decode", String.valueOf(e.getMessage))))
+        }
+      })
+      .cache()
+    val clean = attempts.flatMap(_.ok)
+    val errors = attempts.flatMap(_.err)
+    (clean, errors, () => { attempts.unpersist(blocking = false); () })
   }
 
   /** REAL resize: decode → nearest-neighbor resample (deterministic —
@@ -312,27 +372,32 @@ object Multimodal {
     */
   def decodeAudioWav(records: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[DecodedAudio] = {
     import spark.implicits._
-    records.mapPartitions(_.map { r =>
-      val (rate, samples) = readPcm16(r.docId, r.payload)
-      var peak = 0
-      var sumAbs = 0L
-      var zc = 0L
-      var prevSign = 0
-      var i = 0
-      while (i < samples.length) {
-        val s = samples(i)
-        val a = math.abs(s)
-        if (a > peak) peak = a
-        sumAbs += a
-        val sign = Integer.signum(s)
-        if (sign != 0) {
-          if (prevSign != 0 && sign != prevSign) zc += 1
-          prevSign = sign
-        } else prevSign = 0
-        i += 1
-      }
-      DecodedAudio(r.docId, rate, samples.length.toLong, peak, sumAbs, zc)
-    })
+    records.mapPartitions(_.map(decodeOneAudio))
+  }
+
+  /** One WAV payload to features — throws on undecodable bytes
+    * (shared by the fail-loud and routed decode paths).
+    */
+  private def decodeOneAudio(r: MediaRecord): DecodedAudio = {
+    val (rate, samples) = readPcm16(r.docId, r.payload)
+    var peak = 0
+    var sumAbs = 0L
+    var zc = 0L
+    var prevSign = 0
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      sumAbs += a
+      val sign = Integer.signum(s)
+      if (sign != 0) {
+        if (prevSign != 0 && sign != prevSign) zc += 1
+        prevSign = sign
+      } else prevSign = 0
+      i += 1
+    }
+    DecodedAudio(r.docId, rate, samples.length.toLong, peak, sumAbs, zc)
   }
 
   /** REAL audio frame sampling: fixed-size windows every `stride`

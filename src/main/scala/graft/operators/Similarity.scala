@@ -648,10 +648,17 @@ object Similarity {
       .persist()
     val cachedFrames = scala.collection.mutable.ArrayBuffer[DataFrame](full)
     try {
-      require(full.count() > 0L, "powerIterationDirection: empty embedding input")
-      var v = full.select(col("p").as("q")).distinct().withColumn("v", lit(scale))
+      val fullRows = full.count()
+      require(fullRows > 0L, "powerIterationDirection: empty embedding input")
+      // Gram-derived loop sizing (Graph.loopStage): the matrix is D²
+      // entries — tiny next to the corpus the session width is tuned
+      // for — so the multiply rounds run at the derived width; the
+      // Gram BUILD (the corpus-facing posexplode² pass) already ran at
+      // session width into the cache the transplant reads through.
+      val (_, fullLoop) = graft.operators.Graph.loopStage(full, fullRows)
+      var v = fullLoop.select(col("p").as("q")).distinct().withColumn("v", lit(scale))
       for (_ <- 1 to iterations) {
-        val w = full
+        val w = fullLoop
           .join(v, Seq("q"))
           .groupBy(col("p"))
           .agg(sum(col("gw") * col("v")).as("w"))

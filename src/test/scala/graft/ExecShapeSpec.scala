@@ -27,7 +27,7 @@ class ExecShapeSpec extends AnyFunSuite {
     ("q115_trustrank", 10, 22),
     ("q140_hits", 23, 59),
     ("q150_cosupply_rank", 15, 44),
-    ("q159_power_iteration", 21, 89))
+    ("q159_power_iteration", 11, 44))
 
   for ((name, jobs, stages) <- pinned)
     test(s"$name submits exactly $jobs jobs / $stages stages at sf0.001") {
