@@ -199,8 +199,11 @@ object Multimodal {
   /** A payload the codec boundary rejected, routed instead of thrown. */
   case class MediaError(docId: Long, stage: String, error: String)
 
-  private case class ImageAttempt(ok: Option[DecodedImage], err: Option[MediaError])
-  private case class AudioAttempt(ok: Option[DecodedAudio], err: Option[MediaError])
+  /** Sum-type rows for the routed decodes (public: Catalyst's
+    * generated SafeProjection cannot access private classes).
+    */
+  case class ImageAttempt(ok: Option[DecodedImage], err: Option[MediaError])
+  case class AudioAttempt(ok: Option[DecodedAudio], err: Option[MediaError])
 
   /** Corrupt-TOLERANT image decode — the P6 error-routing discipline
     * applied at the codec boundary: undecodable payloads (truncated

@@ -532,6 +532,10 @@ object AffinityQueries {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val t = Tables
       .events(s, d)
+      // a timeline transition needs a TIMED event on both ends; a NULL
+      // ts would also order oppositely across engines (Spark NULLS
+      // FIRST, DuckDB NULLS LAST — round-10 NULL-event-time fuzz probe)
+      .filter(col("ts_us").isNotNull)
       .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .filter(col("next_type").isNotNull)
@@ -550,7 +554,7 @@ object AffinityQueries {
   }
 
   val q155Sql: String =
-    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events WHERE ts IS NOT NULL),
       |s AS (SELECT user_id, event_type,
       |        LEAD(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type
       |      FROM e),

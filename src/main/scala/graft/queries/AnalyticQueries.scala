@@ -190,6 +190,12 @@ object AnalyticQueries {
     val gapUs = 30L * 60L * 1000000L
     Tables
       .events(s, d)
+      // an event without a time cannot be ordered into a session — the
+      // catalog's readable-rows null contract; also the engines order
+      // NULLs oppositely (Spark FIRST, DuckDB LAST), so an unfiltered
+      // NULL ts would silently shift every subsequent gap (caught by
+      // the round-10 NULL-event-time fuzz probe)
+      .filter(col("ts_us").isNotNull)
       .select(col("user_id"), col("event_id"), col("ts_us").as("us"))
       .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
       .withColumn(
@@ -204,7 +210,7 @@ object AnalyticQueries {
   }
 
   val q16Sql: String =
-    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE ts IS NOT NULL),
       |g AS (SELECT user_id, event_id, us,
       |  CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
       | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),

@@ -466,6 +466,11 @@ object PipelineQueries {
   val q31AsOfJoin: Q = (s, d) => {
     val e = Tables
       .events(s, d)
+      // an event without a time can neither precede nor follow — and
+      // the engines order NULLs oppositely, so an unfiltered NULL ts
+      // becomes a phantom as-of match on one side only (round-10
+      // NULL-event-time fuzz probe)
+      .filter(col("ts_us").isNotNull)
       .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
     val clicks = e
       .filter(col("event_type") === "click")
@@ -486,7 +491,7 @@ object PipelineQueries {
   }
 
   val q31Sql: String =
-    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events WHERE ts IS NOT NULL),
       |c AS (SELECT event_id AS click_id, user_id, us AS click_us FROM e WHERE event_type = 'click'),
       |v AS (SELECT event_id AS view_id, user_id, us AS view_us FROM e WHERE event_type = 'view')
       |SELECT c.click_id, c.user_id, c.click_us, v.view_id, v.view_us,

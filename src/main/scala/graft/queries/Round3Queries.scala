@@ -247,7 +247,11 @@ object Round3Queries {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables
       .events(s, d)
-      .filter(col("user_id") < 20)
+      // timeline navigation is over TIMED rows only: an event with a
+      // NULL ts has no position, and the engines would give it
+      // opposite ones (Spark window-orders NULLS FIRST, DuckDB LAST —
+      // round-10 NULL-event-time fuzz probe)
+      .filter(col("user_id") < 20 && col("ts_us").isNotNull)
       .select(col("event_id"), col("user_id"), col("ts_us"))
       .withColumn("first_ev", first(col("event_id")).over(w))
       .withColumn("last_ev", last(col("event_id")).over(w))
@@ -256,7 +260,8 @@ object Round3Queries {
   }
 
   val q59Sql: String =
-    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE user_id < 20)
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      |          WHERE user_id < 20 AND ts IS NOT NULL)
       |SELECT event_id, user_id, ts_us,
       | first_value(event_id) OVER w AS first_ev,
       | last_value(event_id) OVER w AS last_ev,

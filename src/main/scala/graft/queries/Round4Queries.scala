@@ -313,7 +313,13 @@ object Round4Queries {
   val q83Scd2: Q = (s, d) =>
     Relational
       .scd2FromChangeLog(
-        Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts_us"), col("value")),
+        Tables
+          .events(s, d)
+          // a change event without a time cannot open a version
+          // interval (and NULL orders oppositely across engines —
+          // round-10 NULL-event-time fuzz probe)
+          .filter(col("ts_us").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ts_us"), col("value")),
         keyCol = "user_id",
         tsCol = "ts_us",
         tieBreakCol = "event_id")
@@ -327,7 +333,7 @@ object Round4Queries {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
 
   val q83Sql: String =
-    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu, value FROM events)
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu, value FROM events WHERE ts IS NOT NULL)
       |SELECT user_id, event_id, tu AS valid_from,
       | LEAD(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS valid_to,
       | value,

@@ -118,6 +118,16 @@ object EventStreams {
     * `dropDuplicates` on a stream never evicts — unbounded state.)
     * Works identically on a batch frame (falls back to dropDuplicates).
     *
+    * NULL-event-time contract (pinned by StreamingSpec's fuzz probe):
+    * `dropDuplicatesWithinWatermark` ADMITS a NULL-`tsCol` row — it is
+    * deduplicated and emitted like any other — but a NULL event time
+    * gives the watermark no eviction lever on that key's state, so a
+    * feed that can carry NULL event times should pre-filter them
+    * (`.filter(col(tsCol).isNotNull)`) rather than accumulate
+    * unevictable state. The windowed-aggregation operators behave
+    * differently (NULL rows join no window and are excluded) — also
+    * spec-pinned.
+    *
     * @param tsCol the event-time column the watermark rides on
     */
   def dedupStream(

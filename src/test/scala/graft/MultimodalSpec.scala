@@ -192,4 +192,86 @@ class MultimodalSpec extends AnyFunSuite {
       fs.foreach(f => assert(f.byteOffset >= 0 && f.byteOffset < byId(id).payload.length))
     }
   }
+
+  /** Adversarial payload corruptions (the fuzz axes the parquet-level
+    * generator can't reach — media records are runtime-generated):
+    * truncation mid-file, header bit-flip, empty blob, and a
+    * wrong-codec payload, each built from a REAL generated file.
+    */
+  private def corruptedMedia(
+      good: Seq[MediaRecord]): Seq[MediaRecord] = {
+    val g = good.head
+    Seq(
+      g.copy(docId = 9001L, payload = g.payload.take(g.payload.length / 3)), // truncated
+      g.copy(docId = 9002L, payload = { // flipped magic/header byte
+        val b = g.payload.clone(); b(1) = (b(1) ^ 0x7f).toByte; b
+      }),
+      g.copy(docId = 9003L, payload = Array.empty[Byte]), // empty blob
+      g.copy(docId = 9004L, payload = "not media at all".getBytes("UTF-8")))
+  }
+
+  test("routed image decode: corrupt payloads go to the error channel, clean ones decode (fuzz)") {
+    implicit val s = spark
+    import spark.implicits._
+    val good = Multimodal
+      .generatePngRecords(Tables.documents(spark, sf).filter(col("doc_id") < 6), "doc_id", "text")
+      .collect()
+      .toSeq
+    val mixed = (good ++ corruptedMedia(good)).toDS()
+    val (clean, errors, release) = Multimodal.decodeImagesJdkRouted(mixed)
+    try {
+      val ok = clean.collect()
+      val bad = errors.collect()
+      assert(ok.map(_.docId).sorted.toSeq == good.map(_.docId).sorted)
+      assert(bad.map(_.docId).sorted.toSeq == Seq(9001L, 9002L, 9003L, 9004L))
+      assert(bad.forall(_.stage == "image-decode"))
+      // clean rows decode IDENTICALLY to the fail-loud path
+      val strict = Multimodal.decodeImagesJdk(good.toDS()).collect()
+      assert(ok.map(d => (d.docId, d.width, d.height, d.meanLuma)).sorted.toSeq ==
+        strict.map(d => (d.docId, d.width, d.height, d.meanLuma)).sorted.toSeq)
+    } finally release()
+  }
+
+  test("routed audio decode: corrupt WAVs route, clean ones match the strict path (fuzz)") {
+    implicit val s = spark
+    import spark.implicits._
+    val good = Multimodal
+      .generateWavRecords(Tables.documents(spark, sf).filter(col("doc_id") < 6), "doc_id", "text")
+      .collect()
+      .toSeq
+    val mixed = (good ++ corruptedMedia(good)).toDS()
+    val (clean, errors, release) = Multimodal.decodeAudioWavRouted(mixed)
+    try {
+      val ok = clean.collect()
+      val bad = errors.collect()
+      // the truncated WAV (9001) keeps its intact RIFF header and
+      // legitimately decodes to a shorter sample stream — codec
+      // behavior, not a routing miss; all six good records must decode
+      // and the three structurally-unreadable payloads must route
+      assert(ok.map(_.docId).toSet.intersect(good.map(_.docId).toSet) == good.map(_.docId).toSet)
+      assert(bad.map(_.docId).toSet == Set(9002L, 9003L, 9004L))
+      assert(ok.map(_.docId).toSet.intersect(Set(9002L, 9003L, 9004L)).isEmpty)
+      assert(bad.forall(_.stage == "audio-decode"))
+      val strict = Multimodal.decodeAudioWav(good.toDS()).collect()
+      assert(
+        ok.filter(d => d.docId < 9000L)
+          .map(d => (d.docId, d.nSamples, d.peakAbs, d.sumAbs, d.zeroCrossings)).sorted.toSeq ==
+          strict.map(d => (d.docId, d.nSamples, d.peakAbs, d.sumAbs, d.zeroCrossings)).sorted.toSeq)
+    } finally release()
+  }
+
+  test("fail-loud decode still throws on a corrupt payload (contract unchanged)") {
+    implicit val s = spark
+    import spark.implicits._
+    val good = Multimodal
+      .generatePngRecords(Tables.documents(spark, sf).filter(col("doc_id") < 2), "doc_id", "text")
+      .collect()
+      .toSeq
+    val corrupt = Seq(good.head.copy(docId = 9003L, payload = Array.empty[Byte])).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImagesJdk(corrupt).collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("9003") ||
+      Option(e.getCause).exists(c => String.valueOf(c.getMessage).contains("9003")))
+  }
 }

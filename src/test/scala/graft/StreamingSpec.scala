@@ -49,6 +49,98 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tumblingAgg: a row arriving BEHIND the watermark is dropped, closed windows never re-emit (fuzz)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventStreams.tumblingAgg(
+      in.toDF.toDF("ts", "event_type", "value"),
+      "1 hour",
+      "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumbling_late").outputMode("append").start()
+    try {
+      in.addData((ts("2026-01-01 10:05:00"), "a", 1.5))
+      q.processAllAvailable()
+      in.addData((ts("2026-01-01 12:00:00"), "a", 9.0)) // watermark -> 11:50, closes 10:00
+      q.processAllAvailable()
+      val afterClose = spark.table("tumbling_late")
+        .select("event_type", "n", "sum_value")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(afterClose == Set(("a", 1L, 1.5)))
+      // the LATE probe: a 10:07 row behind the 11:50 watermark
+      in.addData((ts("2026-01-01 10:07:00"), "a", 100.0))
+      in.addData((ts("2026-01-01 14:00:00"), "a", 2.0)) // close the 12:00 window too
+      q.processAllAvailable()
+      val fin = spark.table("tumbling_late")
+        .select("event_type", "n", "sum_value")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // late row contributes NOTHING and the closed 10:00 window does
+      // not re-emit — exactly one extra row (the 12:00 window)
+      assert(fin == Set(("a", 1L, 1.5), ("a", 1L, 9.0)))
+    } finally q.stop()
+  }
+
+  test("tumblingAgg: NULL event-time rows are excluded and never wedge the watermark (fuzz)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventStreams.tumblingAgg(
+      in.toDF.toDF("ts", "event_type", "value"),
+      "1 hour",
+      "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumbling_null").outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2026-01-01 10:05:00"), "a", 1.5),
+        (null.asInstanceOf[Timestamp], "a", 50.0), // NULL event time
+        (null.asInstanceOf[Timestamp], "b", 60.0))
+      q.processAllAvailable()
+      in.addData((ts("2026-01-01 12:00:00"), "a", 9.0))
+      q.processAllAvailable()
+      val closed = spark.table("tumbling_null")
+        .select("event_type", "n", "sum_value")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // NULL-ts rows join no window (window(NULL) is NULL, the group
+      // is dropped) and do not hold the watermark back: the 10:00
+      // window closes on schedule with only the timed row
+      assert(closed == Set(("a", 1L, 1.5)))
+    } finally q.stop()
+  }
+
+  test("dedupStream: NULL event-time duplicates neither crash nor survive to output (fuzz)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val dedup = EventStreams.dedupStream(
+      in.toDF.toDF("event_id", "ts", "payload"),
+      Seq("event_id"),
+      "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("dedup_null").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts("2026-01-01 10:00:00"), "x"),
+        (2L, null.asInstanceOf[Timestamp], "null-ts"),
+        (2L, null.asInstanceOf[Timestamp], "null-ts-dup"),
+        (1L, ts("2026-01-01 10:00:30"), "x-redelivery"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_null").select("event_id").collect().map(_.getLong(0)).toSeq
+      // PINNED Spark behavior (measured by this probe, not assumed):
+      // dropDuplicatesWithinWatermark ADMITS a NULL-event-time row —
+      // id 2 emits once, its duplicate dropped — rather than excluding
+      // it like the windowed-agg path does. The operator scaladoc
+      // documents the consequence: NULL event time gives the watermark
+      // no eviction lever on that key's state, so feeds that can carry
+      // NULL event times should pre-filter them.
+      assert(ids.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize (streaming): gap closes a session; watermark timeout flushes the last one") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -171,6 +171,27 @@ def adversarial_events(src: Path, out: Path):
     rows["event_type"].append("view")
     rows["value"].append(None)
     rows["props"].append(None)
+    # NULL EVENT-TIME probe (round 10): a row whose ts is NULL — the
+    # watermark-operator fuzz axis at the batch/oracle layer. Every
+    # ts-deriving query must treat it identically on both engines
+    # (filters drop it via NULL comparison; LEAD/LAG window ORDER BY
+    # over a NULL ts is the Spark-NULLS-FIRST vs DuckDB-NULLS-LAST
+    # trap this probe exists to catch).
+    rows["event_id"].append(90007)
+    rows["ts"].append(None)
+    rows["user_id"].append(3)
+    rows["event_type"].append("view")
+    rows["value"].append(1.0)
+    rows["props"].append("{}")
+    # EXTREME-LATE probe: an event years behind the rest of its user's
+    # timeline (the streaming late-data axis, batch-visible as a huge
+    # negative inter-arrival that must not wrap any day/gap arithmetic)
+    rows["event_id"].append(90008)
+    rows["ts"].append(datetime(2019, 1, 1, 0, 0, 1, 0))
+    rows["user_id"].append(3)
+    rows["event_type"].append("click")
+    rows["value"].append(2.0)
+    rows["props"].append("{}")
     return append_rows(src, out, rows)
 
 
