@@ -215,6 +215,22 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       seqLen: Int,
+      nShards: Int): org.apache.spark.sql.DataFrame =
+    packSequencesByCount(
+      df.withColumn("__ws_tok", wsTokenCount(col(textCol))),
+      idCol, "__ws_tok", seqLen, nShards)
+
+  /** [[packSequences]] over a PRECOMPUTED per-document token-count
+    * column — the entry for EXACT tokenizer counts (q169 feeds
+    * [[graft.functions.BpeTokens]] budgets through it; packSequences
+    * delegates with the whitespace proxy). Same shard/greedy/cap
+    * semantics; counts above `seqLen` cap at `seqLen`.
+    */
+  def packSequencesByCount(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      tokCountCol: String,
+      seqLen: Int,
       nShards: Int): org.apache.spark.sql.DataFrame = {
     require(seqLen >= 1, s"need seqLen >= 1 (got $seqLen)")
     require(nShards >= 1, s"need nShards >= 1 (got $nShards)")
@@ -223,7 +239,7 @@ object TextAnalysis {
     df.select(
       col(idCol).cast("long").as("__id"),
       (col(idCol).cast("long") % nShards).cast("int").as("__shard"),
-      least(wsTokenCount(col(textCol)), lit(seqLen.toLong)).as("__n"))
+      least(col(tokCountCol).cast("long"), lit(seqLen.toLong)).as("__n"))
       .repartition(4 * nShards, col("__shard"))
       .sortWithinPartitions(col("__shard"), col("__id"))
       .as[(Long, Int, Long)]

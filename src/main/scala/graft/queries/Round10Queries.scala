@@ -149,11 +149,76 @@ object Round10Queries {
       |FROM dw JOIN fin f ON f.word = dw.word
       |GROUP BY 1 ORDER BY dw.doc_id NULLS FIRST""".stripMargin
 
+  /** q169 — sequence packing by EXACT tokenizer counts: the q168
+    * budget fed through
+    * [[graft.operators.TextAnalysis.packSequencesByCount]] (512-token
+    * sequences, 8 id-modulo shards) — closing the loop the verdict
+    * asked for: the budgeting operator consuming REAL BPE counts
+    * instead of q106's whitespace proxy. Documents with no tokens
+    * (empty text) pack at count 0; the full per-document (shard, bin)
+    * mapping is the gate, with the oracle replaying BPE and the
+    * greedy recurrence in one recursive SQL.
+    */
+  val q169BpePack: Q = (s, d) => {
+    val docs = Tables
+      .documents(s, d)
+      .filter(col("doc_id") < 400 && col("text").isNotNull)
+    val dw = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val wordToks = dw
+      .select(col("word"))
+      .distinct()
+      .withColumn("n_toks", size(call_function("graft_bpe", col("word"))).cast("long"))
+    val counts = dw
+      .join(broadcast(wordToks), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n") * col("n_toks")).as("bpe_tok"))
+    val withCounts = docs
+      .select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .withColumn("bpe_tok", coalesce(col("bpe_tok"), lit(0L)))
+    graft.operators.TextAnalysis
+      .packSequencesByCount(withCounts, "doc_id", "bpe_tok", 512, 8)
+      .orderBy(col("doc_id"))
+  }
+
+  val q169Sql: String =
+    s"""WITH RECURSIVE
+      |dw AS (SELECT doc_id, w AS word, COUNT(*) AS n FROM (
+      |         SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |         FROM documents WHERE doc_id < 400 AND text IS NOT NULL)
+      |       WHERE len(w) > 0 GROUP BY 1, 2),
+      |w AS (SELECT DISTINCT word FROM dw),
+      |$bpeCtes,
+      |counts AS (SELECT dw.doc_id, CAST(SUM(dw.n * len(f.syms)) AS BIGINT) AS bpe
+      |           FROM dw JOIN fin f ON f.word = dw.word GROUP BY 1),
+      |docs AS (SELECT d.doc_id, CAST(d.doc_id % 8 AS INTEGER) AS shard,
+      |                least(COALESCE(c.bpe, 0), 512) AS n
+      |         FROM (SELECT doc_id FROM documents WHERE doc_id < 400 AND text IS NOT NULL) d
+      |         LEFT JOIN counts c ON c.doc_id = d.doc_id),
+      |ord AS (SELECT doc_id, shard, n,
+      |               row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      |        FROM docs),
+      |pack(shard, rn, doc_id, n, bin, fill) AS (
+      |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT), n FROM ord WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.shard, o.rn, o.doc_id, o.n,
+      |         CASE WHEN p.fill + o.n <= 512 THEN p.bin ELSE p.bin + 1 END,
+      |         CASE WHEN p.fill + o.n <= 512 THEN p.fill + o.n ELSE o.n END
+      |  FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+      |SELECT doc_id, shard, CAST(n AS BIGINT) AS n_tok, CAST(bin AS BIGINT) AS bin
+      |FROM pack ORDER BY doc_id NULLS FIRST""".stripMargin
+
   def all: Map[String, Q] = Map(
     "q167_bpe_tokenize" -> q167BpeTokenize,
-    "q168_bpe_budget" -> q168BpeBudget)
+    "q168_bpe_budget" -> q168BpeBudget,
+    "q169_bpe_pack" -> q169BpePack)
 
   def oracles: Map[String, String] = Map(
     "q167_bpe_tokenize" -> q167Sql,
-    "q168_bpe_budget" -> q168Sql)
+    "q168_bpe_budget" -> q168Sql,
+    "q169_bpe_pack" -> q169Sql)
 }
