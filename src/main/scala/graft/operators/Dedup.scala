@@ -573,12 +573,14 @@ object Dedup {
       ud.unpersist()
       return (ud.select(col("src").as("node"), col("src").as("component")), () => ())
     }
-    // Edge-derived loop sizing (Graph.loopStage): the label rounds run
-    // at a shuffle width matched to the materialized edge count, not
-    // the corpus-sized session setting (the upstream pair build, the
-    // corpus-facing stage, already ran at session width into the ud
-    // cache the transplant reads through).
-    val (loopSpark, udLoop) = Graph.loopStage(ud, udRows)
+    // NO loop-session rebinding here (unlike the PageRank/HITS/
+    // relaxation family): the r10 LoopLab A/B measured the CC loop
+    // SLOWER under the edge-derived 1-partition clone (q51 3.79 vs
+    // 2.57 s, q97 3.43 vs 1.89 s at sf0.1) — its per-round
+    // convergence action over self-joining whole-node label frames
+    // (viaNeighbor + viaJump + union + labelSum) loses more to
+    // single-partition serialization than it saves in stage wakeups.
+    val (loopSpark, udLoop) = (spark, ud)
     // Decimal sum: label sums can exceed Long at planetary node counts,
     // and Spark 4 ANSI mode would throw on long-sum overflow.
     def labelSum(df: DataFrame): java.math.BigDecimal =

@@ -77,6 +77,9 @@ object Graph {
   private[operators] def loopSessionFor(
       sess: org.apache.spark.sql.SparkSession,
       rows: Long): Option[org.apache.spark.sql.SparkSession] = {
+    // Diagnostic kill-switch for A/B attribution (GRAFT_LOOP_STAGE=off
+    // reverts every loop to plain session-width rounds).
+    if (sys.env.get("GRAFT_LOOP_STAGE").contains("off")) return None
     val sessParts = sess.sessionState.conf.numShufflePartitions
     val p = math.max(
       1L,
@@ -553,12 +556,12 @@ object Graph {
       canonRdd.unpersist()
       return (canon0.select(col("src").as("node"), lit(0L).as("deg")).limit(0), () => ())
     }
-    // Edge-derived loop sizing (loopStage doc): the peel rounds run at
-    // a width matched to the canonical edge count.
-    val (loopSpark, canon) = loopSessionFor(spark, nCanon) match {
-      case None => (spark, canon0)
-      case Some(s) => (s, s.createDataFrame(canonRdd, canonPlan.schema))
-    }
+    // NO loop-session rebinding (r10 LoopLab A/B: the peel loop ran
+    // SLOWER under the 1-partition clone — q139 4.83 vs 3.27 s at
+    // sf0.1; like CC, its per-round convergence action over the
+    // shrinking survivor joins loses more to single-partition
+    // serialization than it saves in stage wakeups).
+    val (loopSpark, canon) = (spark, canon0)
     val e = canon.unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
     // Each round materializes through an RDD-backed LEAF (the PageRank
     // loop's checkpoint trick): a plain DataFrame.persist/unpersist
@@ -792,14 +795,10 @@ object Graph {
     // evaluation (no first-touch race), and every round reads rows.
     val leaves = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
-    // Rounds rebind to the edge-sized loop session once the canonical
-    // count is known (loopStage doc); the canon build itself runs at
-    // session width — it's the corpus-facing stage.
-    var loopSpark = spark
     def materialize(df: DataFrame): DataFrame = {
       val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       leaves += rdd
-      loopSpark.createDataFrame(rdd, df.schema)
+      spark.createDataFrame(rdd, df.schema)
     }
     // Raw leaf FIRST (freeze the caller's optimized plan), then the
     // canonical distinct over plain rows — see kCoreReleasable: a lazy
@@ -814,14 +813,14 @@ object Graph {
         .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct())
-    val canonRows = canon0.count()
+    canon0.count()
     rawRdd.unpersist()
-    val canon = loopSessionFor(spark, canonRows) match {
-      case None => canon0
-      case Some(s) =>
-        loopSpark = s
-        s.createDataFrame(leaves.head, canon0.schema) // leaves.head IS canon's leaf
-    }
+    // NO loop-session rebinding for BFS (r10 LoopLab A/B: 4.68 vs
+    // 4.38 s at sf0.1 — the frontier loop's per-round action +
+    // growing visited anti-join sits on the CC/kCore side of the
+    // line, unlike the fixed-round relaxations below which measured
+    // faster under the clone).
+    val canon = canon0
     val e = canon.unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
     val seedCol = seeds.columns(0)
     var frontier = materialize(
