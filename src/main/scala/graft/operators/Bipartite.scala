@@ -87,10 +87,13 @@ object Bipartite {
   /** Time-respecting directed projection: for each `keyCol` group,
     * every ordered item pair (src ≠ dst) where the key touched `src`
     * at `dep` and LATER touched `dst` at `arr` (`arr > dep`) — the
-    * edge build [[Graph.earliestArrival]] consumes. Output is
-    * DISTINCT on (src, dst, dep, arr): different keys producing the
-    * same timed edge collapse (the min-fold downstream is
-    * duplicate-invariant, so this only sheds volume).
+    * edge build [[Graph.earliestArrival]] consumes. Duplicate timed
+    * edges (different keys producing the same (src, dst, dep, arr))
+    * are NOT collapsed here: the downstream min-fold is
+    * duplicate-invariant, and a distinct over the fanned-out edge set
+    * is a full extra shuffle (measured ~2 s on q156 at sf0.1) that
+    * buys nothing — callers needing a deduped edge list distinct it
+    * themselves.
     *
     * Returns (src, dst, dep, arr).
     */
@@ -113,7 +116,6 @@ object Bipartite {
           Seq("__k"))
         .filter(col("arr") > col("dep") && col("src") =!= col("dst"))
         .select(col("src"), col("dst"), col("dep"), col("arr"))
-        .distinct()
     } catch {
       case t: Throwable => inc.unpersist(); throw t
     }

@@ -587,9 +587,9 @@ object AffinityQueries {
         datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))).cast("long").as("day"))
       .distinct()
     // Guarded temporal projection: same per-customer fan-out gate as
-    // the q150/q151 static pairs; output is distinct timed edges
-    // (duplicate-invariant under earliestArrival's min-fold, and the
-    // oracle's projection is DISTINCT too).
+    // the q150/q151 static pairs. Duplicate timed edges ride through
+    // (earliestArrival's min-fold is duplicate-invariant; the
+    // oracle's DISTINCT is its own engine's optimization only).
     val te = Bipartite.temporalPairProjection(cs, "c", "sk", "day")
     val seeds = cs.select(col("sk")).distinct().filter(col("sk") % 10 === 0)
     graft.operators.Graph

@@ -67,10 +67,13 @@ class BipartiteSpec extends AnyFunSuite {
       .temporalPairProjection(df, "k", "item", "t")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSet
-    // 10→20 appears via keys 1 AND 2 with identical (dep,arr) — distinct collapses it;
-    // 20↔30 share day 2 under key 1 → arr > dep fails both ways.
-    assert(got == Set((10L, 20L, 1L, 2L), (10L, 30L, 1L, 2L)))
+      .toSeq
+      .sorted
+    // 10→20 appears via keys 1 AND 2 with identical (dep,arr) — kept
+    // as a duplicate (min-fold consumers are duplicate-invariant and
+    // a distinct here costs a fan-out-sized shuffle); 20↔30 share day
+    // 2 under key 1 → arr > dep fails both ways.
+    assert(got == Seq((10L, 20L, 1L, 2L), (10L, 20L, 1L, 2L), (10L, 30L, 1L, 2L)))
   }
 
   test("temporalPairProjection: gate throws on a planted mega-key") {
