@@ -27,7 +27,14 @@ class ExecShapeSpec extends AnyFunSuite {
     ("q115_trustrank", 10, 22),
     ("q140_hits", 23, 59),
     ("q150_cosupply_rank", 15, 44),
-    ("q159_power_iteration", 11, 44))
+    ("q159_power_iteration", 11, 44),
+    // session-width loops (clone reverted per the r10 LoopLab A/B)
+    ("q51_conncomp", 31, 140),
+    ("q117_label_spread", 13, 35),
+    ("q139_kcore", 87, 693),
+    ("q146_copurchase_lift", 16, 39),
+    ("q151_trust_dist", 21, 114),
+    ("q156_temporal_reach", 18, 79))
 
   for ((name, jobs, stages) <- pinned)
     test(s"$name submits exactly $jobs jobs / $stages stages at sf0.001") {
@@ -39,4 +46,18 @@ class ExecShapeSpec extends AnyFunSuite {
           "if the loop change is intentional, re-derive with tools/run_main.sh graft.ExecShape " +
           "and update this pin plus BASELINE.md's shape row")
     }
+
+  test("q148_bfs_dist submits exactly 64 jobs at sf0.001 (stages unpinned)") {
+    // BFS stage counts are jittery AND session-width-sensitive
+    // (353-357 across identical 32-wide runs, 389 at the spec's
+    // 4-wide session — the growing visited-union's stage-reuse
+    // structure shifts with the exchange layout), so only the JOB
+    // count is pinned: jobs = actions = rounds + fixed overhead, the
+    // signal that moves if the loop structure regresses.
+    GraftSession.releaseAllCaches(spark)
+    val fn = SparkEntry.queries("q148_bfs_dist")
+    val (j, _) = ExecShape.measure(spark, "q148_bfs_dist")(
+      fn(spark, sf).queryExecution.toRdd.count(): Unit)
+    assert(j == 64, s"q148 jobs drifted: $j != 64")
+  }
 }

@@ -358,4 +358,40 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q165_exact_simjoin")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
+
+  test("q167: BPE tokenization is the native kernel over one aggregate pass — no join, no Window") {
+    val df = SparkEntry.queries("q167_bpe_tokenize")(spark, sf)
+    // formatted mode: the compact toString elides Project expression lists
+    val fp = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fp.contains("graft_bpe"), fp.take(3000))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(3000))
+    assert(!p.contains("CodegenFallback"), p.take(3000))
+  }
+
+  test("q168/q169: the distinct-word token map BROADCASTS back over the corpus — no shuffle join at doc grain") {
+    for (q <- Seq("q168_bpe_budget", "q169_bpe_pack")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      // compact toString elides Project expression lists — the kernel
+      // check needs the formatted explain
+      val fp = df.queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(fp.contains("graft_bpe"), s"$q: ${fp.take(2000)}")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin"), s"$q must not shuffle-join the word map: ${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+    }
+  }
+
+  test("q146/q150: the guarded pair projection stays an equi-join on the aggregator key — no cartesian") {
+    for (q <- Seq("q146_copurchase_lift", "q150_cosupply_rank")) {
+      val p = plan(q)
+      // the 1-row broadcast total (crossJoin(broadcast(nOrders))) is
+      // the engine's documented allowed cross shape — only an
+      // unbounded cartesian is forbidden
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
+    }
+  }
 }
