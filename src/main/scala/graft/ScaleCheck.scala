@@ -208,6 +208,30 @@ object ScaleCheck {
           .groupBy(col("doc_id"))
           .agg(sum(col("n") * col("n_toks")).as("bpe_tokens"), sum(col("n")).as("n_words"))
       }),
+      // q171 shape: GPT-2-style pre-tokenize + BYTE-alphabet BPE over
+      // the distinct pre-token universe, broadcast back — the regex
+      // scan is the only per-corpus-row stage, so the slope should
+      // track the corpus linearly like the char-mode row.
+      "bpe_bytes" -> (() => {
+        val dw = docs
+          .filter(col("text").isNotNull)
+          .select(
+            col("doc_id"),
+            explode(regexp_extract_all(
+              col("text"),
+              lit(graft.functions.BpeTokens.preTokenPattern),
+              lit(0))).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("n"))
+        val wordToks = dw
+          .select(col("word"))
+          .distinct()
+          .withColumn("n_toks", size(call_function("graft_bpe_bytes", col("word"))).cast("long"))
+        dw.join(broadcast(wordToks), Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("n") * col("n_toks")).as("bpe_tokens"), sum(col("n")).as("n_words"))
+      }),
       // q140 shape over the trading graph; --docs bounds the ORDER key
       // here so the edge list (and with it the node universe) grows.
       "hits" -> (() => {

@@ -56,6 +56,52 @@ case class BpeTokens(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** BYTE-alphabet sibling of [[BpeTokens]] — the production form
+  * (GPT-2, Radford et al. 2019): the word's UTF-8 BYTES are the base
+  * symbols, so every string tokenizes (no unseen-character fallback
+  * asymmetry) and multi-byte characters are billed at their true byte
+  * cost — exactly where the code-point counts of `graft_bpe` drift on
+  * non-ASCII and code text.
+  *
+  * Byte↔symbol mapping: byte b ⇒ the single code point U+0100+b
+  * (Latin Extended), the same trick as GPT-2's bytes_to_unicode table
+  * but with a contiguous offset both engines can compute as
+  * `chr(256 + b)` — the DuckDB oracle rebuilds the identical symbol
+  * stream from `hex(encode(word))` and replays the identical greedy
+  * loop. Tokens are returned IN this mapped alphabet (printable,
+  * hash-stable cross-engine); `mkString` of the tokens restores the
+  * mapped form, and mapping each char c back to byte (c - 0x100)
+  * restores the exact UTF-8 bytes.
+  *
+  * All symbols live at U+0100..U+01FF and merges only concatenate
+  * them, so the U+0001 pair-key encoding is collision-free by
+  * construction (no trainer contract needed).
+  *
+  * Merge table: `graft/bpe_merges_bytes.txt` (rank = line number),
+  * trained by `tools/make_bpe.py --bytes` over the corpus pre-tokens
+  * of [[BpeTokens.preTokenPattern]].
+  */
+case class BpeBytesTokens(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_bpe_bytes requires string, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_bpe_bytes"
+
+  override protected def nullSafeEval(a: Any): Any =
+    BpeTokens.encodeBytes(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.functions.BpeTokens.encodeBytes($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BpeTokens {
 
   /** Separator for pair-key encoding; trainer guarantees no merge
@@ -64,10 +110,24 @@ object BpeTokens {
     */
   private final val Sep = '\u0001'
 
-  /** (left, right) merges in rank order, from the checked-in fixture. */
-  val merges: Array[(String, String)] = {
-    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
-    require(in != null, "graft/bpe_merges.txt missing from classpath")
+  /** GPT-2-style pre-tokenizer, restricted to the Java-regex ∩ RE2
+    * subset so Spark's `regexp_extract_all` (idx 0) and DuckDB's
+    * `regexp_extract_all` segment IDENTICALLY: contractions first,
+    * then optionally-space-prefixed letter / digit / punctuation runs,
+    * then whitespace runs. Two deliberate deviations from the GPT-2
+    * original, both documented cross-engine hazards: the lookahead
+    * `\s+(?!\S)` (RE2 has no lookahead) is dropped — a multi-space run
+    * before a word becomes one whitespace token instead of donating
+    * its last space to the word — and `\s` is spelled as the explicit
+    * class `[ \t\n\f\r]` because Java's `\s` includes U+000B where
+    * RE2's does not.
+    */
+  final val preTokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
+
+  private def loadMerges(resource: String): Array[(String, String)] = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"$resource missing from classpath")
     try {
       scala.io.Source
         .fromInputStream(in, "UTF-8")
@@ -82,44 +142,45 @@ object BpeTokens {
     } finally in.close()
   }
 
-  private val ranks: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+  private def rankMap(ms: Array[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](ms.length * 2)
     var i = 0
-    while (i < merges.length) {
-      m.put(merges(i)._1 + Sep + merges(i)._2, Integer.valueOf(i))
+    while (i < ms.length) {
+      m.put(ms(i)._1 + Sep + ms(i)._2, Integer.valueOf(i))
       i += 1
     }
     m
   }
 
-  /** Row kernel (static entry for the generated Java): code-point
-    * split, then the greedy lowest-rank merge loop with left-to-right
+  /** (left, right) merges in rank order, from the checked-in fixtures. */
+  val merges: Array[(String, String)] = loadMerges("/graft/bpe_merges.txt")
+  val bytesMerges: Array[(String, String)] = loadMerges("/graft/bpe_merges_bytes.txt")
+
+  private val ranks = rankMap(merges)
+  private val bytesRanks = rankMap(bytesMerges)
+
+  /** The greedy lowest-rank merge loop with left-to-right
     * non-overlapping replacement — the loop `tools/make_bpe.py` trains
-    * with and the DuckDB oracle replays.
+    * with and the DuckDB oracle replays; shared by both alphabets.
     */
-  def encode(word: UTF8String): ArrayData = {
-    val s = word.toString
-    var syms = new java.util.ArrayList[String](s.length)
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      val cc = Character.charCount(cp)
-      syms.add(s.substring(i, i + cc))
-      i += cc
-    }
+  private def greedy(
+      syms0: java.util.ArrayList[String],
+      ms: Array[(String, String)],
+      rk: java.util.HashMap[String, Integer]): ArrayData = {
+    var syms = syms0
     var more = syms.size > 1
     while (more) {
       var best = Int.MaxValue
       var j = 0
       while (j < syms.size - 1) {
-        val rk = ranks.get(syms.get(j) + Sep + syms.get(j + 1))
-        if (rk != null && rk.intValue() < best) best = rk.intValue()
+        val r = rk.get(syms.get(j) + Sep + syms.get(j + 1))
+        if (r != null && r.intValue() < best) best = r.intValue()
         j += 1
       }
       if (best == Int.MaxValue) more = false
       else {
-        val l = merges(best)._1
-        val r = merges(best)._2
+        val l = ms(best)._1
+        val r = ms(best)._2
         val out = new java.util.ArrayList[String](syms.size)
         var k = 0
         while (k < syms.size) {
@@ -142,5 +203,38 @@ object BpeTokens {
       a += 1
     }
     new GenericArrayData(arr)
+  }
+
+  /** Row kernel (static entry for the generated Java): code-point
+    * split, then the greedy merge loop over the char-alphabet table.
+    */
+  def encode(word: UTF8String): ArrayData = {
+    val s = word.toString
+    val syms = new java.util.ArrayList[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val cc = Character.charCount(cp)
+      syms.add(s.substring(i, i + cc))
+      i += cc
+    }
+    greedy(syms, merges, ranks)
+  }
+
+  /** Byte-alphabet row kernel: UTF-8 bytes mapped to U+0100+b symbols
+    * (the chr(256+b) mapping the oracle rebuilds from hex(encode(w))),
+    * then the same greedy loop over the byte-merge table. All symbols
+    * sit at U+0100..U+01FF, so the Sep pair-key encoding is
+    * collision-free by construction in this mode.
+    */
+  def encodeBytes(word: UTF8String): ArrayData = {
+    val bytes = word.getBytes
+    val syms = new java.util.ArrayList[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      syms.add(String.valueOf((0x100 + (bytes(i) & 0xFF)).toChar))
+      i += 1
+    }
+    greedy(syms, bytesMerges, bytesRanks)
   }
 }

@@ -231,6 +231,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(exprs.size == 1, s"graft_bpe expects exactly 1 argument, got ${exprs.size}")
           BpeTokens(exprs.head)
         }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_bpe_bytes"),
+        new ExpressionInfo(classOf[BpeBytesTokens].getCanonicalName, "graft_bpe_bytes"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 1, s"graft_bpe_bytes expects exactly 1 argument, got ${exprs.size}")
+          BpeBytesTokens(exprs.head)
+        }))
     // The whole-operator extension stack: GRAFT_TOPK hint → custom
     // logical node → custom physical operator (graft.plans.TopKPerGroup).
     ext.injectResolutionRule(spark => graft.plans.ResolveTopKHint(spark))

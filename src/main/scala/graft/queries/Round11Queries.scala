@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.BpeTokens
+import graft.queries.CoreQueries.Q
+
+/** Round-11 surface — BYTE-level BPE with the GPT-2-style
+  * pre-tokenizer, the production form of the round-10 code-point
+  * tokenizer (VERDICT r10 ask #1):
+  *
+  *  - q170 byte-level BPE tokenization
+  *    ([[graft.functions.BpeBytesTokens]]): the corpus pre-tokenized
+  *    by [[BpeTokens.preTokenPattern]] (contractions, leading-space
+  *    words — the GPT-2 shape, restricted to the Java∩RE2 regex
+  *    subset), every distinct pre-token split over the BYTE-alphabet
+  *    merge fixture; tokens are chr(256+b)-mapped byte strings, the
+  *    full split pinned cross-engine;
+  *  - q171 per-document exact byte-BPE token budget — what a real
+  *    byte-level tokenizer bills, correct on non-ASCII where the
+  *    code-point counts (q168) drift.
+  *
+  * The DuckDB oracle rebuilds the identical symbol stream from
+  * `hex(encode(word))` — byte b becomes the single code point
+  * chr(256 + b) — and replays the identical greedy lowest-rank merge
+  * loop as the q167 recursive CTE chain, just with the byte-mode
+  * init and merge table. Scale shape unchanged from q167/q168: BPE
+  * is paid once per DISTINCT pre-token (vocabulary ≪ corpus), the
+  * pre-token→count map is the broadcast side, and the per-document
+  * rollup is one map-side-combined aggregate.
+  */
+object Round11Queries {
+
+  /** The byte-mode merge table inlined as SQL VALUES — generated from
+    * the SAME classpath fixture the native kernel loads. Symbols live
+    * at U+0100..U+01FF (never a quote), but quote-doubling stays as a
+    * defensive invariant.
+    */
+  private def byteMergeValues: String =
+    BpeTokens.bytesMerges.zipWithIndex
+      .map { case ((l, r), i) =>
+        val ql = l.replace("'", "''")
+        val qr = r.replace("'", "''")
+        s"('$ql','$qr',$i)"
+      }
+      .mkString(", ")
+
+  /** The pre-tokenizer pattern as a SQL string literal. */
+  private def preTokSqlLit: String =
+    "'" + BpeTokens.preTokenPattern.replace("'", "''") + "'"
+
+  /** Byte-mode replay CTE chain, parameterized on a `w(word)` CTE the
+    * caller must have defined. `init` maps each pre-token to its
+    * UTF-8 bytes via `hex(encode(word))` — two hex digits per byte,
+    * each byte becoming the single symbol chr(256 + b), the exact
+    * mapping of [[BpeTokens.encodeBytes]] — and the recursion is the
+    * q167 greedy merge replay verbatim (lowest-rank adjacent pair via
+    * the chr(1) pair-key encoding, one left-to-right non-overlapping
+    * `list_reduce` fold per step).
+    */
+  private def bpeBytesCtes: String =
+    s"""m(l, r, rank) AS (VALUES $byteMergeValues),
+      |hx AS (SELECT word, hex(encode(word)) AS h FROM w),
+      |init AS (
+      |  SELECT word,
+      |    list_transform(range(1, len(h)//2 + 1),
+      |      i -> chr(CAST(256 + (strpos('0123456789ABCDEF', h[2*i-1:2*i-1]) - 1) * 16
+      |                 + (strpos('0123456789ABCDEF', h[2*i:2*i]) - 1) AS INTEGER))) AS syms
+      |  FROM hx),
+      |bpe AS (
+      |  SELECT word, syms FROM init
+      |  UNION ALL
+      |  SELECT word,
+      |    list_reduce(
+      |      list_transform(syms, s -> [s]),
+      |      (acc, x) -> CASE WHEN acc[-1] = bl AND x[1] = br
+      |                       THEN acc[1:len(acc)-1] || [bl || br]
+      |                       ELSE acc || x END) AS syms
+      |  FROM (
+      |    SELECT b.word, b.syms, mm.l AS bl, mm.r AS br
+      |    FROM bpe b JOIN m mm ON mm.rank = (
+      |      SELECT MIN(m2.rank) FROM m m2
+      |      WHERE list_contains(
+      |        list_transform(range(1, len(b.syms)), i -> b.syms[i] || chr(1) || b.syms[i+1]),
+      |        m2.l || chr(1) || m2.r)))),
+      |fin AS (
+      |  SELECT word, syms FROM bpe t WHERE NOT EXISTS (
+      |    SELECT 1 FROM m m2 WHERE list_contains(
+      |      list_transform(range(1, len(t.syms)), i -> t.syms[i] || chr(1) || t.syms[i+1]),
+      |      m2.l || chr(1) || m2.r)))""".stripMargin
+
+  /** q170 — the distinct-pre-token byte-BPE table: every GPT-2-style
+    * pre-token (regexp_extract_all, full-match) with its occurrence
+    * count, byte-token count, and the FULL chr-mapped token split
+    * joined with '|'. Pinning the joined split means one out-of-order
+    * merge anywhere fails the hash gate.
+    */
+  val q170BpeBytesTokenize: Q = (s, d) => {
+    Tables
+      .documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(
+        explode(regexp_extract_all(col("text"), lit(BpeTokens.preTokenPattern), lit(0)))
+          .as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("t", call_function("graft_bpe_bytes", col("word")))
+      .select(
+        col("word"),
+        col("n_occ"),
+        size(col("t")).cast("long").as("n_toks"),
+        concat_ws("|", col("t")).as("toks"))
+      .orderBy(col("word"))
+  }
+
+  val q170Sql: String =
+    s"""WITH RECURSIVE
+      |wc AS (SELECT w AS word, COUNT(*) AS n_occ FROM (
+      |         SELECT unnest(regexp_extract_all(text, $preTokSqlLit)) AS w
+      |         FROM documents WHERE text IS NOT NULL)
+      |       WHERE len(w) > 0 GROUP BY 1),
+      |w AS (SELECT word FROM wc),
+      |$bpeBytesCtes
+      |SELECT wc.word, wc.n_occ, CAST(len(f.syms) AS BIGINT) AS n_toks,
+      |       array_to_string(f.syms, '|') AS toks
+      |FROM wc JOIN fin f ON f.word = wc.word
+      |ORDER BY wc.word NULLS FIRST""".stripMargin
+
+  /** q171 — per-document exact byte-BPE token budget: (doc, pre-token)
+    * occurrence counts joined to the broadcast distinct-pre-token byte
+    * token counts, rolled up per document; `n_bytes` (UTF-8) rides
+    * along so the bytes-per-token compression ratio is visible per row.
+    */
+  val q171BpeBytesBudget: Q = (s, d) => {
+    val dw = Tables
+      .documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(BpeTokens.preTokenPattern), lit(0)))
+          .as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val wordToks = dw
+      .select(col("word"))
+      .distinct()
+      .withColumn("n_toks", size(call_function("graft_bpe_bytes", col("word"))).cast("long"))
+      .withColumn("n_b", octet_length(col("word")).cast("long"))
+    dw.join(broadcast(wordToks), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n") * col("n_toks")).as("bpe_tokens"),
+        sum(col("n") * col("n_b")).as("n_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q171Sql: String =
+    s"""WITH RECURSIVE
+      |dw AS (SELECT doc_id, w AS word, COUNT(*) AS n FROM (
+      |         SELECT doc_id, unnest(regexp_extract_all(text, $preTokSqlLit)) AS w
+      |         FROM documents WHERE text IS NOT NULL)
+      |       WHERE len(w) > 0 GROUP BY 1, 2),
+      |w AS (SELECT DISTINCT word FROM dw),
+      |$bpeBytesCtes
+      |SELECT dw.doc_id,
+      |       CAST(SUM(dw.n * len(f.syms)) AS BIGINT) AS bpe_tokens,
+      |       CAST(SUM(dw.n * octet_length(encode(f.word))) AS BIGINT) AS n_bytes
+      |FROM dw JOIN fin f ON f.word = dw.word
+      |GROUP BY 1 ORDER BY dw.doc_id NULLS FIRST""".stripMargin
+
+  def all: Map[String, Q] = Map(
+    "q170_bpe_bytes_tokenize" -> q170BpeBytesTokenize,
+    "q171_bpe_bytes_budget" -> q171BpeBytesBudget)
+
+  def oracles: Map[String, String] = Map(
+    "q170_bpe_bytes_tokenize" -> q170Sql,
+    "q171_bpe_bytes_budget" -> q171Sql)
+}

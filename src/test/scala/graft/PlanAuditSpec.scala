@@ -385,6 +385,25 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q170/q171: byte-BPE keeps the q167/q168 shapes — native kernel, broadcast word map, no doc-grain shuffle join") {
+    val tok = SparkEntry.queries("q170_bpe_bytes_tokenize")(spark, sf)
+    val fpTok = tok.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fpTok.contains("graft_bpe_bytes"), fpTok.take(3000))
+    val pTok = tok.queryExecution.executedPlan.toString
+    assert(!pTok.contains("Join") && !pTok.contains("Window"), pTok.take(3000))
+    assert(!pTok.contains("CodegenFallback"), pTok.take(3000))
+
+    val bud = SparkEntry.queries("q171_bpe_bytes_budget")(spark, sf)
+    val fpBud = bud.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fpBud.contains("graft_bpe_bytes"), fpBud.take(2000))
+    val pBud = bud.queryExecution.executedPlan.toString
+    assert(pBud.contains("BroadcastHashJoin"), pBud.take(2000))
+    assert(!pBud.contains("SortMergeJoin"), s"q171 must not shuffle-join the word map: ${pBud.take(2000)}")
+    assert(!pBud.contains("CartesianProduct"), pBud.take(2000))
+  }
+
   test("q146/q150: the guarded pair projection stays an equi-join on the aggregator key — no cartesian") {
     for (q <- Seq("q146_copurchase_lift", "q150_cosupply_rank")) {
       val p = plan(q)

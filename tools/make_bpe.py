@@ -20,13 +20,31 @@ EXACTLY):
 Merges containing control chars (< 0x20) are skipped so the oracle's
 chr(1) pair encoding can never collide.
 
-Usage: python3 tools/make_bpe.py [sfDir] [--merges=N] [--out=path]
+--bytes mode (the production GPT-2 form, BpeTokens.scala byte kernel):
+  - pre-tokenize via DuckDB's regexp_extract_all with the SAME
+    RE2∩Java pattern the engine uses (BpeTokens.preTokenPattern), so
+    the training universe is exactly the query-time pre-token universe;
+  - base symbols are the pre-token's UTF-8 BYTES, each mapped to the
+    single code point chr(256 + b) (the oracle rebuilds this from
+    hex(encode(word))); merges are written in that mapped alphabet to
+    bpe_merges_bytes.txt. Control-char constraint holds by
+    construction (all symbols >= U+0100).
+
+Usage: python3 tools/make_bpe.py [sfDir] [--merges=N] [--out=path] [--bytes]
 Defaults: /root/testdata/sf0.01, 48, src/main/resources/graft/bpe_merges.txt
+(--bytes defaults: 64 merges, src/main/resources/graft/bpe_merges_bytes.txt)
 """
 import sys
 from collections import Counter
 
 import duckdb
+
+# Keep in sync with BpeTokens.preTokenPattern (single authoritative copy
+# in Scala; this is its python-string rendering).
+PRE_TOKEN_PATTERN = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
+)
 
 
 def fold_merge(syms, l, r):
@@ -44,22 +62,45 @@ def fold_merge(syms, l, r):
 
 def main():
     sf_dir = "/root/testdata/sf0.01"
-    n_merges = 48
-    out = "src/main/resources/graft/bpe_merges.txt"
+    n_merges = None
+    out = None
+    byte_mode = False
     for a in sys.argv[1:]:
         if a.startswith("--merges="):
             n_merges = int(a.split("=", 1)[1])
         elif a.startswith("--out="):
             out = a.split("=", 1)[1]
+        elif a == "--bytes":
+            byte_mode = True
         else:
             sf_dir = a
+    if n_merges is None:
+        n_merges = 64 if byte_mode else 48
+    if out is None:
+        out = (
+            "src/main/resources/graft/bpe_merges_bytes.txt"
+            if byte_mode
+            else "src/main/resources/graft/bpe_merges.txt"
+        )
     con = duckdb.connect()
-    rows = con.execute(
-        "SELECT w, COUNT(*) AS n FROM (SELECT unnest(string_split(text,' ')) AS w "
-        f"FROM read_parquet('{sf_dir}/documents.parquet') WHERE text IS NOT NULL) "
-        "WHERE len(w) > 0 GROUP BY 1 ORDER BY 1"
-    ).fetchall()
-    words = {w: (list(w), n) for w, n in rows}
+    if byte_mode:
+        rows = con.execute(
+            "SELECT w, COUNT(*) AS n FROM ("
+            "SELECT unnest(regexp_extract_all(text, ?)) AS w "
+            f"FROM read_parquet('{sf_dir}/documents.parquet') WHERE text IS NOT NULL) "
+            "WHERE len(w) > 0 GROUP BY 1 ORDER BY 1",
+            [PRE_TOKEN_PATTERN],
+        ).fetchall()
+        words = {
+            w: ([chr(0x100 + b) for b in w.encode("utf-8")], n) for w, n in rows
+        }
+    else:
+        rows = con.execute(
+            "SELECT w, COUNT(*) AS n FROM (SELECT unnest(string_split(text,' ')) AS w "
+            f"FROM read_parquet('{sf_dir}/documents.parquet') WHERE text IS NOT NULL) "
+            "WHERE len(w) > 0 GROUP BY 1 ORDER BY 1"
+        ).fetchall()
+        words = {w: (list(w), n) for w, n in rows}
     merges = []
     while len(merges) < n_merges:
         counts = Counter()
