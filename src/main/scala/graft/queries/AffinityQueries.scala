@@ -231,19 +231,24 @@ object AffinityQueries {
     * per-customer incidence gate throws before the quadratic fan-out
     * if a hub customer exceeds `maxKeyRows` suppliers.
     */
-  private def coSupplyPairs(cs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    Bipartite
-      .pairProjection(cs, "c", "sk", minSupport = 5)
-      .select(col("item_a").as("sa"), col("item_b").as("sb"), col("w"))
+  private def coSupplyPairs(
+      cs: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, () => Unit) = {
+    val (pairs, release) = Bipartite.pairProjectionReleasable(cs, "c", "sk", minSupport = 5)
+    (pairs.select(col("item_a").as("sa"), col("item_b").as("sb"), col("w")), release)
+  }
 
   val q150CoSupplyRank: Q = (s, d) => {
-    val proj = coSupplyPairs(coSupplyIncidence(s, d))
-      .select(col("sa").as("src"), col("sb").as("dst"), col("w"))
-    Graph
+    val (pairs, release) = coSupplyPairs(coSupplyIncidence(s, d))
+    val proj = pairs.select(col("sa").as("src"), col("sb").as("dst"), col("w"))
+    // integerPageRank materializes the edge list into its own leaf at
+    // call time, so the projection's incidence cache can release here
+    // instead of lingering until the session sweep (r10 ADVICE).
+    try Graph
       .integerPageRank(proj, iterations = 2, undirected = true, weightCol = Some("w"))
       .select(col("node").as("supplier"), col("rank"))
       .orderBy(col("rank").desc, col("supplier"))
       .limit(15)
+    finally release()
   }
 
   /** Oracle: q116's weighted-round chain over the projected edge
@@ -299,12 +304,16 @@ object AffinityQueries {
     */
   val q151TrustDist: Q = (s, d) => {
     val cs = coSupplyIncidence(s, d)
-    val proj = coSupplyPairs(cs)
+    val (pairs, release) = coSupplyPairs(cs)
+    val proj = pairs
       .select(col("sa"), col("sb"), expr("greatest(1, 1000 div w)").as("cost"))
     val seeds = cs.select(col("sk")).distinct().filter(col("sk") % 10 === 0)
-    Graph
+    // weightedDistances leaf-materializes the edges at call time —
+    // release the incidence cache as soon as it returns (r10 ADVICE).
+    try Graph
       .weightedDistances(proj, seeds, rounds = 4)
       .orderBy(col("node"))
+    finally release()
   }
 
   /** Oracle: 4 unrolled min-plus rounds over the same projected
@@ -590,11 +599,14 @@ object AffinityQueries {
     // the q150/q151 static pairs. Duplicate timed edges ride through
     // (earliestArrival's min-fold is duplicate-invariant; the
     // oracle's DISTINCT is its own engine's optimization only).
-    val te = Bipartite.temporalPairProjection(cs, "c", "sk", "day")
+    val (te, release) = Bipartite.temporalPairProjectionReleasable(cs, "c", "sk", "day")
     val seeds = cs.select(col("sk")).distinct().filter(col("sk") % 10 === 0)
-    graft.operators.Graph
+    // earliestArrival leaf-materializes the timed edges at call time —
+    // release the incidence cache as soon as it returns (r10 ADVICE).
+    try graft.operators.Graph
       .earliestArrival(te, seeds, rounds = 3)
       .orderBy(col("node"))
+    finally release()
   }
 
   /** Oracle: the temporal projection + 3 unrolled earliest-arrival

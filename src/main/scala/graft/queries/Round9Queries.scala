@@ -43,33 +43,31 @@ object Round9Queries {
     // scan runs once; pinned by the operator's block-gate action,
     // released by the session sweep.
     //
-    // Names are folded to an ASCII-sentinel form FIRST: the two
-    // engines implement Levenshtein over different alphabets — Spark
-    // counts CODE POINTS, DuckDB counts BYTES (measured:
-    // levenshtein('çold','cold') = 1 vs 2) — so non-ASCII mentions
-    // would gate-diverge. Replacing every non-ASCII code point with
-    // the single-byte sentinel 0x7F makes byte ≡ code-point distance
-    // on both sides. The OPERATOR keeps true code-point distances
-    // (Round9OpsSpec's hand cases); the fold is this gate query's
-    // cross-engine contract, and it slightly under-counts only when
+    // The entity universe groups by the RAW name (r10 VERDICT ask #5
+    // — names differing only in different non-ASCII characters stay
+    // DISTINCT entities with unmerged mention counts). The ASCII-
+    // sentinel fold — the two engines implement Levenshtein over
+    // different alphabets, Spark counting CODE POINTS where DuckDB
+    // counts BYTES (measured: levenshtein('\u00e7old','cold') = 1 vs 2) —
+    // now applies only INSIDE the distance predicate via the
+    // operator's `distanceOn` hook, identically in the oracle SQL.
+    // Replacing every non-ASCII code point with the single-byte
+    // sentinel 0x7F makes byte \u2261 code-point distance on both sides;
+    // the reported dist is the FOLDED distance, so raw-distinct names
+    // with the same folded form surface as dist-0 pairs instead of
+    // silently merging. The OPERATOR default keeps true code-point
+    // distances (Round9OpsSpec's hand cases); the fold is this gate
+    // query's cross-engine contract, and it under-counts only when
     // two DIFFERENT non-ASCII code points substitute for each other.
-    //
-    // ENTITY-FIDELITY caveat (ADVICE r9): because the fold happens
-    // BEFORE the distinct, names differing only in different
-    // non-ASCII characters collapse into one entity here (and their
-    // mention counts merge) — fine for this gate's fixture, but a
-    // deployment where such names are distinct entities should group
-    // by the RAW name and apply the sentinel fold only inside the
-    // Levenshtein predicate on both engines, keeping the name
-    // universe unmerged. The operator itself (editDistancePairs)
-    // already works on raw names and needs no change.
     val names = Tables.part(s, d)
-      .groupBy(
-        regexp_replace(col("p_name"), "[^\\x00-\\x7F]", "\u007F").as("name"))
+      .groupBy(col("p_name").as("name"))
       .agg(count(lit(1)).as("n"))
       .persist()
+    val asciiSentinel =
+      (c: org.apache.spark.sql.Column) => regexp_replace(c, "[^\\x00-\\x7F]", "\u007F")
     val pairs = Dedup.editDistancePairs(
-      names, "name", n => regexp_extract(n, "[^ ]+$", 0), maxDist = 3)
+      names, "name", n => regexp_extract(n, "[^ ]+$", 0), maxDist = 3,
+      distanceOn = asciiSentinel)
     pairs
       .join(names.select(col("name").as("name_a"), col("n").as("rows_a")), Seq("name_a"))
       .join(names.select(col("name").as("name_b"), col("n").as("rows_b")), Seq("name_b"))
@@ -77,21 +75,22 @@ object Round9Queries {
       .orderBy(col("dist"), col("name_a"), col("name_b"))
   }
 
-  /** Oracle: the same ASCII-sentinel fold (DuckDB's `levenshtein` is
-    * BYTE-based where Spark's is code-point-based — the fold makes
-    * the alphabets coincide), same distinct-name universe, last-token
-    * block, and unit-cost edit-distance predicate; dist cast to
-    * BIGINT to match the engine's long (DuckDB returns INTEGER).
+  /** Oracle: RAW-name universe and block, with the ASCII-sentinel
+    * fold (DuckDB's `levenshtein` is BYTE-based where Spark's is
+    * code-point-based — the fold makes the alphabets coincide)
+    * applied only INSIDE the distance predicate, mirroring the
+    * engine's `distanceOn` hook; dist cast to BIGINT to match the
+    * engine's long (DuckDB returns INTEGER).
     */
   val q158Sql: String =
-    """WITH e AS (SELECT regexp_replace(p_name, '[^\x00-\x7f]', chr(127), 'g') AS name,
-      |                  COUNT(*) AS n FROM part GROUP BY 1),
-      |b AS (SELECT name, n, regexp_extract(name, '[^ ]+$') AS block FROM e)
+    """WITH e AS (SELECT p_name AS name, COUNT(*) AS n FROM part GROUP BY 1),
+      |b AS (SELECT name, n, regexp_extract(name, '[^ ]+$') AS block,
+      |             regexp_replace(name, '[^\x00-\x7f]', chr(127), 'g') AS fold FROM e)
       |SELECT a.name AS name_a, c.name AS name_b,
-      |       CAST(levenshtein(a.name, c.name) AS BIGINT) AS dist,
+      |       CAST(levenshtein(a.fold, c.fold) AS BIGINT) AS dist,
       |       a.n AS rows_a, c.n AS rows_b
       |FROM b a JOIN b c ON a.block = c.block AND a.name < c.name
-      |WHERE levenshtein(a.name, c.name) <= 3
+      |WHERE levenshtein(a.fold, c.fold) <= 3
       |ORDER BY dist, name_a NULLS FIRST, name_b NULLS FIRST""".stripMargin
 
   /** q159 — dominant eigendirection of the embedding Gram matrix

@@ -119,27 +119,38 @@ object EventStreams {
     * Works identically on a batch frame (falls back to dropDuplicates).
     *
     * NULL-event-time contract (pinned by StreamingSpec's fuzz probe):
-    * `dropDuplicatesWithinWatermark` ADMITS a NULL-`tsCol` row — it is
-    * deduplicated and emitted like any other — but a NULL event time
-    * gives the watermark no eviction lever on that key's state, so a
-    * feed that can carry NULL event times should pre-filter them
-    * (`.filter(col(tsCol).isNotNull)`) rather than accumulate
-    * unevictable state. The windowed-aggregation operators behave
-    * differently (NULL rows join no window and are excluded) — also
-    * spec-pinned.
+    * the underlying `dropDuplicatesWithinWatermark` ADMITS a
+    * NULL-`tsCol` row — it would be deduplicated and emitted like any
+    * other — but a NULL event time gives the watermark no eviction
+    * lever on that key's state, so one NULL-ts producer upstream means
+    * unbounded state growth. The operator therefore DROPS NULL-ts rows
+    * by default (`dropNullEventTime = true`): they neither emit nor
+    * accumulate state, the P6 error-routing discipline at the stream
+    * boundary (route-or-drop malformed rows, never wedge the
+    * pipeline). Pass `dropNullEventTime = false` to opt back into the
+    * raw engine behavior — only sound when the feed provably cannot
+    * carry NULL event times. The windowed-aggregation operators behave
+    * like the default (NULL rows join no window and are excluded) —
+    * also spec-pinned.
     *
     * @param tsCol the event-time column the watermark rides on
+    * @param dropNullEventTime drop NULL-`tsCol` rows before the
+    *        stateful dedup (default true; see contract above)
     */
   def dedupStream(
       events: DataFrame,
       idCols: Seq[String],
       watermarkDelay: String,
-      tsCol: String = "ts"): DataFrame =
+      tsCol: String = "ts",
+      dropNullEventTime: Boolean = true): DataFrame = {
+    val guarded =
+      if (dropNullEventTime) events.filter(col(tsCol).isNotNull) else events
     if (events.isStreaming)
-      events
+      guarded
         .withWatermark(tsCol, watermarkDelay)
         .dropDuplicatesWithinWatermark(idCols)
-    else events.dropDuplicates(idCols)
+    else guarded.dropDuplicates(idCols)
+  }
 
   /** Stream-stream interval join (click attribution): each click joins
     * the view by the same user that happened at most `windowUs` before

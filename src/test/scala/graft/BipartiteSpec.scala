@@ -7,11 +7,24 @@ import graft.operators.Bipartite
 /** The guarded one-mode projections (q146/q150/q151/q156's pair
   * builds): brute-force pair equivalence, the support floor, the
   * temporal departure/arrival semantics, and — the reason the
-  * operator exists — the per-key fan-out gate throwing on a planted
-  * mega-key BEFORE the quadratic self-join runs.
+  * operator exists — the per-key fan-out gate killing the query on a
+  * planted mega-key. Since r11 the gate is IN-JOB (a raise_error
+  * projection over the per-key counts, riding the pair build's own
+  * key partitioning — no extra action), so the throw surfaces at
+  * materialization time wrapped in Spark's task-failure chain.
   */
 class BipartiteSpec extends AnyFunSuite {
   private lazy val spark = GraftSession.local(4, appName = "bipartite-spec")
+
+  /** Concatenated messages down the cause chain — the in-job gate's
+    * raise_error arrives wrapped (SparkException → SparkRuntimeException).
+    */
+  private def messageChain(t: Throwable): String = {
+    val b = new StringBuilder
+    var cur: Throwable = t
+    while (cur != null) { b.append(Option(cur.getMessage).getOrElse("")).append('\n'); cur = cur.getCause }
+    b.toString
+  }
 
   test("pairProjection matches brute-force pair counts with the support floor") {
     import spark.implicits._
@@ -36,17 +49,19 @@ class BipartiteSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("pairProjection: gate throws on a planted mega-key before fanning out") {
+  test("pairProjection: in-job gate kills the query on a planted mega-key") {
     import spark.implicits._
     // one hub key with 50 items (C(50,2)=1225 pairs) over a maxKeyRows=20 gate
     val hub = (1 to 50).map(i => (99L, i.toLong))
     val ok = (1 to 10).map(i => (i.toLong, i.toLong))
     val df = (hub ++ ok).toDF("k", "item")
-    val e = intercept[IllegalArgumentException] {
-      Bipartite.pairProjection(df, "k", "item", minSupport = 1, maxKeyRows = 20L)
+    val e = intercept[Exception] {
+      Bipartite.pairProjection(df, "k", "item", minSupport = 1, maxKeyRows = 20L).count()
     }
-    assert(e.getMessage.contains("maxKeyRows"))
-    assert(e.getMessage.contains("50"))
+    val msg = messageChain(e)
+    assert(msg.contains("maxKeyRows"), msg)
+    assert(msg.contains("50"), msg)
+    assert(msg.contains("99"), msg) // the offending key is named
   }
 
   test("pairProjection: empty incidence yields empty pairs (gate tolerates no groups)") {
@@ -76,14 +91,14 @@ class BipartiteSpec extends AnyFunSuite {
     assert(got == Seq((10L, 20L, 1L, 2L), (10L, 20L, 1L, 2L), (10L, 30L, 1L, 2L)))
   }
 
-  test("temporalPairProjection: gate throws on a planted mega-key") {
+  test("temporalPairProjection: in-job gate kills the query on a planted mega-key") {
     import spark.implicits._
     val hub = (1 to 30).map(i => (7L, i.toLong, i.toLong))
     val df = hub.toDF("k", "item", "t")
-    val e = intercept[IllegalArgumentException] {
-      Bipartite.temporalPairProjection(df, "k", "item", "t", maxKeyRows = 10L)
+    val e = intercept[Exception] {
+      Bipartite.temporalPairProjection(df, "k", "item", "t", maxKeyRows = 10L).count()
     }
-    assert(e.getMessage.contains("maxKeyRows"))
+    assert(messageChain(e).contains("maxKeyRows"), messageChain(e))
   }
 
   test("guards: minSupport and maxKeyRows must be positive") {
@@ -94,14 +109,25 @@ class BipartiteSpec extends AnyFunSuite {
       Bipartite.pairProjection(df, "k", "item", minSupport = 1, maxKeyRows = 0L))
   }
 
-  test("gate throw path releases the operator's incidence cache") {
+  test("releasable handle frees the incidence cache — success AND gate-throw paths") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.size
-    val df = (1 to 40).map(i => (1L, i.toLong)).toDF("k", "item")
-    intercept[IllegalArgumentException] {
-      Bipartite.pairProjection(df, "k", "item", minSupport = 1, maxKeyRows = 5L)
-    }
+    // success path: materialize, then release
+    val ok = (1 to 10).map(i => (i.toLong, i.toLong)).toDF("k", "item")
+    val (pairsOk, releaseOk) = Bipartite.pairProjectionReleasable(ok, "k", "item", minSupport = 1)
+    pairsOk.count()
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
+    releaseOk()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    // gate-throw path: the in-job raise fires in the CALLER's action,
+    // so cleanup is the caller's finally on the same handle (scaladoc
+    // contract)
+    val hub = (1 to 40).map(i => (1L, i.toLong)).toDF("k", "item")
+    val (pairsHub, releaseHub) =
+      Bipartite.pairProjectionReleasable(hub, "k", "item", minSupport = 1, maxKeyRows = 5L)
+    try intercept[Exception](pairsHub.count())
+    finally releaseHub()
     assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "throw path must unpersist the incidence cache")
+      "release handle must unpersist the incidence cache after the gate fires")
   }
 }

@@ -49,6 +49,33 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("blocking key too coarse"))
   }
 
+  test("editDistancePairs distanceOn: raw universe stays unmerged; fold applies only in the predicate") {
+    import spark.implicits._
+    // Two names differing ONLY in different non-ASCII characters
+    // (ç vs ñ): with the q158 ASCII-sentinel fold as `distanceOn`,
+    // they must remain DISTINCT entities (the r9 fold-before-distinct
+    // bug merged them) and surface as a dist-0 candidate pair under
+    // the folded metric — while the default (no fold) keeps the true
+    // code-point distance of 1.
+    val e = Seq("çold brew", "ñold brew", "cold brew").toDF("name")
+    val fold: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => regexp_replace(c, "[^\\x00-\\x7F]", "")
+    val folded = pairs(Dedup.editDistancePairs(
+      e, "name", n => regexp_extract(n, "[^ ]+$", 0), maxDist = 3, distanceOn = fold))
+    // all three names pair up; ç/ñ pair at folded distance 0
+    assert(folded == Set(
+      ("çold brew", "ñold brew", 0L),
+      ("cold brew", "çold brew", 1L),
+      ("cold brew", "ñold brew", 1L)))
+    // default keeps true code-point distances: ç vs ñ is 1 edit
+    val raw = pairs(Dedup.editDistancePairs(
+      e, "name", n => regexp_extract(n, "[^ ]+$", 0), maxDist = 3))
+    assert(raw == Set(
+      ("çold brew", "ñold brew", 1L),
+      ("cold brew", "çold brew", 1L),
+      ("cold brew", "ñold brew", 1L)))
+  }
+
   test("editDistancePairs: invariant under adversarial repartitioning") {
     import spark.implicits._
     val e = (1 to 200).map(i => s"ent ${i % 37}").toDF("name")

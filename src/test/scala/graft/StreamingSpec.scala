@@ -113,7 +113,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("dedupStream: NULL event-time duplicates neither crash nor survive to output (fuzz)") {
+  test("dedupStream: NULL event-time rows neither emit nor accumulate state by default (fuzz)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
@@ -130,13 +130,43 @@ class StreamingSpec extends AnyFunSuite {
         (1L, ts("2026-01-01 10:00:30"), "x-redelivery"))
       q.processAllAvailable()
       val ids = spark.table("dedup_null").select("event_id").collect().map(_.getLong(0)).toSeq
+      // Default guard (r10 VERDICT ask #3): NULL-ts rows are dropped
+      // BEFORE the stateful dedup — id 2 never emits and never books
+      // unevictable state (a NULL event time gives the watermark no
+      // eviction lever on that key). Only the timed id survives, its
+      // redelivery deduplicated.
+      assert(ids.sorted == Seq(1L))
+      // zero rows of dedup state carry a NULL-keyed entry: the state
+      // operator saw only the timed row
+      val progress = q.lastProgress
+      assert(progress == null || progress.stateOperators.forall(_.numRowsTotal <= 1))
+    } finally q.stop()
+  }
+
+  test("dedupStream: dropNullEventTime=false opts back into the raw admit behavior (pinned)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val dedup = EventStreams.dedupStream(
+      in.toDF.toDF("event_id", "ts", "payload"),
+      Seq("event_id"),
+      "10 minutes",
+      dropNullEventTime = false)
+    val q =
+      dedup.writeStream.format("memory").queryName("dedup_null_raw").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts("2026-01-01 10:00:00"), "x"),
+        (2L, null.asInstanceOf[Timestamp], "null-ts"),
+        (2L, null.asInstanceOf[Timestamp], "null-ts-dup"))
+      q.processAllAvailable()
+      val ids =
+        spark.table("dedup_null_raw").select("event_id").collect().map(_.getLong(0)).toSeq
       // PINNED Spark behavior (measured by this probe, not assumed):
       // dropDuplicatesWithinWatermark ADMITS a NULL-event-time row —
-      // id 2 emits once, its duplicate dropped — rather than excluding
-      // it like the windowed-agg path does. The operator scaladoc
-      // documents the consequence: NULL event time gives the watermark
-      // no eviction lever on that key's state, so feeds that can carry
-      // NULL event times should pre-filter them.
+      // id 2 emits once, its duplicate dropped — and its dedup state
+      // has no watermark eviction lever; the opt-out is only sound for
+      // feeds that provably cannot carry NULL event times (scaladoc).
       assert(ids.sorted == Seq(1L, 2L))
     } finally q.stop()
   }
