@@ -170,11 +170,132 @@ object Round11Queries {
       |FROM dw JOIN fin f ON f.word = dw.word
       |GROUP BY 1 ORDER BY dw.doc_id NULLS FIRST""".stripMargin
 
+  /** q172 — sequence packing by EXACT byte-BPE counts (q169's shape
+    * on the production tokenizer): the q171 budget fed through
+    * [[graft.operators.TextAnalysis.packSequencesByCount]] (512-token
+    * sequences, 8 id-modulo shards). Documents with no pre-tokens
+    * pack at count 0; the full per-document (shard, bin) mapping is
+    * the gate, the oracle replaying byte-BPE and the greedy per-shard
+    * fill in one recursive SQL.
+    */
+  val q172BpeBytesPack: Q = (s, d) => {
+    val docs = Tables
+      .documents(s, d)
+      .filter(col("doc_id") < 400 && col("text").isNotNull)
+    val dw = docs
+      .select(
+        col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(BpeTokens.preTokenPattern), lit(0)))
+          .as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val wordToks = dw
+      .select(col("word"))
+      .distinct()
+      .withColumn("n_toks", size(call_function("graft_bpe_bytes", col("word"))).cast("long"))
+    val counts = dw
+      .join(broadcast(wordToks), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n") * col("n_toks")).as("bpe_tok"))
+    val withCounts = docs
+      .select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .withColumn("bpe_tok", coalesce(col("bpe_tok"), lit(0L)))
+    graft.operators.TextAnalysis
+      .packSequencesByCount(withCounts, "doc_id", "bpe_tok", 512, 8)
+      .orderBy(col("doc_id"))
+  }
+
+  val q172Sql: String =
+    s"""WITH RECURSIVE
+      |dw AS (SELECT doc_id, w AS word, COUNT(*) AS n FROM (
+      |         SELECT doc_id, unnest(regexp_extract_all(text, $preTokSqlLit)) AS w
+      |         FROM documents WHERE doc_id < 400 AND text IS NOT NULL)
+      |       WHERE len(w) > 0 GROUP BY 1, 2),
+      |w AS (SELECT DISTINCT word FROM dw),
+      |$bpeBytesCtes,
+      |counts AS (SELECT dw.doc_id, CAST(SUM(dw.n * len(f.syms)) AS BIGINT) AS bpe
+      |           FROM dw JOIN fin f ON f.word = dw.word GROUP BY 1),
+      |docs AS (SELECT d.doc_id, CAST(d.doc_id % 8 AS INTEGER) AS shard,
+      |                least(COALESCE(c.bpe, 0), 512) AS n
+      |         FROM (SELECT doc_id FROM documents WHERE doc_id < 400 AND text IS NOT NULL) d
+      |         LEFT JOIN counts c ON c.doc_id = d.doc_id),
+      |ord AS (SELECT doc_id, shard, n,
+      |               row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      |        FROM docs),
+      |pack(shard, rn, doc_id, n, bin, fill) AS (
+      |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT), n FROM ord WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.shard, o.rn, o.doc_id, o.n,
+      |         CASE WHEN p.fill + o.n <= 512 THEN p.bin ELSE p.bin + 1 END,
+      |         CASE WHEN p.fill + o.n <= 512 THEN p.fill + o.n ELSE o.n END
+      |  FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+      |SELECT doc_id, shard, CAST(n AS BIGINT) AS n_tok, CAST(bin AS BIGINT) AS bin
+      |FROM pack ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** q173 — byte-BPE compression-ratio quality signal: per (source,
+    * lang), total byte-BPE tokens, total UTF-8 bytes, and the exact
+    * integer bytes-per-token ratio in ppm — the standard
+    * tokenizer-compressibility feature (gibberish and wrong-alphabet
+    * text compress badly, boilerplate compresses suspiciously well)
+    * that only a REAL tokenizer can provide. Pure composition of the
+    * q171 budget with one tiny rollup; `(bytes·10⁶) div tokens` is
+    * division-free-exact (both engines' integer `div`/`//` agree on
+    * non-negatives).
+    */
+  val q173BpeCompression: Q = (s, d) => {
+    val dw = Tables
+      .documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(
+        col("source"),
+        col("lang"),
+        explode(regexp_extract_all(col("text"), lit(BpeTokens.preTokenPattern), lit(0)))
+          .as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("source"), col("lang"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val wordToks = dw
+      .select(col("word"))
+      .distinct()
+      .withColumn("n_toks", size(call_function("graft_bpe_bytes", col("word"))).cast("long"))
+      .withColumn("n_b", octet_length(col("word")).cast("long"))
+    dw.join(broadcast(wordToks), Seq("word"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        sum(col("n") * col("n_toks")).as("bpe_tokens"),
+        sum(col("n") * col("n_b")).as("n_bytes"))
+      .withColumn("bytes_per_tok_ppm",
+        expr("(n_bytes * 1000000L) div bpe_tokens"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val q173Sql: String =
+    s"""WITH RECURSIVE
+      |dw AS (SELECT source, lang, w AS word, COUNT(*) AS n FROM (
+      |         SELECT source, lang, unnest(regexp_extract_all(text, $preTokSqlLit)) AS w
+      |         FROM documents WHERE text IS NOT NULL)
+      |       WHERE len(w) > 0 GROUP BY 1, 2, 3),
+      |w AS (SELECT DISTINCT word FROM dw),
+      |$bpeBytesCtes,
+      |agg AS (SELECT dw.source, dw.lang,
+      |               CAST(SUM(dw.n * len(f.syms)) AS BIGINT) AS bpe_tokens,
+      |               CAST(SUM(dw.n * octet_length(encode(f.word))) AS BIGINT) AS n_bytes
+      |        FROM dw JOIN fin f ON f.word = dw.word GROUP BY 1, 2)
+      |SELECT source, lang, bpe_tokens, n_bytes,
+      |       CAST((n_bytes * 1000000) // bpe_tokens AS BIGINT) AS bytes_per_tok_ppm
+      |FROM agg ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin
+
   def all: Map[String, Q] = Map(
     "q170_bpe_bytes_tokenize" -> q170BpeBytesTokenize,
-    "q171_bpe_bytes_budget" -> q171BpeBytesBudget)
+    "q171_bpe_bytes_budget" -> q171BpeBytesBudget,
+    "q172_bpe_bytes_pack" -> q172BpeBytesPack,
+    "q173_bpe_compression" -> q173BpeCompression)
 
   def oracles: Map[String, String] = Map(
     "q170_bpe_bytes_tokenize" -> q170Sql,
-    "q171_bpe_bytes_budget" -> q171Sql)
+    "q171_bpe_bytes_budget" -> q171Sql,
+    "q172_bpe_bytes_pack" -> q172Sql,
+    "q173_bpe_compression" -> q173Sql)
 }

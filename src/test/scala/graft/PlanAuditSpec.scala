@@ -394,14 +394,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!pTok.contains("Join") && !pTok.contains("Window"), pTok.take(3000))
     assert(!pTok.contains("CodegenFallback"), pTok.take(3000))
 
-    val bud = SparkEntry.queries("q171_bpe_bytes_budget")(spark, sf)
-    val fpBud = bud.queryExecution
-      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(fpBud.contains("graft_bpe_bytes"), fpBud.take(2000))
-    val pBud = bud.queryExecution.executedPlan.toString
-    assert(pBud.contains("BroadcastHashJoin"), pBud.take(2000))
-    assert(!pBud.contains("SortMergeJoin"), s"q171 must not shuffle-join the word map: ${pBud.take(2000)}")
-    assert(!pBud.contains("CartesianProduct"), pBud.take(2000))
+    for (q <- Seq("q171_bpe_bytes_budget", "q172_bpe_bytes_pack", "q173_bpe_compression")) {
+      val bud = SparkEntry.queries(q)(spark, sf)
+      val fpBud = bud.queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(fpBud.contains("graft_bpe_bytes"), s"$q: ${fpBud.take(2000)}")
+      val pBud = bud.queryExecution.executedPlan.toString
+      assert(pBud.contains("BroadcastHashJoin"), s"$q: ${pBud.take(2000)}")
+      assert(!pBud.contains("SortMergeJoin"), s"$q must not shuffle-join the word map: ${pBud.take(2000)}")
+      assert(!pBud.contains("CartesianProduct"), s"$q: ${pBud.take(2000)}")
+    }
   }
 
   test("q146/q150: the guarded pair projection stays an equi-join on the aggregator key — no cartesian") {
