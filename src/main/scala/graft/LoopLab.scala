@@ -7,6 +7,18 @@ package graft
   * rerun it after any loop-structure change to keep the BASELINE.md
   * loop-latency entry honest:
   * `tools/run_main.sh graft.LoopLab q113_pagerank q140_hits --reps=3`
+  *
+  * Env-gated structural A/B arms to pair with it (same Profile
+  * protocol, numbers recorded in the operators' scaladocs +
+  * BASELINE.md):
+  *  - `GRAFT_TRI_REBIND=on` — q118 triangleCounts back on the narrow
+  *    loop session (r11: loses 1.83×; hub-quadratic wedge fan-out
+  *    wants session width + AQE skew-split);
+  *  - `GRAFT_BIPARTITE_GATE=eager` — r10's pre-job fan-out gate on
+  *    q146/q150/q151/q156 (r11: loses on every arm);
+  *  - `GRAFT_LOOP_BATCH=2` — batched convergence rounds in CC/kCore
+  *    (r11: loses 1.6–2.6×);
+  *  - `GRAFT_LOOP_STAGE=off` — all loops back to session-width rounds.
   */
 object LoopLab {
   def main(args: Array[String]): Unit = {
