@@ -137,6 +137,44 @@ class PartitionInvarianceSpec extends AnyFunSuite {
       docs)
   }
 
+  test("byte-BPE budget (q171 shape) is partitioning-invariant") {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    invariant(
+      d => {
+        val dw = d
+          .select(
+            col("doc_id"),
+            explode(regexp_extract_all(
+              col("text"),
+              lit(graft.functions.BpeTokens.preTokenPattern),
+              lit(0))).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("n"))
+        val toks = dw
+          .select(col("word"))
+          .distinct()
+          .withColumn(
+            "n_toks",
+            size(call_function("graft_bpe_bytes", col("word"))).cast("long"))
+        dw.join(broadcast(toks), Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("n") * col("n_toks")).as("bpe_tokens"))
+      },
+      docs)
+  }
+
+  test("in-job-gated pairProjection (q146 shape) is partitioning-invariant") {
+    val inc = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    invariant(
+      i => graft.operators.Bipartite.pairProjection(i, "ok", "pk", minSupport = 2),
+      inc)
+  }
+
   test("bloom prefilter keeps an identical row set under repartitioning") {
     import spark.implicits._
     val big = (1L to 500L).map(i => (i, i * 2)).toDF("k", "v")
