@@ -97,6 +97,22 @@ object Verify {
         require(
           df.filter(col("dist") >= 1).count() > 0,
           "q148 vacuous: BFS reached no non-seed node — the similarity graph misses every seed")
+      },
+      "q170_bpe_bytes_tokenize" -> { df =>
+        import org.apache.spark.sql.functions.col
+        require(
+          df.filter(col("n_toks") > 1).count() > 0 &&
+            df.filter(col("n_toks") === 1 && org.apache.spark.sql.functions.octet_length(col("word")) > 1).count() > 0,
+          "q170 vacuous: byte-merge fixture never fires (or saturates) — retrain make_bpe.py --bytes")
+      },
+      "q174_classifier_filter" -> { df =>
+        import org.apache.spark.sql.functions.col
+        val kept = df.filter(col("keep")).count()
+        val dropped = df.filter(!col("keep")).count()
+        require(
+          kept > 0 && dropped > 0,
+          s"q174 vacuous: classifier verdict is one-sided (keep=$kept drop=$dropped) — " +
+            "weights fixture degenerated; retrain make_classifier.py")
       })
     // Dev-only subset: --only=q90_weighted_sample,q99_incremental_dedup
     // (the driver passes no --only, so it always dumps the full surface).

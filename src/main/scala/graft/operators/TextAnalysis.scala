@@ -749,4 +749,86 @@ object TextAnalysis {
       .withColumn("n_trigrams", size(col("__t")).cast("long"))
       .withColumn("n_distinct_trigrams", size(array_distinct(col("__t"))).cast("long"))
       .drop("__w", "__t")
+
+  /** The checked-in learned quality-filter weights (integer
+    * micro-units), trained by `tools/make_classifier.py`: logistic
+    * regression over hashed word-bigram bucket counts (q111's DSIR
+    * feature space, `h32(bigram) % buckets`), distilling the q26
+    * marker-heuristic verdict "predicted language is en" — the
+    * FineWeb-Edu / DCLM pattern of distilling an expensive labeler
+    * into a cheap hashed linear filter (90.6 % train agreement on the
+    * fixture corpus). Returns (biasMicro, weightsMicro by bucket).
+    */
+  lazy val qualityClassifier: (Long, Array[Long]) = {
+    val in = getClass.getResourceAsStream("/graft/quality_classifier.txt")
+    require(in != null, "graft/quality_classifier.txt missing from classpath")
+    try {
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      val bias = {
+        val Array(tag, v) = lines.head.split('\t')
+        require(tag == "bias", s"classifier fixture must start with a bias line, got $tag")
+        v.toLong
+      }
+      val w = new Array[Long](lines.length - 1)
+      lines.tail.foreach { l =>
+        val Array(b, v) = l.split('\t')
+        w(b.toInt) = v.toLong
+      }
+      (bias, w)
+    } finally in.close()
+  }
+
+  /** Learned-classifier quality filtering (the DCLM / fastText-style
+    * inference stage): per document, the exact-integer score of a
+    * linear model over hashed word-bigram bucket features, and the
+    * keep verdict `score > 0`.
+    *
+    * The trained model is `sigmoid(bias + Σ_b w_b · c_b / N)` with
+    * `c_b` the doc's count of bucket `b` and `N = Σ c_b`; the verdict
+    * `p > ½` cross-multiplies to the division-free integer test
+    * `Σ(occurrence weights) + bias·N > 0` — with micro-unit integer
+    * weights both engines reproduce the decision bit-for-bit (no
+    * float sigmoid, no division). Documents with no bigram (< 2
+    * tokens) score 0 and are NOT kept — too little content to judge,
+    * the [[graft.operators.Dedup.charShingles]] policy.
+    *
+    * Scale shape: one corpus pass explodes bigrams, the weight table
+    * (`buckets` rows) joins broadcast, and the per-doc sum is one
+    * map-side-combined aggregate — nothing shuffles beyond doc grain;
+    * the doc universe left-joins back so short docs keep a verdict.
+    *
+    * @param weightsMicro per-bucket weights (index = bucket); pass
+    *        [[qualityClassifier]]._2 for the checked-in model
+    * @param biasMicro intercept in the same micro-units
+    */
+  def classifierKeepRule(
+      corpus: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      weightsMicro: Array[Long],
+      biasMicro: Long): org.apache.spark.sql.DataFrame = {
+    require(weightsMicro.nonEmpty, "classifierKeepRule: empty weight table")
+    val buckets = weightsMicro.length
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val wts = weightsMicro.zipWithIndex
+      .map { case (w, b) => (b.toLong, w) }
+      .toSeq
+      .toDF("__bucket", "__w")
+    val universe = corpus.select(col(idCol))
+    val per = corpus
+      .select(col(idCol), explode(Dedup.wordNGramsAll(col(textCol), 2)).as("__g"))
+      .select(col(idCol), (graft.functions.Hashing.h32(col("__g")) % buckets).as("__bucket"))
+      .join(broadcast(wts), Seq("__bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__w")).as("__raw"), count(lit(1)).as("__n"))
+    universe
+      .join(per, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        (coalesce(col("__raw"), lit(0L)) + lit(biasMicro) * coalesce(col("__n"), lit(0L)))
+          .as("score_micro"),
+        coalesce(col("__n"), lit(0L)).as("n_bigrams"))
+      .withColumn("keep", col("score_micro") > 0L)
+  }
 }

@@ -287,15 +287,53 @@ object Round11Queries {
       |       CAST((n_bytes * 1000000) // bpe_tokens AS BIGINT) AS bytes_per_tok_ppm
       |FROM agg ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin
 
+  /** q174 — learned-classifier quality filtering
+    * ([[graft.operators.TextAnalysis.classifierKeepRule]]): the
+    * DCLM/fastText-style inference stage, scoring every document with
+    * the checked-in hashed-bigram logistic model (trained by
+    * `tools/make_classifier.py`, distilling the q26 marker verdict —
+    * the FineWeb-Edu / DCLM distillation pattern) and keeping
+    * `score > 0`. The score is exact integer micro-units (the
+    * sigmoid/normalization cross-multiplied away), so the verdict is
+    * bit-stable across engines, partitionings, and reruns. The DuckDB
+    * oracle inlines the SAME weight fixture as a VALUES table and
+    * replays the identical bucket hash + integer test.
+    */
+  val q174ClassifierFilter: Q = (s, d) => {
+    val (bias, w) = graft.operators.TextAnalysis.qualityClassifier
+    graft.operators.TextAnalysis
+      .classifierKeepRule(Tables.documents(s, d), "text", "doc_id", w, bias)
+      .orderBy(col("doc_id"))
+  }
+
+  val q174Sql: String = {
+    val (bias, w) = graft.operators.TextAnalysis.qualityClassifier
+    val wValues = w.zipWithIndex.map { case (v, b) => s"($b,$v)" }.mkString(", ")
+    s"""WITH wts(bucket, wt) AS (VALUES $wValues),
+      |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, unnest([ws[i]||' '||ws[i+1] for i in range(1, CAST(len(ws) AS BIGINT))]) AS bigram FROM w),
+      |gb AS (SELECT doc_id, CAST('0x' || substr(md5(bigram),1,8) AS BIGINT) % ${w.length} AS bucket FROM g),
+      |per AS (SELECT doc_id, CAST(SUM(wts.wt) AS BIGINT) AS raw, CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM gb JOIN wts ON wts.bucket = gb.bucket GROUP BY 1)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(per.raw, 0) + ($bias) * COALESCE(per.n, 0) AS BIGINT) AS score_micro,
+      |       COALESCE(per.n, 0) AS n_bigrams,
+      |       (COALESCE(per.raw, 0) + ($bias) * COALESCE(per.n, 0)) > 0 AS keep
+      |FROM (SELECT doc_id FROM documents) d LEFT JOIN per ON per.doc_id = d.doc_id
+      |ORDER BY d.doc_id NULLS FIRST""".stripMargin
+  }
+
   def all: Map[String, Q] = Map(
     "q170_bpe_bytes_tokenize" -> q170BpeBytesTokenize,
     "q171_bpe_bytes_budget" -> q171BpeBytesBudget,
     "q172_bpe_bytes_pack" -> q172BpeBytesPack,
-    "q173_bpe_compression" -> q173BpeCompression)
+    "q173_bpe_compression" -> q173BpeCompression,
+    "q174_classifier_filter" -> q174ClassifierFilter)
 
   def oracles: Map[String, String] = Map(
     "q170_bpe_bytes_tokenize" -> q170Sql,
     "q171_bpe_bytes_budget" -> q171Sql,
     "q172_bpe_bytes_pack" -> q172Sql,
-    "q173_bpe_compression" -> q173Sql)
+    "q173_bpe_compression" -> q173Sql,
+    "q174_classifier_filter" -> q174Sql)
 }

@@ -406,6 +406,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q174: classifier inference broadcasts the weight table — no corpus-grain shuffle join, no cartesian") {
+    val df = SparkEntry.queries("q174_classifier_filter")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the only SortMergeJoin allowed is the doc-universe left join at
+    // doc grain (post-aggregate); the WEIGHT join must be broadcast
+    assert(!p.contains("SortMergeJoin") || p.indexOf("BroadcastHashJoin") >= 0, p.take(2000))
+  }
+
   test("q146/q150: the guarded pair projection stays an equi-join on the aggregator key — no cartesian") {
     for (q <- Seq("q146_copurchase_lift", "q150_cosupply_rank")) {
       val p = plan(q)

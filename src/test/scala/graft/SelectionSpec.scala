@@ -262,4 +262,65 @@ class SelectionSpec extends AnyFunSuite {
     }
     assert(out == assign)
   }
+
+  // ------------------------------------------------- classifier filter
+
+  /** Driver-side h32-bucket replica (Hashing.h32's md5 derivation). */
+  private def bucketOf(bigram: String, buckets: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(bigram.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+  }
+
+  test("classifierKeepRule: hand-computed integer scores and verdicts") {
+    import spark.implicits._
+    val buckets = 16
+    // doc 1 "x y" → one bigram "x y"; doc 2 "x" → no bigram;
+    // doc 3 "x y z" → bigrams "x y", "y z"; doc 4 null text.
+    val bXY = bucketOf("x y", buckets)
+    val bYZ = bucketOf("y z", buckets)
+    val w = Array.fill(buckets)(0L)
+    w(bXY) = 5L
+    if (bYZ != bXY) w(bYZ) = -2L
+    val wXY = w(bXY); val wYZ = w(bYZ)
+    val docs = Seq(
+      (1L, "x y"), (2L, "x"), (3L, "x y z"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis
+      .classifierKeepRule(docs, "text", "doc_id", w, biasMicro = -1L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // doc1: raw=w(xy), n=1 → score w(xy)−1
+    assert(out(1L) == ((wXY - 1L, 1L, wXY - 1L > 0)))
+    // doc2/doc4: no bigrams → score 0, not kept (too short to judge)
+    assert(out(2L) == ((0L, 0L, false)))
+    assert(out(4L) == ((0L, 0L, false)))
+    // doc3: raw=w(xy)+w(yz), n=2 → score raw−2
+    assert(out(3L) == ((wXY + wYZ - 2L, 2L, wXY + wYZ - 2L > 0)))
+  }
+
+  test("classifierKeepRule: checked-in model distills the q26 marker verdict (non-vacuous)") {
+    val (bias, w) = TextAnalysis.qualityClassifier
+    assert(w.length == 1024 && w.exists(_ != 0L))
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.classifierKeepRule(docs, "text", "doc_id", w, bias)
+    // the q26-style distillation target, engine-side
+    val tgt = docs.select(
+      col("doc_id"),
+      (TextAnalysis.cjkCount(col("text")) === 0L &&
+        !(TextAnalysis.markerHits(col("text"), TextAnalysis.markers("de")) >= TextAnalysis.markerHits(col("text"), TextAnalysis.markers("en")) &&
+          TextAnalysis.markerHits(col("text"), TextAnalysis.markers("de")) >= TextAnalysis.markerHits(col("text"), TextAnalysis.markers("es")) &&
+          TextAnalysis.markerHits(col("text"), TextAnalysis.markers("de")) >= TextAnalysis.markerHits(col("text"), TextAnalysis.markers("fr"))) &&
+        TextAnalysis.markerHits(col("text"), TextAnalysis.markers("en")) >= TextAnalysis.markerHits(col("text"), TextAnalysis.markers("es")) &&
+        TextAnalysis.markerHits(col("text"), TextAnalysis.markers("en")) >= TextAnalysis.markerHits(col("text"), TextAnalysis.markers("fr"))).as("tgt"))
+    val joined = out.join(tgt, Seq("doc_id")).select(col("keep"), col("tgt")).collect()
+    val n = joined.length
+    val agree = joined.count(r => r.getBoolean(0) == r.getBoolean(1))
+    val kept = joined.count(_.getBoolean(0))
+    // both classes present (anti-vacuity) and distillation holds well
+    // above chance on docs the trainer never saw (sf0.001 ≠ sf0.01)
+    assert(kept > 0 && kept < n, s"one-sided verdict: $kept/$n")
+    assert(agree * 100 >= n * 75, s"distillation agreement ${agree * 100 / n}% < 75%")
+  }
 }
