@@ -232,6 +232,13 @@ object ScaleCheck {
           .groupBy(col("doc_id"))
           .agg(sum(col("n") * col("n_toks")).as("bpe_tokens"), sum(col("n")).as("n_words"))
       }),
+      // q174 shape: hashed-bigram classifier inference — per-corpus-row
+      // explode + broadcast weight join + doc-grain map-side-combined
+      // sum; the slope should track the corpus linearly.
+      "classifier" -> (() => {
+        val (bias, w) = graft.operators.TextAnalysis.qualityClassifier
+        graft.operators.TextAnalysis.classifierKeepRule(docs, "text", "doc_id", w, bias)
+      }),
       // q140 shape over the trading graph; --docs bounds the ORDER key
       // here so the edge list (and with it the node universe) grows.
       "hits" -> (() => {
