@@ -105,6 +105,11 @@ object Verify {
             df.filter(col("n_toks") === 1 && org.apache.spark.sql.functions.octet_length(col("word")) > 1).count() > 0,
           "q170 vacuous: byte-merge fixture never fires (or saturates) — retrain make_bpe.py --bytes")
       },
+      "q175_bpe_train" -> { df =>
+        require(
+          df.count() >= 16,
+          "q175 vacuous: training found < 16 merges — corpus pair counts collapsed")
+      },
       "q174_classifier_filter" -> { df =>
         import org.apache.spark.sql.functions.col
         val kept = df.filter(col("keep")).count()

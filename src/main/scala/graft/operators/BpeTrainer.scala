@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge-table TRAINING (Sennrich et al. 2016) — the
+  * vocabulary-induction stage itself, in-engine. The inference side
+  * ships as the native kernels (`graft_bpe` / `graft_bpe_bytes`,
+  * `functions/BpeTokens`); this operator produces the merge table
+  * those kernels consume, so a pipeline can induce its tokenizer from
+  * the corpus it is about to budget — no detour through a driver-side
+  * script at 100 TB.
+  *
+  * Determinism contract (identical to `tools/make_bpe.py`, the
+  * INDEPENDENT python implementation the spec cross-gates against):
+  *  - pair counting: every adjacent symbol pair, overlapping allowed,
+  *    weighted by word frequency;
+  *  - merge pick: highest count, ties broken (left ASC, right ASC) —
+  *    binary string order, which coincides with python's tuple
+  *    ordering on the ASCII-range symbols real merges produce;
+  *  - merge apply: ONE left-to-right non-overlapping fold pass;
+  *  - stop: after `nMerges` merges or when no pair count ≥
+  *    `minPairCount`; merges containing control chars are skipped so
+  *    the kernels' U+0001 pair-key encoding stays collision-free.
+  *
+  * Scale shape: the CORPUS pays exactly one pass (the distinct-word
+  * count aggregate — vocabulary ≪ corpus, the same q167/q168
+  * observation the inference side exploits). Every training round
+  * then runs on the VOCABULARY-sized word table: one explode of
+  * adjacent pairs + a weighted count aggregate (map-side combined),
+  * one 1-row argmax fetch (the [[Coverage.greedyMaxCoverage]]
+  * driver-bookkeeping pattern — one row per round), and one per-row
+  * fold applying the merge. The word table is leaf-materialized each
+  * round (persisted row RDD, rewrapped) so round plans never stack —
+  * the graph loops' checkpoint discipline.
+  *
+  * Character (code-point) alphabet: the initial split uses
+  * `regexp_extract_all(w, '(?s).')` — java.util.regex matches `.`
+  * per CODE POINT, matching the kernel's `codePointAt` walk and the
+  * python trainer's `list(w)`. (Byte-alphabet training stays in
+  * `make_bpe.py --bytes`; the byte INFERENCE kernel is unaffected.)
+  */
+object BpeTrainer {
+
+  /** One left-to-right non-overlapping merge pass over a symbol
+    * array — the `list_reduce` fold of the q167 oracle, as a Spark
+    * `aggregate` HOF. Vocabulary-sized input only (never corpus-grain:
+    * HOFs evaluate interpreted).
+    */
+  private def mergeFold(syms: Column, l: String, r: String): Column =
+    aggregate(
+      syms,
+      typedLit(Seq.empty[String]),
+      (acc, x) =>
+        when(
+          // try_element_at: ANSI element_at THROWS on the empty
+          // accumulator's index -1 (DuckDB's acc[-1] yields NULL —
+          // the oracle fold relies on exactly that null-to-false)
+          try_element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Train `nMerges` merges over the corpus's whitespace-word
+    * frequencies (empties dropped — the corpus convention shared with
+    * q167 and the python trainer). Returns the merges in rank order.
+    */
+  def train(
+      corpus: DataFrame,
+      textCol: String,
+      nMerges: Int,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    require(nMerges >= 1 && nMerges <= 100000, s"nMerges in [1, 100000]; got $nMerges")
+    require(minPairCount >= 1, s"minPairCount >= 1; got $minPairCount")
+    val spark = corpus.sparkSession
+    // The ONE corpus-grain stage: distinct-word counts + code-point split.
+    val words0 = corpus
+      .filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("n"), regexp_extract_all(col("w"), lit("(?s)."), lit(0)).as("syms"))
+
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+
+    var (words, wordsRdd) = materialize(words0)
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    try {
+      while (round < nMerges && !exhausted) {
+        // adjacent pairs with multiplicity, weighted by word frequency
+        val top = words
+          .filter(size(col("syms")) > 1)
+          .select(
+            col("n"),
+            explode(zip_with(
+              slice(col("syms"), lit(1), size(col("syms")) - 1),
+              slice(col("syms"), lit(2), size(col("syms")) - 1),
+              (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("n")).as("c"))
+          .filter(col("c") >= minPairCount)
+          // control-char merges would collide with the kernels' U+0001
+          // pair-key encoding — skipped, as in the python trainer
+          .filter(!concat(col("l"), col("r")).rlike("[\\x00-\\x1f]"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val l = top(0).getString(0)
+          val r = top(0).getString(1)
+          merges += ((l, r))
+          val (next, nextRdd) = materialize(
+            words.select(col("n"), mergeFold(col("syms"), l, r).as("syms")))
+          wordsRdd.unpersist()
+          words = next
+          wordsRdd = nextRdd
+          round += 1
+        }
+      }
+      merges.result()
+    } finally wordsRdd.unpersist(): Unit
+  }
+
+  /** [[train]] as a (rank, l, r) DataFrame — the gate-query surface.
+    * The merge table is ≤ `nMerges` rows by construction, so the
+    * driver-side assembly is bounded bookkeeping, not data movement.
+    */
+  def trainDf(
+      corpus: DataFrame,
+      textCol: String,
+      nMerges: Int,
+      minPairCount: Long = 2L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    train(corpus, textCol, nMerges, minPairCount).zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "l", "r")
+  }
+}

@@ -323,17 +323,73 @@ object Round11Queries {
       |ORDER BY d.doc_id NULLS FIRST""".stripMargin
   }
 
+  /** q175 — in-engine distributed BPE TRAINING
+    * ([[graft.operators.BpeTrainer]]): induce the 48-merge vocabulary
+    * from the corpus itself (one corpus pass for word counts, then
+    * vocabulary-sized rounds — pair-count agg + 1-row argmax + fold
+    * per merge). The DuckDB oracle RE-DERIVES the whole training loop
+    * as 48 chained (count → argmax → fold) CTE rounds over the same
+    * word-frequency table — corpus-general, so the gate holds on
+    * every fixture, not just the one `graft/bpe_merges.txt` was
+    * trained on. (BpeTrainerSpec additionally pins
+    * cross-IMPLEMENTATION equality: engine training ≡ the independent
+    * python trainer's checked-in artifact on sf0.01.) An exhausted
+    * round (no pair ≥ 2) yields an empty argmax CTE; its scalar
+    * subqueries go NULL, the fold no-ops, and every later round stays
+    * empty — termination replays exactly.
+    */
+  val q175BpeTrain: Q = (s, d) =>
+    graft.operators.BpeTrainer
+      .trainDf(Tables.documents(s, d), "text", nMerges = BpeTokens.merges.length)
+      .orderBy(col("rank"))
+
+  val q175Sql: String = {
+    val n = BpeTokens.merges.length
+    val rounds = (1 to n)
+      .map { i =>
+        s"""c$i AS MATERIALIZED (
+          |  SELECT l, r, SUM(n) AS c FROM (
+          |    SELECT unnest(syms[1:len(syms)-1]) AS l, unnest(syms[2:len(syms)]) AS r, n
+          |    FROM w${i - 1} WHERE len(syms) > 1)
+          |  GROUP BY 1, 2
+          |  HAVING SUM(n) >= 2 AND NOT regexp_matches(l || r, '[\\x00-\\x1f]')),
+          |m$i AS MATERIALIZED (SELECT l, r FROM c$i ORDER BY c DESC, l, r LIMIT 1),
+          |w$i AS MATERIALIZED (
+          |  SELECT list_reduce(list_transform(syms, s -> [s]),
+          |    (acc, x) -> CASE WHEN acc[-1] = bl AND x[1] = br
+          |                     THEN acc[1:len(acc)-1] || [bl || br]
+          |                     ELSE acc || x END) AS syms, n
+          |  FROM w${i - 1} LEFT JOIN (SELECT l AS bl, r AS br FROM m$i) mm$i ON TRUE)""".stripMargin
+      }
+      .mkString(",\n")
+    val unionAll = (1 to n)
+      .map(i => s"SELECT ${i - 1} AS rank, l, r FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH
+      |base AS (SELECT w, COUNT(*) AS n FROM (
+      |           SELECT unnest(string_split(text, ' ')) AS w
+      |           FROM documents WHERE text IS NOT NULL)
+      |         WHERE len(w) > 0 GROUP BY 1),
+      |w0 AS MATERIALIZED (SELECT string_split(w, '') AS syms, n FROM base),
+      |$rounds
+      |SELECT CAST(rank AS BIGINT) AS rank, l, r FROM (
+      |  $unionAll)
+      |ORDER BY rank NULLS FIRST""".stripMargin
+  }
+
   def all: Map[String, Q] = Map(
     "q170_bpe_bytes_tokenize" -> q170BpeBytesTokenize,
     "q171_bpe_bytes_budget" -> q171BpeBytesBudget,
     "q172_bpe_bytes_pack" -> q172BpeBytesPack,
     "q173_bpe_compression" -> q173BpeCompression,
-    "q174_classifier_filter" -> q174ClassifierFilter)
+    "q174_classifier_filter" -> q174ClassifierFilter,
+    "q175_bpe_train" -> q175BpeTrain)
 
   def oracles: Map[String, String] = Map(
     "q170_bpe_bytes_tokenize" -> q170Sql,
     "q171_bpe_bytes_budget" -> q171Sql,
     "q172_bpe_bytes_pack" -> q172Sql,
     "q173_bpe_compression" -> q173Sql,
-    "q174_classifier_filter" -> q174Sql)
+    "q174_classifier_filter" -> q174Sql,
+    "q175_bpe_train" -> q175Sql)
 }
