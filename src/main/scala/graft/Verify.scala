@@ -110,6 +110,11 @@ object Verify {
           df.count() >= 16,
           "q175 vacuous: training found < 16 merges — corpus pair counts collapsed")
       },
+      "q176_bpe_train_bytes" -> { df =>
+        require(
+          df.count() >= 16,
+          "q176 vacuous: byte training found < 16 merges — corpus pair counts collapsed")
+      },
       "q174_classifier_filter" -> { df =>
         import org.apache.spark.sql.functions.col
         val kept = df.filter(col("keep")).count()

@@ -63,30 +63,72 @@ object BpeTrainer {
   /** Train `nMerges` merges over the corpus's whitespace-word
     * frequencies (empties dropped — the corpus convention shared with
     * q167 and the python trainer). Returns the merges in rank order.
+    *
+    * `byteAlphabet = true` trains the production GPT-2 form instead:
+    * words come from [[graft.functions.BpeTokens.preTokenPattern]]
+    * (the RE2∩Java pre-tokenizer) and base symbols are the word's
+    * UTF-8 BYTES in the chr(256+b) mapped alphabet — exactly
+    * `make_bpe.py --bytes` / [[graft.functions.BpeTokens.encodeBytes]].
+    * The byte mapping runs as a column expression (per-byte binary
+    * substring → hex → chr) over the vocabulary-sized word table only.
     */
   def train(
       corpus: DataFrame,
       textCol: String,
       nMerges: Int,
-      minPairCount: Long = 2L): Seq[(String, String)] = {
+      minPairCount: Long = 2L,
+      byteAlphabet: Boolean = false): Seq[(String, String)] = {
     require(nMerges >= 1 && nMerges <= 100000, s"nMerges in [1, 100000]; got $nMerges")
     require(minPairCount >= 1, s"minPairCount >= 1; got $minPairCount")
     val spark = corpus.sparkSession
-    // The ONE corpus-grain stage: distinct-word counts + code-point split.
+    val wordExpr =
+      if (byteAlphabet)
+        regexp_extract_all(col(textCol), lit(graft.functions.BpeTokens.preTokenPattern), lit(0))
+      else split(col(textCol), " ")
+    // Byte → symbol via a 256-char literal lookup (Spark's chr() masks
+    // its argument to 8 bits, so it cannot emit U+0100+); byte value
+    // b indexes the string of chars U+0100..U+01FF. Vocabulary-sized
+    // rows only — the per-byte hex walk is bounded bookkeeping.
+    val byteMap = (0x100 to 0x1FF).map(_.toChar).mkString
+    def byteSyms(w: Column): Column =
+      transform(
+        sequence(lit(1), octet_length(w)),
+        i =>
+          lit(byteMap).substr(
+            conv(hex(w.cast("binary").substr(i, lit(1))), 16, 10).cast("int") + 1,
+            lit(1)))
+    // The ONE corpus-grain stage: distinct-word counts + symbol split.
     val words0 = corpus
       .filter(col(textCol).isNotNull)
-      .select(explode(split(col(textCol), " ")).as("w"))
+      .select(explode(wordExpr).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w"))
       .agg(count(lit(1)).as("n"))
-      .select(col("n"), regexp_extract_all(col("w"), lit("(?s)."), lit(0)).as("syms"))
+      .select(
+        col("n"),
+        (if (byteAlphabet) byteSyms(col("w"))
+         else regexp_extract_all(col("w"), lit("(?s)."), lit(0))).as("syms"))
 
+    // localCheckpoint, not plain persist: the RDD-leaf trick cuts the
+    // SQL plan per round, but RDD objects still reference their
+    // parents, so at BPE depths (48-64 rounds ≫ the graph loops'
+    // ≤ 12) the serialized task closure nests thousands of
+    // ObjectInputStream frames and task DESERIALIZATION overflows the
+    // executor stack (hit at 64 byte-mode rounds on the adversarial
+    // corpus). localCheckpoint truncates the lineage after the first
+    // job that computes the RDD — which is the very next round's
+    // argmax action. Consequence: the PREVIOUS round may only
+    // unpersist after its successor has been computed (a truncated
+    // RDD cannot be recomputed), hence the one-round-deferred
+    // unpersist below.
     def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rdd = df.rdd
+      rdd.localCheckpoint()
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
 
     var (words, wordsRdd) = materialize(words0)
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     val merges = Vector.newBuilder[(String, String)]
     var round = 0
     var exhausted = false
@@ -110,6 +152,9 @@ object BpeTrainer {
           .orderBy(col("c").desc, col("l"), col("r"))
           .limit(1)
           .collect()
+        // the argmax action above has fully computed `words` — its
+        // predecessor's checkpointed blocks are now dead weight
+        if (prevRdd != null) { prevRdd.unpersist(); prevRdd = null }
         if (top.isEmpty) exhausted = true
         else {
           val l = top(0).getString(0)
@@ -117,14 +162,17 @@ object BpeTrainer {
           merges += ((l, r))
           val (next, nextRdd) = materialize(
             words.select(col("n"), mergeFold(col("syms"), l, r).as("syms")))
-          wordsRdd.unpersist()
+          prevRdd = wordsRdd
           words = next
           wordsRdd = nextRdd
           round += 1
         }
       }
       merges.result()
-    } finally wordsRdd.unpersist(): Unit
+    } finally {
+      if (prevRdd != null) prevRdd.unpersist(): Unit
+      wordsRdd.unpersist(): Unit
+    }
   }
 
   /** [[train]] as a (rank, l, r) DataFrame — the gate-query surface.
@@ -135,10 +183,11 @@ object BpeTrainer {
       corpus: DataFrame,
       textCol: String,
       nMerges: Int,
-      minPairCount: Long = 2L): DataFrame = {
+      minPairCount: Long = 2L,
+      byteAlphabet: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    train(corpus, textCol, nMerges, minPairCount).zipWithIndex
+    train(corpus, textCol, nMerges, minPairCount, byteAlphabet).zipWithIndex
       .map { case ((l, r), i) => (i.toLong, l, r) }
       .toDF("rank", "l", "r")
   }

@@ -343,8 +343,14 @@ object Round11Queries {
       .trainDf(Tables.documents(s, d), "text", nMerges = BpeTokens.merges.length)
       .orderBy(col("rank"))
 
-  val q175Sql: String = {
-    val n = BpeTokens.merges.length
+  /** The training-loop replay, shared by q175 (char alphabet) and
+    * q176 (byte alphabet): `n` chained MATERIALIZED (count → argmax →
+    * fold) rounds — MATERIALIZED is load-bearing, as each round
+    * references its predecessor twice and default CTE inlining would
+    * go exponential — parameterized on the base word source and the
+    * initial symbol split.
+    */
+  private def bpeTrainSql(n: Int, wordSrcSql: String, w0SymsSql: String): String = {
     val rounds = (1 to n)
       .map { i =>
         s"""c$i AS MATERIALIZED (
@@ -367,15 +373,40 @@ object Round11Queries {
       .mkString("\n  UNION ALL ")
     s"""WITH
       |base AS (SELECT w, COUNT(*) AS n FROM (
-      |           SELECT unnest(string_split(text, ' ')) AS w
+      |           SELECT $wordSrcSql AS w
       |           FROM documents WHERE text IS NOT NULL)
       |         WHERE len(w) > 0 GROUP BY 1),
-      |w0 AS MATERIALIZED (SELECT string_split(w, '') AS syms, n FROM base),
+      |w0 AS MATERIALIZED (SELECT $w0SymsSql AS syms, n FROM base),
       |$rounds
       |SELECT CAST(rank AS BIGINT) AS rank, l, r FROM (
       |  $unionAll)
       |ORDER BY rank NULLS FIRST""".stripMargin
   }
+
+  val q175Sql: String =
+    bpeTrainSql(
+      BpeTokens.merges.length,
+      "unnest(string_split(text, ' '))",
+      "string_split(w, '')")
+
+  /** q176 — byte-alphabet training (the production GPT-2 form): same
+    * loop over the pre-token universe with chr(256+b) byte symbols
+    * (the q170 hex(encode(w)) mapping).
+    */
+  val q176BpeTrainBytes: Q = (s, d) =>
+    graft.operators.BpeTrainer
+      .trainDf(
+        Tables.documents(s, d), "text",
+        nMerges = BpeTokens.bytesMerges.length, byteAlphabet = true)
+      .orderBy(col("rank"))
+
+  val q176Sql: String =
+    bpeTrainSql(
+      BpeTokens.bytesMerges.length,
+      s"unnest(regexp_extract_all(text, $preTokSqlLit))",
+      """list_transform(range(1, len(hex(encode(w)))//2 + 1),
+        |      i -> chr(CAST(256 + (strpos('0123456789ABCDEF', hex(encode(w))[2*i-1:2*i-1]) - 1) * 16
+        |                 + (strpos('0123456789ABCDEF', hex(encode(w))[2*i:2*i]) - 1) AS INTEGER)))""".stripMargin)
 
   def all: Map[String, Q] = Map(
     "q170_bpe_bytes_tokenize" -> q170BpeBytesTokenize,
@@ -383,7 +414,8 @@ object Round11Queries {
     "q172_bpe_bytes_pack" -> q172BpeBytesPack,
     "q173_bpe_compression" -> q173BpeCompression,
     "q174_classifier_filter" -> q174ClassifierFilter,
-    "q175_bpe_train" -> q175BpeTrain)
+    "q175_bpe_train" -> q175BpeTrain,
+    "q176_bpe_train_bytes" -> q176BpeTrainBytes)
 
   def oracles: Map[String, String] = Map(
     "q170_bpe_bytes_tokenize" -> q170Sql,
@@ -391,5 +423,6 @@ object Round11Queries {
     "q172_bpe_bytes_pack" -> q172Sql,
     "q173_bpe_compression" -> q173Sql,
     "q174_classifier_filter" -> q174Sql,
-    "q175_bpe_train" -> q175Sql)
+    "q175_bpe_train" -> q175Sql,
+    "q176_bpe_train_bytes" -> q176Sql)
 }

@@ -66,4 +66,24 @@ class BpeTrainerSpec extends AnyFunSuite {
       got == BpeTokens.merges.toSeq,
       s"first divergence at rank ${got.zip(BpeTokens.merges).indexWhere { case (a, b) => a != b }}")
   }
+
+  test("cross-implementation, BYTE alphabet: engine training reproduces make_bpe.py --bytes on sf0.01") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val got = BpeTrainer.train(
+      docs, "text", nMerges = BpeTokens.bytesMerges.length, byteAlphabet = true)
+    assert(
+      got == BpeTokens.bytesMerges.toSeq,
+      s"first divergence at rank ${got.zip(BpeTokens.bytesMerges).indexWhere { case (a, b) => a != b }}")
+  }
+
+  test("byte alphabet: base symbols are the chr(256+b) mapping of the UTF-8 bytes") {
+    import spark.implicits._
+    // 'İ' (U+0130) is 2 UTF-8 bytes (C4 B0): pre-token "İİ" has 4 byte
+    // symbols; merging trains on the mapped alphabet
+    val docs = Seq("İİ İİ").toDF("text")
+    val got = BpeTrainer.train(docs, "text", nMerges = 1, byteAlphabet = true)
+    assert(got.size == 1)
+    val (l, r) = got.head
+    assert((l + r).forall(c => c >= 0x100 && c <= 0x1FF), s"unmapped symbols in ($l,$r)")
+  }
 }

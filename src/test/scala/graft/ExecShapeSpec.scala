@@ -35,7 +35,6 @@ class ExecShapeSpec extends AnyFunSuite {
     // session-width loops (clone reverted per the r10 LoopLab A/B)
     ("q51_conncomp", 31, 140),
     ("q117_label_spread", 13, 35),
-    ("q139_kcore", 87, 693),
     ("q146_copurchase_lift", 20, 45),
     ("q151_trust_dist", 22, 123),
     ("q156_temporal_reach", 19, 85))
@@ -50,6 +49,22 @@ class ExecShapeSpec extends AnyFunSuite {
           "if the loop change is intentional, re-derive with tools/run_main.sh graft.ExecShape " +
           "and update this pin plus BASELINE.md's shape row")
     }
+
+  test("q139_kcore submits 85-88 jobs / 675-705 stages at sf0.001") {
+    // Isolated runs reproduce 87/693 exactly (twice, r11), but inside
+    // the full suite one AQE query-stage job occasionally elides under
+    // sibling-suite cache pressure (observed 86/685 once) — the same
+    // context-sensitivity class as q148 below, so the pin is a narrow
+    // band rather than an exact pair. A structural regression (extra
+    // peel rounds, a lost cache re-deriving the pair build) moves the
+    // counts by tens-to-hundreds, far outside it.
+    GraftSession.releaseAllCaches(spark)
+    val fn = SparkEntry.queries("q139_kcore")
+    val (j, s) = ExecShape.measure(spark, "q139_kcore")(
+      fn(spark, sf).queryExecution.toRdd.count(): Unit)
+    assert(j >= 85 && j <= 88, s"q139 jobs left the pinned band [85,88]: $j")
+    assert(s >= 675 && s <= 705, s"q139 stages left the pinned band [675,705]: $s")
+  }
 
   test("q148_bfs_dist submits exactly 64 jobs / 300-500 stages at sf0.001") {
     // Root cause of the stage jitter (r10 VERDICT ask #7, measured
