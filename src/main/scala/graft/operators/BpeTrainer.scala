@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   * INDEPENDENT python implementation the spec cross-gates against):
   *  - pair counting: every adjacent symbol pair, overlapping allowed,
   *    weighted by word frequency;
-  *  - merge pick: highest count, ties broken (left ASC, right ASC) —
-  *    binary string order, which coincides with python's tuple
-  *    ordering on the ASCII-range symbols real merges produce;
+  *  - merge pick: highest count, ties broken (left ASC, right ASC).
+  *    Spark orders strings by their UTF-8 bytes and python compares
+  *    code points — the SAME order for every string, since UTF-8 is
+  *    code-point-order-preserving by construction. So the tie-break
+  *    coincides in BOTH alphabets: the char mode's arbitrary corpus
+  *    code points and the byte mode's U+0100..U+01FF symbols alike
+  *    (not just ASCII);
   *  - merge apply: ONE left-to-right non-overlapping fold pass;
   *  - stop: after `nMerges` merges or when no pair count ≥
   *    `minPairCount`; merges containing control chars are skipped so
@@ -37,8 +41,9 @@ import org.apache.spark.sql.functions._
   * Character (code-point) alphabet: the initial split uses
   * `regexp_extract_all(w, '(?s).')` — java.util.regex matches `.`
   * per CODE POINT, matching the kernel's `codePointAt` walk and the
-  * python trainer's `list(w)`. (Byte-alphabet training stays in
-  * `make_bpe.py --bytes`; the byte INFERENCE kernel is unaffected.)
+  * python trainer's `list(w)`. Byte alphabet (`byteAlphabet = true`):
+  * pre-tokenized words split into chr(256+b)-mapped UTF-8 bytes —
+  * the `make_bpe.py --bytes` / `graft_bpe_bytes` production form.
   */
 object BpeTrainer {
 
@@ -121,6 +126,16 @@ object BpeTrainer {
     // unpersist after its successor has been computed (a truncated
     // RDD cannot be recomputed), hence the one-round-deferred
     // unpersist below.
+    // FAILURE MODE at cluster scale: localCheckpoint trades fault
+    // tolerance for lineage truncation — a checkpointed block lost to
+    // executor death or cache eviction mid-training is UNRECOVERABLE
+    // (Spark cannot recompute a truncated RDD) and the whole train()
+    // dies. Acceptable in local mode and for the vocabulary-sized
+    // state here (blocks are tiny, eviction is implausible), but a
+    // long-running cluster train should either set a checkpoint dir
+    // and use reliable checkpoint() for the round state, or wrap
+    // train() in a retry-from-words0 loop — training is deterministic,
+    // so a retry reproduces the identical merge table.
     // The training rounds run on a session sized from the MATERIALIZED
     // vocabulary count (the Graph.loopStage discipline): the word
     // table is vocabulary-sized — tiny against the corpus-tuned

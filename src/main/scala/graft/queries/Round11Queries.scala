@@ -242,7 +242,12 @@ object Round11Queries {
     * that only a REAL tokenizer can provide. Pure composition of the
     * q171 budget with one tiny rollup; `(bytes·10⁶) div tokens` is
     * division-free-exact (both engines' integer `div`/`//` agree on
-    * non-negatives).
+    * non-negatives). The multiply rides in decimal(38,0) (HUGEINT on
+    * the oracle side) so a (source,lang) group past ~9.2 TB of text —
+    * where `n_bytes * 10⁶` leaves Long range — still computes the
+    * exact ratio instead of wrapping (non-ANSI) or throwing (ANSI);
+    * the quotient itself is ≤ n_bytes·10⁶ / 1 token-per-byte·10⁶-ish
+    * ppm and always fits a BIGINT.
     */
   val q173BpeCompression: Q = (s, d) => {
     val dw = Tables
@@ -267,7 +272,7 @@ object Round11Queries {
         sum(col("n") * col("n_toks")).as("bpe_tokens"),
         sum(col("n") * col("n_b")).as("n_bytes"))
       .withColumn("bytes_per_tok_ppm",
-        expr("(n_bytes * 1000000L) div bpe_tokens"))
+        expr("(cast(n_bytes as decimal(38,0)) * 1000000) div bpe_tokens"))
       .orderBy(col("source"), col("lang"))
   }
 
@@ -284,7 +289,7 @@ object Round11Queries {
       |               CAST(SUM(dw.n * octet_length(encode(f.word))) AS BIGINT) AS n_bytes
       |        FROM dw JOIN fin f ON f.word = dw.word GROUP BY 1, 2)
       |SELECT source, lang, bpe_tokens, n_bytes,
-      |       CAST((n_bytes * 1000000) // bpe_tokens AS BIGINT) AS bytes_per_tok_ppm
+      |       CAST((CAST(n_bytes AS HUGEINT) * 1000000) // bpe_tokens AS BIGINT) AS bytes_per_tok_ppm
       |FROM agg ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin
 
   /** q174 — learned-classifier quality filtering

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan audits: the properties that make the declared plans
@@ -414,6 +415,44 @@ class PlanAuditSpec extends AnyFunSuite {
     // the only SortMergeJoin allowed is the doc-universe left join at
     // doc grain (post-aggregate); the WEIGHT join must be broadcast
     assert(!p.contains("SortMergeJoin") || p.indexOf("BroadcastHashJoin") >= 0, p.take(2000))
+  }
+
+  test("bipartite in-job gate: the raise_error guard survives optimization and sits upstream of EVERY join") {
+    // The gate's safety rests on two optimizer behaviors (ADVICE r11):
+    // (a) the __g filter keeps raise_error alive under projection
+    // collapse, and (b) the guard join is never reordered after the
+    // quadratic pair self-join. Assert both on the OPTIMIZED logical
+    // plan: raise_error must still exist, and every Join's subtree
+    // must contain it — i.e. the guard join is the innermost join, so
+    // no pair fan-out can materialize before the guard evaluates. A
+    // Spark upgrade that prunes or reorders it fails here loudly.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val inc = Tables
+      .lineitem(spark, sf)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("i"))
+      .distinct()
+    val (pairs, release) =
+      operators.Bipartite.pairProjectionReleasable(inc, "k", "i", minSupport = 1L)
+    val incT = Tables
+      .lineitem(spark, sf)
+      .select(col("l_suppkey").as("k"), col("l_partkey").as("i"), col("l_shipdate").as("t"))
+    val (temporal, releaseT) =
+      operators.Bipartite.temporalPairProjectionReleasable(incT, "k", "i", "t")
+    try {
+      for ((df, name) <- Seq((pairs, "pairProjection"), (temporal, "temporalPairProjection"))) {
+        val lp = df.queryExecution.optimizedPlan
+        def hasRaise(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+          p.exists(_.expressions.exists(_.exists(_.prettyName == "raise_error")))
+        assert(hasRaise(lp), s"$name: raise_error pruned by the optimizer:\n$lp")
+        val joins = lp.collect { case j: Join => j }
+        assert(joins.size >= 2, s"$name: expected guard + pair joins:\n$lp")
+        joins.foreach { j =>
+          assert(
+            hasRaise(j),
+            s"$name: a join runs BEFORE the fan-out guard (reordered past raise_error):\n$j")
+        }
+      }
+    } finally { release(); releaseT() }
   }
 
   test("q146/q150: the guarded pair projection stays an equi-join on the aggregator key — no cartesian") {
