@@ -139,10 +139,18 @@ object Bench {
     * compute — this constant isolates that axis so a graph-tail-only
     * slowdown can be attributed to the container, not the plans.
     */
-  private def calibratePingPong(): Double = {
+  private def calibratePingPong(): Double = calibratePingPong(100000)
+
+  /** [[calibratePingPong]] at a configurable round count, NORMALIZED to
+    * the 100k-round unit (ping-pong cost is linear in rounds, so the
+    * scaled value is directly comparable with the headline constant).
+    * The per-group drift probes use 20k rounds: ~1 s instead of ~10,
+    * still far above the resolution a 2–4× scheduler-degradation
+    * signature needs.
+    */
+  private def calibratePingPong(rounds: Int): Double = {
     val q1 = new java.util.concurrent.SynchronousQueue[Integer]()
     val q2 = new java.util.concurrent.SynchronousQueue[Integer]()
-    val rounds = 100000
     def echo(): Thread = {
       val t = new Thread(() => {
         var i = 0
@@ -160,7 +168,31 @@ object Bench {
     while (i < rounds) { q1.put(i); q2.take(): Unit; i += 1 }
     val dt = (System.nanoTime() - t0) / 1e9
     t.join()
-    dt
+    dt * (100000.0 / rounds)
+  }
+
+  /** The BASELINE.md per-query ledger (sf0.1 seconds), parsed from the
+    * `| qNN | x.xxx |` table cells. First occurrence per query wins —
+    * the ledger table leads the file; later mentions are prose. Used
+    * by the self-exonerating outlier protocol below; an absent or
+    * unparseable file degrades to "no ledger" (no retries), never an
+    * abort.
+    */
+  private def parseLedger(): Map[String, Double] = {
+    val p = Paths.get("BASELINE.md")
+    if (!Files.exists(p)) Map.empty
+    else {
+      val re = """\|\s*(q\d+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|""".r
+      val found = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      scala.util.Try {
+        Files.readAllLines(p).asScala.foreach { line =>
+          re.findAllMatchIn(line).foreach { m =>
+            if (!found.contains(m.group(1))) found(m.group(1)) = m.group(2).toDouble
+          }
+        }
+      }: Unit
+      found.toMap
+    }
   }
 
   def main(args: Array[String]): Unit =
@@ -288,8 +320,17 @@ object Bench {
 
     val groups = names.grouped(groupSize).toVector
     var results = Map.empty[String, Vector[Double]]
+    // Per-group machine probes (VERDICT r11 #1b): a cheap scheduler +
+    // multicore constant measured immediately before each child fork,
+    // so a drifted group carries its own attribution in
+    // bench_detail.json — "was the machine degraded WHILE this group
+    // ran" stops being an after-the-fact forensics exercise.
+    val groupCalib = Vector.newBuilder[(String, Seq[String], Double, Double)]
     groups.zipWithIndex.foreach { case (g, i) =>
       quiesce()
+      val sched = scala.util.Try(calibratePingPong(20000)).getOrElse(-1.0)
+      val mt = scala.util.Try(calibrateMd5Mt()).getOrElse(-1.0)
+      groupCalib += (((s"g$i", g, sched, mt)))
       results ++= runGroup(g, s"g$i")
     }
     // One retry pass, fresh JVM PER QUERY, for anything a child lost to
@@ -302,6 +343,47 @@ object Bench {
       quiesce()
       missing.zipWithIndex.foreach { case (q, i) =>
         results ++= runGroup(Seq(q), s"retry$i")
+      }
+    }
+
+    // Self-exonerating outlier protocol (VERDICT r11 #1a): any query
+    // whose first-pass min exceeds 2× its BASELINE.md ledger line gets
+    // ONE end-of-suite re-run in a fresh singleton fork, with the
+    // scheduler constant measured immediately before and after — so
+    // the official record can distinguish "the code regressed" (retry
+    // also slow at healthy calib) from "the container was degraded
+    // when that group ran" (retry in band, or calib visibly drifted)
+    // without a separate forensics session. The headline min covers
+    // first-pass AND retry reps — min-of-reps over one-sided additive
+    // noise remains the clean-machine estimator with more reps; the
+    // detail file keeps the two passes separate for audit.
+    val ledger = parseLedger()
+    def shortName(n: String): String = n.takeWhile(_ != '_')
+    val overLedger = names.filter { n =>
+      ledger.get(shortName(n)).exists { base =>
+        val ok = results.getOrElse(n, Vector.empty).filter(_ >= 0)
+        ok.nonEmpty && ok.min > 2.0 * base
+      }
+    }
+    // Bounded: a genuine whole-suite regression (or a dead machine)
+    // must not double the suite's wall time. Retry the WORST offenders
+    // by over-ledger ratio; anything past the cap is named in the
+    // detail file as unretried.
+    val retryCap = cfg.get("outlier-retries", "SPARK_GRAFT_BENCH_OUTLIER_RETRIES", "16").toInt
+    val ranked = overLedger.sortBy { n =>
+      val ok = results(n).filter(_ >= 0)
+      -(ok.min / ledger(shortName(n)))
+    }
+    val (retried, unretried) = ranked.splitAt(retryCap)
+    val retryDetail = scala.collection.mutable.LinkedHashMap.empty[String, (Vector[Double], Double, Double)]
+    if (retried.nonEmpty) {
+      quiesce()
+      retried.zipWithIndex.foreach { case (q, i) =>
+        val before = scala.util.Try(calibratePingPong(20000)).getOrElse(-1.0)
+        val reps = runGroup(Seq(q), s"outlier$i").getOrElse(q, Vector.empty)
+        val after = scala.util.Try(calibratePingPong(20000)).getOrElse(-1.0)
+        retryDetail(q) = (reps, before, after)
+        if (reps.nonEmpty) results += q -> (results.getOrElse(q, Vector.empty) ++ reps)
       }
     }
 
@@ -339,14 +421,34 @@ object Bench {
       val sd =
         if (ok.size > 1) math.sqrt(ok.map(t => (t - mean) * (t - mean)).sum / (ok.size - 1))
         else 0.0
-      s"""  "$n": {"reps": [${ts.map(fmt).mkString(", ")}], "min": ${fmt(mn)}, "median": ${fmt(md)}, "mean": ${fmt(mean)}, "stdev": ${fmt(sd)}}"""
+      // First-pass reps stay under "reps"; the outlier re-run (its own
+      // fresh fork, calib_sched measured adjacent on both sides) rides
+      // a separate "retry" block so the two passes audit independently
+      // even though min/median/mean cover BOTH.
+      val firstPass = ts.take(if (retryDetail.contains(n)) ts.length - retryDetail(n)._1.length else ts.length)
+      val ledgerPart = ledger.get(shortName(n)).map(b => s""", "ledger_sec": ${fmt(b)}""").getOrElse("")
+      val retryPart = retryDetail.get(n).map { case (rreps, before, after) =>
+        val repsJson = if (rreps.isEmpty) "[]" else rreps.map(fmt).mkString("[", ", ", "]")
+        s""", "retry": {"reps": $repsJson, "calib_sched_before": ${fmt(before)}, "calib_sched_after": ${fmt(after)}}"""
+      }.getOrElse("")
+      s"""  "$n": {"reps": [${firstPass.map(fmt).mkString(", ")}], "min": ${fmt(mn)}, "median": ${fmt(md)}, "mean": ${fmt(mean)}, "stdev": ${fmt(sd)}$ledgerPart$retryPart}"""
     }.mkString(",\n")
+    val groupsJson = groupCalib.result().map { case (tag, qs, sched, mt) =>
+      s"""  {"tag": "$tag", "queries": [${qs.map("\"" + _ + "\"").mkString(", ")}], "calib_sched": ${fmt(sched)}, "calib_md5_mt": ${fmt(mt)}}"""
+    }.mkString(",\n")
+    val unretriedJson =
+      if (unretried.isEmpty) ""
+      else s""",
+"outliers_unretried": [${unretried.map("\"" + _ + "\"").mkString(", ")}]"""
     Files.writeString(Paths.get("bench_detail.json"),
       s"""{
-"config": {"sf": "$sfDir", "cpus": $cpus, "reps": $reps, "group_size": $groupSize, "protocol": "fork-per-group JVM, warmup pass, forced GC + sync between timed regions, min of reps", "calib_md5_3e6_sec": ${fmt(calib)}, "calib_md5_mt_sec": ${fmt(calibMt)}, "calib_sched_pingpong_sec": ${fmt(calibSched)}},
+"config": {"sf": "$sfDir", "cpus": $cpus, "reps": $reps, "group_size": $groupSize, "protocol": "fork-per-group JVM, warmup pass, forced GC + sync between timed regions, min of reps incl. outlier retry; per-group calib probes (sched normalized to 100k rounds); >2x-ledger queries re-forked once with adjacent calib_sched", "calib_md5_3e6_sec": ${fmt(calib)}, "calib_md5_mt_sec": ${fmt(calibMt)}, "calib_sched_pingpong_sec": ${fmt(calibSched)}, "outlier_retry_cap": $retryCap},
+"group_calib": [
+$groupsJson
+],
 "queries": {
 $detail
-}
+}$unretriedJson
 }
 """)
 
@@ -377,6 +479,6 @@ $detail
     val slowest = headline.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"queries":$slowest,"queries_truncated":true,"detail":"bench_detail.json","sf":"$sfDir","calib_md5":${ms(calib)},"calib_md5_mt":${ms(calibMt)},"calib_sched":${ms(calibSched)},"reps":$reps,"stat":"min"$failedJson}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"queries":$slowest,"queries_truncated":true,"detail":"bench_detail.json","sf":"$sfDir","calib_md5":${ms(calib)},"calib_md5_mt":${ms(calibMt)},"calib_sched":${ms(calibSched)},"reps":$reps,"stat":"min","n_outlier_retries":${retried.size}$failedJson}""")
   }
 }
