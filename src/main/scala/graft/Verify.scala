@@ -115,6 +115,15 @@ object Verify {
           df.count() >= 16,
           "q176 vacuous: byte training found < 16 merges — corpus pair counts collapsed")
       },
+      "q177_classifier_train" -> { df =>
+        import org.apache.spark.sql.functions.col
+        val pos = df.filter(col("w_micro") > 0).count()
+        val neg = df.filter(col("w_micro") < 0).count()
+        require(
+          pos > 0 && neg > 0,
+          s"q177 vacuous: trained weights are one-signed (pos=$pos neg=$neg) — " +
+            "the GD loop degenerated (all-zero gradients or a collapsed label split)")
+      },
       "q174_classifier_filter" -> { df =>
         import org.apache.spark.sql.functions.col
         val kept = df.filter(col("keep")).count()
