@@ -49,6 +49,14 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // localCheckpoint truncation normally stops at the FIRST marked
+      // RDD on the action's lineage path; loops that defer more than
+      // one marked generation per action (BpeTrainer's incremental
+      // arm: counts_k over touched_k over words_(k-1)) need every
+      // computed marked ancestor truncated too, or closure nesting
+      // grows with round count until task DESERIALIZATION overflows
+      // the executor stack (hit at 64 byte-mode training rounds).
+      .config("spark.checkpoint.checkpointAllMarkedAncestors", "true")
       .config("spark.ui.enabled", "false")
     localScratch.fold(b)(dir => b.config("spark.local.dir", dir))
   }

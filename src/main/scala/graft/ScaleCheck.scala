@@ -67,7 +67,33 @@ object ScaleCheck {
         .select(col("id_a"), col("id_b"))
     }
 
+    // Synthetic LARGE-VOCABULARY corpus for the BPE-trainer arm
+    // crossover (the fixtures' 31-word vocabulary can never exercise
+    // the incremental arm's regime): --docs (default 400k) DISTINCT
+    // hex words of length 8-15 over the 16-char alphabet, each row one
+    // word repeated by a skewed weight — the trainer's corpus pass
+    // collapses this to an N-row word-frequency table, so --docs IS
+    // the vocabulary size.
+    def bigVocabCorpus: DataFrame = {
+      val v = if (nDocs > 0) nDocs else 400000L
+      spark
+        .range(v)
+        .select(
+          concat_ws(
+            " ",
+            array_repeat(
+              substring(md5(col("id").cast("string")), lit(1), (pmod(col("id"), lit(8)) + 8).cast("int")),
+              (lit(1) + pmod(col("id"), lit(3)) +
+                when(pmod(col("id"), lit(100)) === 0, lit(40)).otherwise(lit(0))).cast("int")))
+            .as("text"))
+    }
+    def bpeTrain(incr: Boolean): DataFrame =
+      graft.operators.BpeTrainer
+        .trainDf(bigVocabCorpus, "text", nMerges = 12, incremental = Some(incr))
+
     val workloads: Seq[(String, () => DataFrame)] = Seq(
+      "bpetrain_full" -> (() => bpeTrain(false)),
+      "bpetrain_incr" -> (() => bpeTrain(true)),
       "minhash_pairs" -> (() => verifiedPairs),
       "components" -> (() => Dedup.connectedComponents(verifiedPairs)),
       "keeplist" -> (() => Dedup.keepList(docs, "doc_id", verifiedPairs)),

@@ -124,6 +124,26 @@ object Verify {
           s"q177 vacuous: trained weights are one-signed (pos=$pos neg=$neg) — " +
             "the GD loop degenerated (all-zero gradients or a collapsed label split)")
       },
+      "q178_html_extract" -> { df =>
+        import org.apache.spark.sql.functions.{col, length => slen}
+        require(
+          df.filter(col("n_linky") > 0).count() > 0 &&
+            df.filter(col("n_short") > 0).count() > 0 &&
+            df.filter(slen(col("text")) > 0).count() > 0,
+          "q178 vacuous: boilerplate rules never fired (or nothing extracted) — fixture wrapping broke")
+      },
+      "q179_encoding_screen" -> { df =>
+        import org.apache.spark.sql.functions.col
+        require(
+          df.filter(!col("suspect")).count() > 0,
+          "q179 vacuous: every doc flagged — the moji classes over-match clean text")
+      },
+      "q180_train_tokenize" -> { df =>
+        import org.apache.spark.sql.functions.col
+        require(
+          df.count() > 0 && df.filter(col("bpe_tokens") < col("n_pretokens")).count() == 0,
+          "q180 inconsistent: a pre-token tokenized to < 1 token — trained-table inference broke")
+      },
       "q174_classifier_filter" -> { df =>
         import org.apache.spark.sql.functions.col
         val kept = df.filter(col("keep")).count()

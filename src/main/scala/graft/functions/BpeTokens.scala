@@ -142,7 +142,7 @@ object BpeTokens {
     } finally in.close()
   }
 
-  private def rankMap(ms: Array[(String, String)]): java.util.HashMap[String, Integer] = {
+  private[functions] def rankMap(ms: Array[(String, String)]): java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](ms.length * 2)
     var i = 0
     while (i < ms.length) {
@@ -163,7 +163,7 @@ object BpeTokens {
     * non-overlapping replacement — the loop `tools/make_bpe.py` trains
     * with and the DuckDB oracle replays; shared by both alphabets.
     */
-  private def greedy(
+  private[functions] def greedy(
       syms0: java.util.ArrayList[String],
       ms: Array[(String, String)],
       rk: java.util.HashMap[String, Integer]): ArrayData = {
@@ -208,7 +208,19 @@ object BpeTokens {
   /** Row kernel (static entry for the generated Java): code-point
     * split, then the greedy merge loop over the char-alphabet table.
     */
-  def encode(word: UTF8String): ArrayData = {
+  def encode(word: UTF8String): ArrayData =
+    greedy(splitCodePoints(word), merges, ranks)
+
+  /** Byte-alphabet row kernel: UTF-8 bytes mapped to U+0100+b symbols
+    * (the chr(256+b) mapping the oracle rebuilds from hex(encode(w))),
+    * then the same greedy loop over the byte-merge table. All symbols
+    * sit at U+0100..U+01FF, so the Sep pair-key encoding is
+    * collision-free by construction in this mode.
+    */
+  def encodeBytes(word: UTF8String): ArrayData =
+    greedy(splitBytes(word), bytesMerges, bytesRanks)
+
+  private[functions] def splitCodePoints(word: UTF8String): java.util.ArrayList[String] = {
     val s = word.toString
     val syms = new java.util.ArrayList[String](s.length)
     var i = 0
@@ -218,16 +230,10 @@ object BpeTokens {
       syms.add(s.substring(i, i + cc))
       i += cc
     }
-    greedy(syms, merges, ranks)
+    syms
   }
 
-  /** Byte-alphabet row kernel: UTF-8 bytes mapped to U+0100+b symbols
-    * (the chr(256+b) mapping the oracle rebuilds from hex(encode(w))),
-    * then the same greedy loop over the byte-merge table. All symbols
-    * sit at U+0100..U+01FF, so the Sep pair-key encoding is
-    * collision-free by construction in this mode.
-    */
-  def encodeBytes(word: UTF8String): ArrayData = {
+  private[functions] def splitBytes(word: UTF8String): java.util.ArrayList[String] = {
     val bytes = word.getBytes
     val syms = new java.util.ArrayList[String](bytes.length)
     var i = 0
@@ -235,6 +241,78 @@ object BpeTokens {
       syms.add(String.valueOf((0x100 + (bytes(i) & 0xFF)).toChar))
       i += 1
     }
-    greedy(syms, bytesMerges, bytesRanks)
+    syms
   }
+
+  /** One `left<TAB>right` per line — the wire form a runtime-trained
+    * merge table travels in (driver → literal → plan reference
+    * object), matching the classpath fixture's format. Merge symbols
+    * never contain control chars (trainer contract), so TAB/NEWLINE
+    * framing is collision-free.
+    */
+  def mergesSpecOf(ms: Seq[(String, String)]): String =
+    ms.map { case (l, r) => s"$l\t$r" }.mkString("\n")
+
+  private[functions] def parseMergesSpec(spec: String): Array[(String, String)] =
+    spec
+      .split('\n')
+      .iterator
+      .filter(_.nonEmpty)
+      .map { line =>
+        val t = line.indexOf('\t')
+        require(t > 0 && t < line.length - 1, s"malformed merge line: ${line.take(40)}")
+        (line.substring(0, t), line.substring(t + 1))
+      }
+      .toArray
+}
+
+/** A RUNTIME merge table as a serializable plan reference: the greedy
+  * kernel loop of [[BpeTokens]] over a caller-supplied table instead
+  * of the checked-in fixture — what closes the in-engine
+  * train→tokenize loop (q180): [[graft.operators.BpeTrainer]] induces
+  * the merges, this codec tokenizes with them, same plan. Ships to
+  * executors inside the serialized expression (NOT a driver-side
+  * registry, which an executor could never see); the rank map
+  * rebuilds lazily on each JVM.
+  */
+final class BpeCodec(val spec: String, val byteMode: Boolean) extends Serializable {
+  @transient private lazy val ms: Array[(String, String)] = BpeTokens.parseMergesSpec(spec)
+  @transient private lazy val rk: java.util.HashMap[String, Integer] = BpeTokens.rankMap(ms)
+  def encode(word: UTF8String): ArrayData =
+    BpeTokens.greedy(
+      if (byteMode) BpeTokens.splitBytes(word) else BpeTokens.splitCodePoints(word),
+      ms,
+      rk)
+}
+
+/** `graft_bpe_table(word, mergesSpec, byteMode)` — [[BpeTokens]] /
+  * [[BpeBytesTokens]] with the merge table passed as a foldable
+  * literal (one `l<TAB>r` per line, rank = line order) instead of the
+  * classpath fixture. Same per-row no-shuffle codegen shape as the
+  * static kernels; the codec travels as a plan reference object.
+  */
+case class BpeTableTokens(child: Expression, spec: String, byteMode: Boolean)
+    extends UnaryExpression {
+
+  @transient private lazy val codec = new BpeCodec(spec, byteMode)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_bpe_table requires string, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_bpe_table"
+
+  override protected def nullSafeEval(a: Any): Any =
+    codec.encode(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCodec", codec, classOf[BpeCodec].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.encode($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -148,6 +148,26 @@ object GraftFunctions {
     VocabHits(exprs.head, words)
   }
 
+  /** `graft_bpe_table(word, mergesSpec, byteMode)` — the merge table
+    * (one `l<TAB>r` per line, rank = line order) and alphabet flag are
+    * literals; typically `BpeTokens.mergesSpecOf(BpeTrainer.train(...))`,
+    * closing the in-engine train→tokenize loop.
+    */
+  private[functions] def mkBpeTable(exprs: Seq[Expression]): BpeTableTokens = {
+    require(exprs.size == 3, s"graft_bpe_table expects exactly 3 arguments, got ${exprs.size}")
+    require(exprs(1).foldable, "graft_bpe_table mergesSpec must be a string literal")
+    val spec = exprs(1).eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(s"mergesSpec must be a string, got $other")
+    }
+    require(exprs(2).foldable, "graft_bpe_table byteMode must be a boolean literal")
+    val byteMode = exprs(2).eval() match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(s"byteMode must be a boolean, got $other")
+    }
+    BpeTableTokens(exprs.head, spec, byteMode)
+  }
+
   /** Extract a literal int argument (the gram width) at resolution time. */
   private[functions] def foldableInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal")
@@ -239,6 +259,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(exprs.size == 1, s"graft_bpe_bytes expects exactly 1 argument, got ${exprs.size}")
           BpeBytesTokens(exprs.head)
         }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_bpe_table"),
+        new ExpressionInfo(classOf[BpeTableTokens].getCanonicalName, "graft_bpe_table"),
+        (exprs: Seq[Expression]) => GraftFunctions.mkBpeTable(exprs)))
     // The whole-operator extension stack: GRAFT_TOPK hint → custom
     // logical node → custom physical operator (graft.plans.TopKPerGroup).
     ext.injectResolutionRule(spark => graft.plans.ResolveTopKHint(spark))

@@ -30,13 +30,41 @@ import org.apache.spark.sql.functions._
   * Scale shape: the CORPUS pays exactly one pass (the distinct-word
   * count aggregate — vocabulary ≪ corpus, the same q167/q168
   * observation the inference side exploits). Every training round
-  * then runs on the VOCABULARY-sized word table: one explode of
-  * adjacent pairs + a weighted count aggregate (map-side combined),
-  * one 1-row argmax fetch (the [[Coverage.greedyMaxCoverage]]
-  * driver-bookkeeping pattern — one row per round), and one per-row
-  * fold applying the merge. The word table is leaf-materialized each
-  * round (persisted row RDD, rewrapped) so round plans never stack —
-  * the graph loops' checkpoint discipline.
+  * then runs on VOCABULARY-sized state, with TWO counting arms and a
+  * measured auto-select (r12):
+  *
+  *  - FULL RECOUNT (small vocabularies): re-explode every adjacent
+  *    pair each round — one shuffle, two stages, minimal per-round
+  *    overhead; the right arm when the explode is a few thousand rows.
+  *  - INCREMENTAL (vocabulary ≥ [[IncrAutoVocabFloor]]): maintain the
+  *    (l, r, c) pair table by DELTA — the fix every real BPE trainer
+  *    ships. Applying merge (l, r) only changes pair counts inside
+  *    words that CONTAIN (l, r) adjacently, so each round filters the
+  *    word table to those rows, folds the merge over just them, and
+  *    subtracts their old / adds their new pair rows into the running
+  *    table in ONE re-aggregate. Exact integer bookkeeping, bit-equal
+  *    to a full recount (BpeTrainerSpec arm-equality cases). Per-round
+  *    shuffle volume drops from every adjacent pair in the vocabulary
+  *    (~Σ|word|) to the touched-word delta + the distinct-pair table.
+  *
+  * `GRAFT_BPE_INCR=on|off` forces an arm (the A/B switch); the
+  * `incremental` parameter overrides both. Still exactly ONE argmax
+  * action per merge in either arm — inherent to greedy BPE (each pick
+  * depends on the previous fold) — so a 32k-merge production
+  * vocabulary remains 32k small jobs; what the delta maintenance
+  * removes is the per-round O(Σ|word|) explode+shuffle that made each
+  * job vocabulary-sized. Word and count tables are leaf-materialized
+  * each round (checkpointed row RDD, rewrapped) so round plans never
+  * stack — the graph loops' checkpoint discipline; materialization
+  * rides the NEXT round's argmax job (each argmax computes exactly
+  * one deferred generation: counts_k ← delta_k ← words_(k-1)),
+  * keeping the one-job-per-merge floor. Requires
+  * `spark.checkpoint.checkpointAllMarkedAncestors=true` (set by
+  * [[graft.GraftSession]]): the deferred generations mean more than
+  * one marked RDD per action path, and default truncation stops at
+  * the first — closure nesting would grow with round count until task
+  * deserialization overflows the executor stack (measured at 64 byte
+  * rounds).
   *
   * Character (code-point) alphabet: the initial split uses
   * `regexp_extract_all(w, '(?s).')` — java.util.regex matches `.`
@@ -46,6 +74,47 @@ import org.apache.spark.sql.functions._
   * the `make_bpe.py --bytes` / `graft_bpe_bytes` production form.
   */
 object BpeTrainer {
+
+  /** Adjacent symbol pairs (overlapping allowed) as an array of
+    * (l, r) structs — the shared explode/predicate source for both
+    * counting arms. Empty for 0/1-symbol arrays (zero-length slices).
+    */
+  private def adjPairs(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))
+
+  /** True iff the symbol array contains (l, r) adjacently — the
+    * touched-word predicate of the incremental arm. Lambda references
+    * only its argument and literals, so the per-element re-evaluation
+    * hazard (verify-skill HOF gotcha) does not apply.
+    */
+  private def hasPair(syms: Column, l: String, r: String): Column =
+    exists(adjPairs(syms), p => p.getItem("l") === lit(l) && p.getItem("r") === lit(r))
+
+  /** Raw frequency-weighted adjacent-pair rows of a (n, syms) frame —
+    * (l, r, c = ±n) per pair occurrence, UNAGGREGATED, so the caller
+    * can union several sides and pay ONE shuffle (the incremental
+    * arm's counts update would otherwise carry three groupBys per
+    * round, and per-round stage count is the cost driver at small
+    * vocabularies).
+    */
+  private def pairRows(words: DataFrame, negate: Boolean): DataFrame =
+    words
+      .filter(size(col("syms")) > 1)
+      .select(
+        (if (negate) -col("n") else col("n")).as("c"),
+        explode(adjPairs(col("syms"))).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"), col("c"))
+
+  /** Frequency-weighted adjacent-pair counts: one explode + one
+    * map-side-combined aggregate.
+    */
+  private def pairCounts(words: DataFrame, negate: Boolean): DataFrame =
+    pairRows(words, negate)
+      .groupBy(col("l"), col("r"))
+      .agg(sum(col("c")).as("c"))
 
   /** One left-to-right non-overlapping merge pass over a symbol
     * array — the `list_reduce` fold of the q167 oracle, as a Spark
@@ -77,12 +146,24 @@ object BpeTrainer {
     * The byte mapping runs as a column expression (per-byte binary
     * substring → hex → chr) over the vocabulary-sized word table only.
     */
+  /** Vocabulary floor for auto-selecting the incremental arm. Below
+    * it the full recount wins: the whole-vocabulary pair explode is a
+    * few thousand rows while the delta plumbing costs 2 extra
+    * shuffle-stage boundaries + 2 extra checkpointed generations per
+    * round (measured, sf0.1 fixtures at vocabulary 31–383: full
+    * 8.2/9.6 s vs incremental 9.8/12.1 s for q175/q176). Above it the
+    * explode dominates and the delta wins — the ScaleCheck `bpetrain`
+    * workload pins the crossover on a large synthetic vocabulary.
+    */
+  final val IncrAutoVocabFloor: Long = 1L << 16
+
   def train(
       corpus: DataFrame,
       textCol: String,
       nMerges: Int,
       minPairCount: Long = 2L,
-      byteAlphabet: Boolean = false): Seq[(String, String)] = {
+      byteAlphabet: Boolean = false,
+      incremental: Option[Boolean] = None): Seq[(String, String)] = {
     require(nMerges >= 1 && nMerges <= 100000, s"nMerges in [1, 100000]; got $nMerges")
     require(minPairCount >= 1, s"minPairCount >= 1; got $minPairCount")
     val spark = corpus.sparkSession
@@ -153,38 +234,64 @@ object BpeTrainer {
     words0Rdd.localCheckpoint()
     val vocabRows = words0Rdd.count()
     val loopSpark = Graph.loopSessionFor(spark, vocabRows).getOrElse(spark)
-    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd
-      rdd.localCheckpoint()
-      (loopSpark.createDataFrame(rdd, df.schema), rdd)
-    }
+    val words0Df = loopSpark.createDataFrame(words0Rdd, words0.schema)
+    // Arm order of precedence: explicit parameter > GRAFT_BPE_INCR
+    // env (on/off — the A/B switch) > vocabulary-size auto-select.
+    val useIncremental = incremental
+      .orElse(sys.env.get("GRAFT_BPE_INCR").map(_ == "on"))
+      .getOrElse(vocabRows >= IncrAutoVocabFloor)
+    try {
+      if (useIncremental) trainIncremental(loopSpark, words0Df, nMerges, minPairCount)
+      else trainFullRecount(loopSpark, words0Df, nMerges, minPairCount)
+    } finally words0Rdd.unpersist(): Unit
+  }
 
-    var words = loopSpark.createDataFrame(words0Rdd, words0.schema)
-    var wordsRdd = words0Rdd
-    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+  private type RowRdd = org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]
+
+  /** Checkpoint-mark a frame and rewrap it as an RDD-leaf DataFrame on
+    * the loop session. LAZY: partitions persist (and lineage
+    * truncates) at the first job that computes the RDD — in both arms
+    * that is a later round's argmax, so materialization rides the
+    * existing one-job-per-merge floor instead of adding jobs.
+    */
+  private def leafMark(loopSpark: org.apache.spark.sql.SparkSession, df: DataFrame): (DataFrame, RowRdd) = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    (loopSpark.createDataFrame(rdd, df.schema), rdd)
+  }
+
+  /** The argmax pick over a (l, r, c) pair-count frame: highest count,
+    * ties (l ASC, r ASC); control-char merges skipped (they would
+    * collide with the kernels' U+0001 pair-key encoding — as in the
+    * python trainer). One 1-row collect per round — the
+    * [[Coverage.greedyMaxCoverage]] driver-bookkeeping pattern.
+    */
+  private def argmax(counts: DataFrame, minPairCount: Long): Array[org.apache.spark.sql.Row] =
+    counts
+      .filter(col("c") >= minPairCount)
+      .filter(!concat(col("l"), col("r")).rlike("[\\x00-\\x1f]"))
+      .orderBy(col("c").desc, col("l"), col("r"))
+      .limit(1)
+      .collect()
+
+  /** A/B arm (`GRAFT_BPE_INCR=off`): re-explode every adjacent pair of
+    * the whole vocabulary each round — the r11 shape, kept as the
+    * incremental arm's equivalence reference.
+    */
+  private def trainFullRecount(
+      loopSpark: org.apache.spark.sql.SparkSession,
+      words0: DataFrame,
+      nMerges: Int,
+      minPairCount: Long): Seq[(String, String)] = {
+    var words = words0
+    var wordsRdd: RowRdd = null
+    var prevRdd: RowRdd = null
     val merges = Vector.newBuilder[(String, String)]
     var round = 0
     var exhausted = false
     try {
       while (round < nMerges && !exhausted) {
-        // adjacent pairs with multiplicity, weighted by word frequency
-        val top = words
-          .filter(size(col("syms")) > 1)
-          .select(
-            col("n"),
-            explode(zip_with(
-              slice(col("syms"), lit(1), size(col("syms")) - 1),
-              slice(col("syms"), lit(2), size(col("syms")) - 1),
-              (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("n")).as("c"))
-          .filter(col("c") >= minPairCount)
-          // control-char merges would collide with the kernels' U+0001
-          // pair-key encoding — skipped, as in the python trainer
-          .filter(!concat(col("l"), col("r")).rlike("[\\x00-\\x1f]"))
-          .orderBy(col("c").desc, col("l"), col("r"))
-          .limit(1)
-          .collect()
+        val top = argmax(pairCounts(words, negate = false), minPairCount)
         // the argmax action above has fully computed `words` — its
         // predecessor's checkpointed blocks are now dead weight
         if (prevRdd != null) { prevRdd.unpersist(); prevRdd = null }
@@ -193,7 +300,8 @@ object BpeTrainer {
           val l = top(0).getString(0)
           val r = top(0).getString(1)
           merges += ((l, r))
-          val (next, nextRdd) = materialize(
+          val (next, nextRdd) = leafMark(
+            loopSpark,
             words.select(col("n"), mergeFold(col("syms"), l, r).as("syms")))
           prevRdd = wordsRdd
           words = next
@@ -204,7 +312,111 @@ object BpeTrainer {
       merges.result()
     } finally {
       if (prevRdd != null) prevRdd.unpersist(): Unit
-      wordsRdd.unpersist(): Unit
+      if (wordsRdd != null) wordsRdd.unpersist(): Unit
+    }
+  }
+
+  /** Incremental arm: maintain the (l, r, c) pair-count table by
+    * delta. Applying merge (l, r) only changes counts of pairs inside
+    * words containing (l, r) adjacently, so each round:
+    *
+    *   touched_k  = words_(k-1) filtered to hasPair(l, r), with the
+    *                fold applied alongside the old symbols
+    *   counts_k   = (counts_(k-1) ∪ -pairs(touched.old)
+    *                            ∪ +pairs(touched.new)) re-aggregated,
+    *                zero rows dropped
+    *   words_k    = words_(k-1) minus touched, ∪ touched.new
+    *
+    * Exact integer bookkeeping — counts_k is bit-equal to a full
+    * recount of words_k (arm-equality pinned in BpeTrainerSpec), and
+    * a pair's count may RISE later (two merge paths can produce the
+    * same symbol string, e.g. (a,bc) and (ab,c) both yield "abc"), so
+    * sub-threshold pairs stay in the table; only exact zeros drop.
+    *
+    * Job shape: round k's argmax reads counts_(k-1), which computes
+    * the deferred touched_(k-1) and words_(k-2) generations — each
+    * argmax materializes exactly one generation of state, keeping one
+    * job per merge. A generation may only unpersist after its
+    * successor is COMPUTED (truncated RDDs cannot recompute), hence
+    * the two-round-deferred release queue.
+    */
+  private def trainIncremental(
+      loopSpark: org.apache.spark.sql.SparkSession,
+      words0: DataFrame,
+      nMerges: Int,
+      minPairCount: Long): Seq[(String, String)] = {
+    var words = words0
+    var wordsRdd: RowRdd = null // null = words0 (caller-owned)
+    // every generation coalesces back to the words0 width: the unions
+    // below otherwise ADD their inputs' partition counts each round —
+    // words_k would double per round (exponential task blowup,
+    // measured: 41k tasks/stage by round ~15). coalesce is
+    // shuffle-free; the tables are vocabulary-sized.
+    val width = words0.rdd.getNumPartitions.max(1)
+    // counts_0 is the ONE full-vocabulary pair aggregate the
+    // incremental arm ever runs; leaf-marked so its two consumers
+    // (round 1's argmax, counts_1) share one computation
+    var (counts, countsRdd) =
+      leafMark(loopSpark, pairCounts(words0, negate = false).coalesce(width))
+    // Deferred release: a checkpointed generation may only unpersist
+    // once every consumer is COMPUTED. counts_k's sole consumer
+    // (counts_(k+1)) computes at the NEXT argmax; touched_k and
+    // words_k are also read by words_(k+1)/touched_(k+1), which
+    // compute one argmax LATER — hence the two-stage queue. At most
+    // ~3 vocabulary-sized generations are live at any time.
+    var freeAfter1: List[RowRdd] = Nil
+    var freeAfter2: List[RowRdd] = Nil
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    try {
+      while (round < nMerges && !exhausted) {
+        // the 1-row action: computes the current counts generation
+        // and, transitively, the one deferred touched/words generation
+        // it references — the whole round's materialization in one job
+        val top = argmax(counts, minPairCount)
+        freeAfter1.foreach(_.unpersist())
+        freeAfter1 = freeAfter2
+        freeAfter2 = Nil
+        if (top.isEmpty) exhausted = true
+        else {
+          val l = top(0).getString(0)
+          val r = top(0).getString(1)
+          merges += ((l, r))
+          val touchedPred = size(col("syms")) > 1 && hasPair(col("syms"), l, r)
+          val (touched, touchedRdd) = leafMark(
+            loopSpark,
+            words
+              .filter(touchedPred)
+              .select(col("n"), col("syms").as("old"), mergeFold(col("syms"), l, r).as("syms")))
+          val (nextWords, nextWordsRdd) = leafMark(
+            loopSpark,
+            words
+              .filter(!touchedPred)
+              .unionByName(touched.select(col("n"), col("syms")))
+              .coalesce(width))
+          val (nextCounts, nextCountsRdd) = leafMark(
+            loopSpark,
+            counts
+              .unionByName(pairRows(touched.select(col("n"), col("old").as("syms")), negate = true))
+              .unionByName(pairRows(touched.select(col("n"), col("syms")), negate = false))
+              .groupBy(col("l"), col("r"))
+              .agg(sum(col("c")).as("c"))
+              .filter(col("c") > 0)
+              .coalesce(width))
+          freeAfter1 = Option(countsRdd).toList ::: freeAfter1
+          freeAfter2 = touchedRdd :: Option(wordsRdd).toList ::: freeAfter2
+          words = nextWords
+          wordsRdd = nextWordsRdd
+          counts = nextCounts
+          countsRdd = nextCountsRdd
+          round += 1
+        }
+      }
+      merges.result()
+    } finally {
+      (freeAfter1 ::: freeAfter2 ::: List(countsRdd, wordsRdd))
+        .foreach(r => if (r != null) r.unpersist(): Unit)
     }
   }
 
@@ -217,10 +429,11 @@ object BpeTrainer {
       textCol: String,
       nMerges: Int,
       minPairCount: Long = 2L,
-      byteAlphabet: Boolean = false): DataFrame = {
+      byteAlphabet: Boolean = false,
+      incremental: Option[Boolean] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    train(corpus, textCol, nMerges, minPairCount, byteAlphabet).zipWithIndex
+    train(corpus, textCol, nMerges, minPairCount, byteAlphabet, incremental).zipWithIndex
       .map { case ((l, r), i) => (i.toLong, l, r) }
       .toDF("rank", "l", "r")
   }

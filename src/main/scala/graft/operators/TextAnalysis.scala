@@ -831,4 +831,56 @@ object TextAnalysis {
         coalesce(col("__n"), lit(0L)).as("n_bigrams"))
       .withColumn("keep", col("score_micro") > 0L)
   }
+
+  // ---- UTF-8 validity / mojibake screen (q179) ----------------------
+
+  /** The "continuation byte read as text" character class: U+0080–BF
+    * (latin-1 decoding of a UTF-8 continuation byte) plus the 27
+    * printable characters Windows-1252 maps into 0x80–0x9F (€ ‚ ƒ „ …
+    * † ‡ ˆ ‰ Š ‹ Œ Ž ‘ ’ " " • – — ˜ ™ š › œ ž Ÿ) — so both latin-1
+    * and CP-1252 mojibake match. `\x{...}` escapes parse identically
+    * in Java regex and RE2.
+    */
+  private val mojiContCls: String =
+    "[\\x{0080}-\\x{00BF}" + Seq(
+      0x20AC, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021, 0x02C6,
+      0x2030, 0x0160, 0x2039, 0x0152, 0x017D, 0x2018, 0x2019, 0x201C,
+      0x201D, 0x2022, 0x2013, 0x2014, 0x02DC, 0x2122, 0x0161, 0x203A,
+      0x0153, 0x017E, 0x0178).map(c => f"\\x{$c%04X}").mkString + "]"
+
+  /** Double-encoding signatures: a character that IS a UTF-8 lead
+    * byte value (as latin-1/CP-1252 text) followed by the right
+    * number of continuation-class characters — the shape ftfy and
+    * every web-corpus mojibake screen keys on ("é" arriving as "Ã©",
+    * "'" as "â€™"). Valid VARCHAR can't carry truncated/overlong
+    * UTF-8 (both engines require well-formed strings — DuckDB rejects
+    * the parquet otherwise), so what a decoder leaves behind —
+    * U+FFFD replacements and these double-encode signatures — IS the
+    * detectable residue.
+    */
+  final val Moji2Pat: String = s"[\\x{00C2}-\\x{00DF}]$mojiContCls"
+  final val Moji3Pat: String = s"[\\x{00E0}-\\x{00EF}]$mojiContCls$mojiContCls"
+  final val Moji4Pat: String = s"[\\x{00F0}-\\x{00F4}]$mojiContCls$mojiContCls$mojiContCls"
+
+  /** Per-row encoding diagnostics: total chars, U+FFFD replacement
+    * count (what a strict decoder emitted for invalid input), 2/3/4-
+    * byte double-encode signature counts (non-overlapping leftmost
+    * scan — identical in Java and RE2), and the suspect verdict.
+    * Pure per-row expressions — no shuffle, linear per scan.
+    */
+  def encodingDiagnostics(text: Column): Seq[Column] = {
+    def hits(pat: String): Column =
+      size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+    val repl = (length(text) - length(replace(text, lit("\uFFFD"), lit("")))).cast("long")
+    val m2 = hits(Moji2Pat)
+    val m3 = hits(Moji3Pat)
+    val m4 = hits(Moji4Pat)
+    Seq(
+      length(text).cast("long").as("n_chars"),
+      repl.as("repl_chars"),
+      m2.as("moji2"),
+      m3.as("moji3"),
+      m4.as("moji4"),
+      (repl + m2 + m3 + m4 > 0L).as("suspect"))
+  }
 }

@@ -46,7 +46,7 @@ object Round11Queries {
       .mkString(", ")
 
   /** The pre-tokenizer pattern as a SQL string literal. */
-  private def preTokSqlLit: String =
+  private[queries] def preTokSqlLit: String =
     "'" + BpeTokens.preTokenPattern.replace("'", "''") + "'"
 
   /** Byte-mode replay CTE chain, parameterized on a `w(word)` CTE the
@@ -59,7 +59,15 @@ object Round11Queries {
     * `list_reduce` fold per step).
     */
   private def bpeBytesCtes: String =
-    s"""m(l, r, rank) AS (VALUES $byteMergeValues),
+    bpeBytesReplayCtes(s"SELECT * FROM (VALUES $byteMergeValues) v(l, r, rank)")
+
+  /** [[bpeBytesCtes]] with the merge table sourced from any SQL
+    * relation yielding (l, r, rank) — the q180 path feeds the
+    * TRAINED merges (a union over the training rounds' m_i CTEs)
+    * instead of the checked-in fixture's VALUES.
+    */
+  private[queries] def bpeBytesReplayCtes(mergesRel: String): String =
+    s"""m AS MATERIALIZED ($mergesRel),
       |hx AS (SELECT word, hex(encode(word)) AS h FROM w),
       |init AS (
       |  SELECT word,
@@ -355,8 +363,8 @@ object Round11Queries {
     * go exponential — parameterized on the base word source and the
     * initial symbol split.
     */
-  private def bpeTrainSql(n: Int, wordSrcSql: String, w0SymsSql: String): String = {
-    val rounds = (1 to n)
+  private[queries] def bpeTrainRoundCtes(n: Int): String =
+    (1 to n)
       .map { i =>
         s"""c$i AS MATERIALIZED (
           |  SELECT l, r, SUM(n) AS c FROM (
@@ -373,20 +381,37 @@ object Round11Queries {
           |  FROM w${i - 1} LEFT JOIN (SELECT l AS bl, r AS br FROM m$i) mm$i ON TRUE)""".stripMargin
       }
       .mkString(",\n")
-    val unionAll = (1 to n)
+
+  private[queries] def bpeTrainedMergesUnion(n: Int): String =
+    (1 to n)
       .map(i => s"SELECT ${i - 1} AS rank, l, r FROM m$i")
       .mkString("\n  UNION ALL ")
-    s"""WITH
-      |base AS (SELECT w, COUNT(*) AS n FROM (
+
+  /** Training base CTEs: `base(w, n)` word frequencies + the `w0`
+    * initial symbol split, shared by q175/q176/q180.
+    */
+  private[queries] def bpeTrainBaseCtes(wordSrcSql: String, w0SymsSql: String): String =
+    s"""base AS (SELECT w, COUNT(*) AS n FROM (
       |           SELECT $wordSrcSql AS w
       |           FROM documents WHERE text IS NOT NULL)
       |         WHERE len(w) > 0 GROUP BY 1),
-      |w0 AS MATERIALIZED (SELECT $w0SymsSql AS syms, n FROM base),
-      |$rounds
+      |w0 AS MATERIALIZED (SELECT $w0SymsSql AS syms, n FROM base)""".stripMargin
+
+  /** The q176 byte-alphabet initial split: hex(encode(w)) walked two
+    * digits at a time into chr(256 + b) symbols.
+    */
+  private[queries] val byteW0SymsSql: String =
+    """list_transform(range(1, len(hex(encode(w)))//2 + 1),
+      |      i -> chr(CAST(256 + (strpos('0123456789ABCDEF', hex(encode(w))[2*i-1:2*i-1]) - 1) * 16
+      |                 + (strpos('0123456789ABCDEF', hex(encode(w))[2*i:2*i]) - 1) AS INTEGER)))""".stripMargin
+
+  private def bpeTrainSql(n: Int, wordSrcSql: String, w0SymsSql: String): String =
+    s"""WITH
+      |${bpeTrainBaseCtes(wordSrcSql, w0SymsSql)},
+      |${bpeTrainRoundCtes(n)}
       |SELECT CAST(rank AS BIGINT) AS rank, l, r FROM (
-      |  $unionAll)
+      |  ${bpeTrainedMergesUnion(n)})
       |ORDER BY rank NULLS FIRST""".stripMargin
-  }
 
   val q175Sql: String =
     bpeTrainSql(
@@ -409,9 +434,7 @@ object Round11Queries {
     bpeTrainSql(
       BpeTokens.bytesMerges.length,
       s"unnest(regexp_extract_all(text, $preTokSqlLit))",
-      """list_transform(range(1, len(hex(encode(w)))//2 + 1),
-        |      i -> chr(CAST(256 + (strpos('0123456789ABCDEF', hex(encode(w))[2*i-1:2*i-1]) - 1) * 16
-        |                 + (strpos('0123456789ABCDEF', hex(encode(w))[2*i:2*i]) - 1) AS INTEGER)))""".stripMargin)
+      byteW0SymsSql)
 
   def all: Map[String, Q] = Map(
     "q170_bpe_bytes_tokenize" -> q170BpeBytesTokenize,

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.BpeTokens
 import graft.queries.CoreQueries.Q
 
 /** Round-12 surface — the remaining "train it in-engine" stages and
@@ -124,9 +125,217 @@ object Round12Queries {
 
   val q177Sql: String = classifierTrainSql(Buckets, Epochs, LrMicro)
 
+  // ---- q178: HTML/boilerplate text extraction ------------------------
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Deterministic HTML wrapping of the documents fixture — both
+    * engines construct the IDENTICAL markup (head boilerplate with
+    * script/style, a link-dense nav div, a short h1, a comment that
+    * must never leak into output, the document text as a paragraph
+    * with a planted entity-encoding site, two mod-varied optional
+    * blocks, and a short entity-bearing footer), so the gate pins the
+    * EXTRACTION pipeline, not the fixture. doc_id%3 adds a pair of
+    * short all-link list items; doc_id%5 adds a kept blockquote.
+    */
+  private val HtmlHead: String =
+    "<html><head><title>t</title><style>p {color:#333}</style>" +
+      "<script type=\"text/javascript\">if (x<2 && y>3) { nav(\"a\"); }</script></head><body>" +
+      "<div class=\"nav\"><a href=\"/\">home page link</a> | <a href=\"/next\">next page here</a> | <a href=\"/prev\">previous page</a></div>"
+  private val HtmlComment: String = "<!-- hidden <p>never extracted</p> -->"
+  private val HtmlUl: String =
+    "<ul><li><a href=\"/t1\">one link</a></li><li><a href=\"/t2\">two link</a></li></ul>"
+  private val HtmlFoot: String = "<p>&copy; 2026 Example &amp; Co.</p></body></html>"
+  private val EntitySite: (String, String) = (" data ", " &lt;data&gt; &amp; more ")
+
+  /** q178 — HTML → text with boilerplate removal
+    * ([[graft.operators.HtmlExtract]]): per document, the extracted
+    * text (kept blocks joined by newline) plus block/short/link-dense
+    * drop counts. The nav div is the linky fixture (41 link chars of
+    * 47 visible ⇒ dropped), the h1/footer/list items are the short
+    * fixtures, the entity site pins decode order (&lt;data&gt;
+    * survives tag-stripping and decodes to literal <data> AFTER it).
+    */
+  val q178HtmlExtract: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val html = concat(
+      lit(HtmlHead),
+      lit("<h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1>"),
+      lit(HtmlComment),
+      lit("<p>"),
+      replace(col("text"), lit(EntitySite._1), lit(EntitySite._2)),
+      lit("</p>"),
+      when(col("doc_id") % 3 === 0, lit(HtmlUl)).otherwise(lit("")),
+      when(
+        col("doc_id") % 5 === 1,
+        concat(lit("<blockquote>"), substring(col("text"), 1, 80), lit("</blockquote>")))
+        .otherwise(lit("")),
+      lit(HtmlFoot))
+    graft.operators.HtmlExtract
+      .extractText(docs.select(col("doc_id"), html.as("html")), "html")
+      .select(col("doc_id"), col("text"), col("n_blocks"), col("n_short"), col("n_linky"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q178Sql: String = {
+    import graft.operators.HtmlExtract._
+    def decode(inner: String): String =
+      Entities.foldLeft(inner) { case (acc, (k, v)) =>
+        s"replace($acc, ${sqlLit(k)}, ${sqlLit(v)})"
+      }
+    val vis = s"trim(${decode(s"regexp_replace(b, ${sqlLit(InlineTagPat)}, '', 'g')")})"
+    val lnk =
+      s"""coalesce(list_sum(list_transform(
+        |            regexp_extract_all(b, ${sqlLit(AnchorPat)}, 1),
+        |            x -> len(${decode(s"regexp_replace(x, ${sqlLit(InlineTagPat)}, '', 'g')")}))), 0)""".stripMargin
+    val n = "len(struct_extract(s, 'vis'))"
+    val short = s"$n < 25"
+    val linky = s"$n >= 25 AND struct_extract(s, 'lnk') * 100 >= $n * 30"
+    s"""WITH src AS (
+      |  SELECT doc_id,
+      |    ${sqlLit(HtmlHead)}
+      |    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+      |    || ${sqlLit(HtmlComment)}
+      |    || '<p>' || replace(text, ${sqlLit(EntitySite._1)}, ${sqlLit(EntitySite._2)}) || '</p>'
+      |    || CASE WHEN doc_id % 3 = 0 THEN ${sqlLit(HtmlUl)} ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 1 THEN '<blockquote>' || substr(text, 1, 80) || '</blockquote>' ELSE '' END
+      |    || ${sqlLit(HtmlFoot)} AS html
+      |  FROM documents WHERE text IS NOT NULL),
+      |blk AS (
+      |  SELECT doc_id,
+      |    list_filter(
+      |      list_transform(
+      |        regexp_split_to_array(
+      |          regexp_replace(
+      |            regexp_replace(html, ${sqlLit(ScriptStylePat)}, '', 'g'),
+      |            ${sqlLit(BlockTagPat)}, chr(10), 'g'),
+      |          '\\n+'),
+      |        b -> struct_pack(vis := $vis, lnk := $lnk)),
+      |      s -> len(struct_extract(s, 'vis')) > 0) AS present
+      |  FROM src)
+      |SELECT doc_id,
+      |  -- COALESCE is load-bearing: DuckDB array_to_string of an EMPTY
+      |  -- list is NULL where Spark array_join is '' — a doc whose every
+      |  -- block drops (all-boilerplate) must extract to '' on both sides
+      |  COALESCE(array_to_string(
+      |    list_transform(
+      |      list_filter(present, s -> NOT ($short) AND NOT ($linky)),
+      |      s -> struct_extract(s, 'vis')),
+      |    chr(10)), '') AS text,
+      |  CAST(len(present) AS BIGINT) AS n_blocks,
+      |  CAST(len(list_filter(present, s -> $short)) AS BIGINT) AS n_short,
+      |  CAST(len(list_filter(present, s -> $linky)) AS BIGINT) AS n_linky
+      |FROM blk ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
+  // ---- q179: UTF-8 validity / mojibake screen ------------------------
+
+  /** q179 — per-document encoding diagnostics
+    * ([[graft.operators.TextAnalysis.encodingDiagnostics]]): U+FFFD
+    * replacement counts (a strict decoder's residue of truncated /
+    * invalid input) and 2/3/4-byte double-encode mojibake signatures
+    * (UTF-8 read as latin-1/CP-1252 — "Ã©", "â€™"). Valid VARCHAR
+    * cannot carry raw invalid bytes (DuckDB would reject the parquet),
+    * so these signatures ARE the detectable residue; the adversarial
+    * fixture plants them (make_adversarial.py).
+    */
+  val q179EncodingScreen: Q = (s, d) =>
+    Tables
+      .documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id") +: graft.operators.TextAnalysis.encodingDiagnostics(col("text")): _*)
+      .orderBy(col("doc_id"))
+
+  val q179Sql: String = {
+    import graft.operators.TextAnalysis._
+    s"""SELECT doc_id, n_chars, repl_chars, moji2, moji3, moji4,
+      |  (repl_chars + moji2 + moji3 + moji4) > 0 AS suspect
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(text) AS BIGINT) AS n_chars,
+      |    CAST(len(text) - len(replace(text, chr(65533), '')) AS BIGINT) AS repl_chars,
+      |    CAST(len(regexp_extract_all(text, ${sqlLit(Moji2Pat)})) AS BIGINT) AS moji2,
+      |    CAST(len(regexp_extract_all(text, ${sqlLit(Moji3Pat)})) AS BIGINT) AS moji3,
+      |    CAST(len(regexp_extract_all(text, ${sqlLit(Moji4Pat)})) AS BIGINT) AS moji4
+      |  FROM documents WHERE text IS NOT NULL)
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
+  // ---- q180: train → tokenize in one pipeline ------------------------
+
+  private val Q180Merges = 16
+
+  /** q180 — the induction→inference loop CLOSED in-engine:
+    * [[graft.operators.BpeTrainer]] trains a byte-alphabet merge table
+    * on the corpus, `graft_bpe_table` (the runtime-table kernel)
+    * tokenizes the SAME corpus with it, and the gate is the per-source
+    * exact token budget. The oracle replays BOTH stages — the q176
+    * training rounds feed the q170 inference recursion through an
+    * `mt` CTE instead of the checked-in fixture — so one wrong merge
+    * or one out-of-order inference fold anywhere fails the hash.
+    * Training costs one corpus pass + 16 vocabulary-sized rounds;
+    * inference is paid once per DISTINCT pre-token and broadcast back.
+    */
+  val q180TrainTokenize: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val merges =
+      graft.operators.BpeTrainer.train(docs, "text", Q180Merges, byteAlphabet = true)
+    val spec = BpeTokens.mergesSpecOf(merges)
+    val dw = docs
+      .select(
+        col("source"),
+        explode(regexp_extract_all(col("text"), lit(BpeTokens.preTokenPattern), lit(0)))
+          .as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val wordToks = dw
+      .select(col("word"))
+      .distinct()
+      .withColumn(
+        "n_toks",
+        size(call_function("graft_bpe_table", col("word"), lit(spec), lit(true))).cast("long"))
+    dw.join(broadcast(wordToks), Seq("word"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n") * col("n_toks")).as("bpe_tokens"),
+        sum(col("n")).as("n_pretokens"))
+      .orderBy(col("source"))
+  }
+
+  val q180Sql: String = {
+    s"""WITH RECURSIVE
+      |${Round11Queries.bpeTrainBaseCtes(
+         s"unnest(regexp_extract_all(text, ${Round11Queries.preTokSqlLit}))",
+         Round11Queries.byteW0SymsSql)},
+      |${Round11Queries.bpeTrainRoundCtes(Q180Merges)},
+      |mt AS MATERIALIZED (SELECT l, r, rank FROM (
+      |  ${Round11Queries.bpeTrainedMergesUnion(Q180Merges)})),
+      |dw AS (SELECT source, w AS word, COUNT(*) AS n FROM (
+      |         SELECT source, unnest(regexp_extract_all(text, ${Round11Queries.preTokSqlLit})) AS w
+      |         FROM documents WHERE text IS NOT NULL)
+      |       WHERE len(w) > 0 GROUP BY 1, 2),
+      |w AS (SELECT DISTINCT word FROM dw),
+      |${Round11Queries.bpeBytesReplayCtes("SELECT l, r, rank FROM mt")}
+      |SELECT dw.source,
+      |       CAST(SUM(dw.n * len(f.syms)) AS BIGINT) AS bpe_tokens,
+      |       CAST(SUM(dw.n) AS BIGINT) AS n_pretokens
+      |FROM dw JOIN fin f ON f.word = dw.word
+      |GROUP BY 1 ORDER BY dw.source NULLS FIRST""".stripMargin
+  }
+
   def all: Map[String, Q] = Map(
-    "q177_classifier_train" -> q177ClassifierTrain)
+    "q177_classifier_train" -> q177ClassifierTrain,
+    "q178_html_extract" -> q178HtmlExtract,
+    "q179_encoding_screen" -> q179EncodingScreen,
+    "q180_train_tokenize" -> q180TrainTokenize)
 
   def oracles: Map[String, String] = Map(
-    "q177_classifier_train" -> q177Sql)
+    "q177_classifier_train" -> q177Sql,
+    "q178_html_extract" -> q178Sql,
+    "q179_encoding_screen" -> q179Sql,
+    "q180_train_tokenize" -> q180Sql)
 }

@@ -241,4 +241,32 @@ class BpeSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), s"graft_bpe_bytes fell out of codegen:\n$plan")
   }
+
+  test("runtime-table kernel: graft_bpe_table with the fixture spec ≡ the static kernels") {
+    import spark.implicits._
+    val charSpec = BpeTokens.mergesSpecOf(BpeTokens.merges.toSeq)
+    val byteSpec = BpeTokens.mergesSpecOf(BpeTokens.bytesMerges.toSeq)
+    val words = Seq("data", "İstanbul", "the merge", "🚀x", "").toDF("w")
+    val diff = words
+      .select(
+        call_function("graft_bpe", col("w")).as("a"),
+        call_function("graft_bpe_table", col("w"), lit(charSpec), lit(false)).as("b"),
+        call_function("graft_bpe_bytes", col("w")).as("c"),
+        call_function("graft_bpe_table", col("w"), lit(byteSpec), lit(true)).as("d"))
+      .filter(col("a") =!= col("b") || col("c") =!= col("d"))
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("runtime-table kernel: a trained table drives tokenization and stays in codegen") {
+    // a 2-merge custom table: (a,b)->ab then (ab,c)->abc
+    val spec = BpeTokens.mergesSpecOf(Seq(("a", "b"), ("ab", "c")))
+    val df = spark
+      .range(1)
+      .select(lit("abcab").as("w"))
+      .select(call_function("graft_bpe_table", col("w"), lit(spec), lit(false)).as("t"))
+    assert(df.collect().head.getSeq[String](0) === Seq("abc", "ab"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"graft_bpe_table fell out of codegen:\n$plan")
+  }
 }

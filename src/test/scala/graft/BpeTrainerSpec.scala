@@ -76,6 +76,32 @@ class BpeTrainerSpec extends AnyFunSuite {
       s"first divergence at rank ${got.zip(BpeTokens.bytesMerges).indexWhere { case (a, b) => a != b }}")
   }
 
+  test("arm equality: incremental delta counts ≡ full re-aggregate (both alphabets, sf0.001)") {
+    // the r12 incremental pair-count maintenance must be bit-equal to
+    // the full per-round recount (GRAFT_BPE_INCR=off arm) — including
+    // the subtle path where a pair's count RISES later because two
+    // merge paths produce the same symbol string
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    for (byteMode <- Seq(false, true)) {
+      val full = BpeTrainer.train(docs, "text", 24, byteAlphabet = byteMode, incremental = Some(false))
+      val incr = BpeTrainer.train(docs, "text", 24, byteAlphabet = byteMode, incremental = Some(true))
+      assert(
+        incr == full,
+        s"byteMode=$byteMode first divergence at rank ${incr.zip(full).indexWhere { case (a, b) => a != b }}")
+    }
+  }
+
+  test("arm equality: same-string symbol from two merge paths (count rises after threshold)") {
+    import spark.implicits._
+    // 'abc' can arise as (a)(bc) or (ab)(c); the incremental table must
+    // credit BOTH paths to the same (x, abc)-style string keys exactly
+    // as a recount would. Corpus engineered so merges pass through both.
+    val docs = Seq("abc abc abc xab xab cy cy bc bc bc bc ab ab ab").toDF("text")
+    val full = BpeTrainer.train(docs, "text", 8, minPairCount = 1L, incremental = Some(false))
+    val incr = BpeTrainer.train(docs, "text", 8, minPairCount = 1L, incremental = Some(true))
+    assert(incr == full)
+  }
+
   test("byte alphabet: base symbols are the chr(256+b) mapping of the UTF-8 bytes") {
     import spark.implicits._
     // 'İ' (U+0130) is 2 UTF-8 bytes (C4 B0): pre-token "İİ" has 4 byte

@@ -91,6 +91,34 @@ def adversarial_documents(src: Path, out: Path):
         # exact duplicate + near duplicate of EXISTING fixture docs
         dup_src,
         " ".join(near),
+        # --- round-12 encoding-screen probes (q179) ---
+        # U+FFFD: what a strict decoder leaves behind for truncated /
+        # invalid UTF-8 (raw invalid bytes can't ride VARCHAR — DuckDB
+        # rejects the parquet — so the REPLACEMENT residue is planted)
+        "truncated tail looks like � and a lone �� pair",
+        # latin-1 double-encode: 'café résumé' utf-8 bytes read as latin-1
+        "café résumé naïve".encode("utf-8").decode("latin-1"),
+        # CP-1252 double-encode: smart quote / em dash artifacts (â€™ â€”).
+        # NOTE ” (U+201D) avoided: its middle byte 0x9D is UNMAPPED in
+        # cp1252 — a real decoder errors there instead of emitting mojibake.
+        "it’s a test — with ‘smart’ quotes".encode("utf-8").decode("cp1252"),
+        # the classic &nbsp; artifact: U+00A0 double-encoded to 'Â '
+        "spaced out text".encode("utf-8").decode("latin-1"),
+        # 4-byte (astral) double-encode: emoji read back as latin-1
+        "rocket 🚀 launch".encode("utf-8").decode("latin-1"),
+        # FALSE-POSITIVE guard: legitimate text full of accented LATIN
+        # LEAD-RANGE chars followed by ASCII — must NOT fire moji counts
+        "Ã la carte Ãberration Ã propos",
+        # --- round-12 HTML-extraction probes (q178) ---
+        # raw markup INSIDE document text: the <p> wrapping must survive
+        # a text that itself contains tags, an unterminated <, and bare &
+        "text with <b>inline bold</b> and <em>emphasis</em> markers",
+        "unterminated < bracket and bare & ampersand stay literal",
+        "a fake </p><script>alert(1)</script><p> injection inside text",
+        # pre-encoded entities in text: decode must not double-fire
+        "already encoded &amp;lt; stays as literal &lt; after one decode",
+        # the entity-site trigger phrase in hostile positions
+        " data  data data  data ",
     ]
     # Seeded random soup: 40 docs over a mixed-script alphabet with
     # uppercase (ASCII and non-ASCII), digits, punctuation, whitespace
