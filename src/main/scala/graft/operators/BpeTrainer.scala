@@ -86,12 +86,23 @@ object BpeTrainer {
       (a, b) => struct(a.as("l"), b.as("r")))
 
   /** True iff the symbol array contains (l, r) adjacently — the
-    * touched-word predicate of the incremental arm. Lambda references
-    * only its argument and literals, so the per-element re-evaluation
-    * hazard (verify-skill HOF gotcha) does not apply.
+    * touched-word predicate. NOT an `exists` over [[adjPairs]]: that
+    * allocates the whole pair-struct array per row per scan
+    * (interpreted HOF), which measured as expensive as the explode it
+    * was supposed to avoid (ScaleCheck bpetrain, 400k vocabulary).
+    * Instead one codegen'd substring scan over the U+0001-joined
+    * symbol string: `⊕s1⊕s2⊕…⊕` contains `⊕l⊕r⊕` IFF (l, r) is an
+    * adjacent symbol pair — exact because no MERGE symbol can contain
+    * U+0001 (the trainer skips control-char merges; multi-char
+    * symbols only arise from merges) and a single-char BASE symbol
+    * equal to U+0001 only produces separator runs, never a spurious
+    * `⊕l⊕r⊕` window.
     */
-  private def hasPair(syms: Column, l: String, r: String): Column =
-    exists(adjPairs(syms), p => p.getItem("l") === lit(l) && p.getItem("r") === lit(r))
+  private def hasPair(syms: Column, l: String, r: String): Column = {
+    val sep = "\u0001"
+    concat(lit(sep), concat_ws(sep, syms), lit(sep))
+      .contains(lit(sep + l + sep + r + sep))
+  }
 
   /** Raw frequency-weighted adjacent-pair rows of a (n, syms) frame —
     * (l, r, c = ±n) per pair occurrence, UNAGGREGATED, so the caller
@@ -146,16 +157,22 @@ object BpeTrainer {
     * The byte mapping runs as a column expression (per-byte binary
     * substring → hex → chr) over the vocabulary-sized word table only.
     */
-  /** Vocabulary floor for auto-selecting the incremental arm. Below
-    * it the full recount wins: the whole-vocabulary pair explode is a
-    * few thousand rows while the delta plumbing costs 2 extra
-    * shuffle-stage boundaries + 2 extra checkpointed generations per
-    * round (measured, sf0.1 fixtures at vocabulary 31–383: full
-    * 8.2/9.6 s vs incremental 9.8/12.1 s for q175/q176). Above it the
-    * explode dominates and the delta wins — the ScaleCheck `bpetrain`
-    * workload pins the crossover on a large synthetic vocabulary.
+  /** Vocabulary floor for auto-selecting the incremental arm,
+    * bracketed by the ScaleCheck `bpetrain` crossover measurements
+    * (12 merges, hex-word synthetic corpus, 32 cores):
+    *
+    *   - fixtures (vocab 31): full 8.2/9.6 s vs incr 9.8/12.1 s
+    *     (q175/q176 sf0.1) — per-round stage overhead dominates, full
+    *     wins;
+    *   - 400k words: full 25.3 s vs incr 24.9 s — tie;
+    *   - 1.6M words: full 123.3 s vs incr 61.1 s — the delta arm wins
+    *     2.0× (the whole-vocabulary pair explode now dominates).
+    *
+    * The floor sits at the tie point's upper edge; at a real
+    * multi-million-word corpus vocabulary the auto-select lands on
+    * the delta arm with a measured ≥2× margin that grows with V.
     */
-  final val IncrAutoVocabFloor: Long = 1L << 16
+  final val IncrAutoVocabFloor: Long = 1L << 19
 
   def train(
       corpus: DataFrame,
@@ -300,9 +317,18 @@ object BpeTrainer {
           val l = top(0).getString(0)
           val r = top(0).getString(1)
           merges += ((l, r))
+          // fold only rows that CONTAIN the pair (the codegen'd
+          // hasPair scan is ~free; the interpreted fold HOF is a
+          // per-round cost driver at large vocabularies — ScaleCheck
+          // bpetrain_full at 400k words: 31.3→25.3 s). Identity on
+          // non-matching rows either way, so results are unchanged.
           val (next, nextRdd) = leafMark(
             loopSpark,
-            words.select(col("n"), mergeFold(col("syms"), l, r).as("syms")))
+            words.select(
+              col("n"),
+              when(hasPair(col("syms"), l, r), mergeFold(col("syms"), l, r))
+                .otherwise(col("syms"))
+                .as("syms")))
           prevRdd = wordsRdd
           words = next
           wordsRdd = nextRdd

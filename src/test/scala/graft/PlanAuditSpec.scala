@@ -417,6 +417,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") || p.indexOf("BroadcastHashJoin") >= 0, p.take(2000))
   }
 
+  test("q178: HTML extraction is pure per-row — no join, no shuffle, no window") {
+    val df = SparkEntry.queries("q178_html_extract")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
+    // one Exchange allowed: the final orderBy's range partitioning
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2, p.take(2000))
+  }
+
+  test("q180: trained-table tokenization keeps the q171 shape — runtime kernel, broadcast word map") {
+    val df = SparkEntry.queries("q180_train_tokenize")(spark, sf)
+    val fp = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fp.contains("graft_bpe_table"), fp.take(2000))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), s"q180 must not shuffle-join the word map: ${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("bipartite in-job gate: the raise_error guard survives optimization and sits upstream of EVERY join") {
     // The gate's safety rests on two optimizer behaviors (ADVICE r11):
     // (a) the __g filter keeps raise_error alive under projection
