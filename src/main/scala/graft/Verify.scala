@@ -144,6 +144,12 @@ object Verify {
           df.count() > 0 && df.filter(col("bpe_tokens") < col("n_pretokens")).count() == 0,
           "q180 inconsistent: a pre-token tokenized to < 1 token — trained-table inference broke")
       },
+      "q181_mojibake_repair" -> { df =>
+        import org.apache.spark.sql.functions.col
+        require(
+          df.filter(!col("fixed")).count() > 0,
+          "q181 suspicious: every doc repaired — the eligibility gate over-matches clean text")
+      },
       "q174_classifier_filter" -> { df =>
         import org.apache.spark.sql.functions.col
         val kept = df.filter(col("keep")).count()

@@ -264,6 +264,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("graft_bpe_table"),
         new ExpressionInfo(classOf[BpeTableTokens].getCanonicalName, "graft_bpe_table"),
         (exprs: Seq[Expression]) => GraftFunctions.mkBpeTable(exprs)))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_fix_mojibake"),
+        new ExpressionInfo(classOf[FixMojibake].getCanonicalName, "graft_fix_mojibake"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 1, s"graft_fix_mojibake expects exactly 1 argument, got ${exprs.size}")
+          FixMojibake(exprs.head)
+        }))
     // The whole-operator extension stack: GRAFT_TOPK hint → custom
     // logical node → custom physical operator (graft.plans.TopKPerGroup).
     ext.injectResolutionRule(spark => graft.plans.ResolveTopKHint(spark))

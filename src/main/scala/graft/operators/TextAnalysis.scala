@@ -862,6 +862,70 @@ object TextAnalysis {
   final val Moji3Pat: String = s"[\\x{00E0}-\\x{00EF}]$mojiContCls$mojiContCls"
   final val Moji4Pat: String = s"[\\x{00F0}-\\x{00F4}]$mojiContCls$mojiContCls$mojiContCls"
 
+  /** Character class matching the latin-1/CP-1252 IMAGES of bytes in
+    * [lo, hi] ⊆ [0x80, 0xBF]: the direct chars U+00lo–U+00hi (latin-1
+    * mis-decode) plus, for the 0x80–0x9F overlap, the printable
+    * Windows-1252 images (€ ‚ ƒ …). Built from the same table the
+    * repair kernel inverts, so the regex and the walk can never
+    * disagree.
+    */
+  private def imgCls(lo: Int, hi: Int): String = {
+    require(lo >= 0x80 && hi <= 0xBF && lo <= hi)
+    val cp1252 = (lo to math.min(hi, 0x9F))
+      .map(b => graft.functions.FixMojibake.Cp1252Images.charAt(b - 0x80))
+      .filter(_ != '\u0001')
+      .map(c => f"\\x{${c.toInt}%04X}")
+      .mkString
+    f"[\\x{$lo%04X}-\\x{$hi%04X}$cp1252]"
+  }
+
+  /** Whole-document repair ELIGIBILITY: the text is ASCII plus
+    * COMPLETE, WELL-FORMED double-encode sequences only — the
+    * standard UTF-8 grammar (RFC 3629: overlongs, surrogates, and
+    * > U+10FFFF excluded via the E0/ED/F0/F4 first-continuation
+    * restrictions) transposed through the latin-1/CP-1252 image map.
+    * Under this shape the inverse byte walk reconstructs VALID UTF-8
+    * by construction, so both engines' repairs are total (the
+    * oracle's `decode(unhex(...))` cannot throw) and they repair the
+    * IDENTICAL document set. Legit accented text ("café",
+    * "Ã la carte") has a lead-range char followed by ASCII →
+    * ineligible → unchanged; a mixed doc (mojibake next to real
+    * CJK/emoji) is also unchanged — the documented whole-doc scope
+    * (ftfy repairs per-segment; a per-segment variant needs
+    * computed-replacement regex neither engine has). Linear-time even
+    * under Java's backtracking engine: the alternation's first-char
+    * classes are disjoint, so each position admits at most one branch.
+    */
+  final val MojibakeEligiblePat: String = {
+    val contAny = imgCls(0x80, 0xBF)
+    val contE0 = imgCls(0xA0, 0xBF)
+    val contED = imgCls(0x80, 0x9F)
+    val contF0 = imgCls(0x90, 0xBF)
+    val contF4 = imgCls(0x80, 0x8F)
+    "^(?:[\\x{0000}-\\x{007F}]" +
+      s"|[\\x{00C2}-\\x{00DF}]$contAny" +
+      s"|\\x{00E0}$contE0$contAny" +
+      s"|[\\x{00E1}-\\x{00EC}]$contAny$contAny" +
+      s"|\\x{00ED}$contED$contAny" +
+      s"|[\\x{00EE}-\\x{00EF}]$contAny$contAny" +
+      s"|\\x{00F0}$contF0$contAny$contAny" +
+      s"|[\\x{00F1}-\\x{00F3}]$contAny$contAny$contAny" +
+      s"|\\x{00F4}$contF4$contAny$contAny)*$$"
+  }
+
+  /** Repaired text + changed flag: eligible docs run the
+    * [[graft.functions.FixMojibake]] inverse walk; everything else
+    * passes through. `repaired`/`fixed` column pair.
+    */
+  def mojibakeRepair(text: Column): Seq[Column] = {
+    val eligible = text.rlike(MojibakeEligiblePat)
+    val repaired =
+      when(eligible, call_function("graft_fix_mojibake", text)).otherwise(text)
+    Seq(
+      repaired.as("repaired"),
+      (eligible && repaired =!= text).as("fixed"))
+  }
+
   /** Per-row encoding diagnostics: total chars, U+FFFD replacement
     * count (what a strict decoder emitted for invalid input), 2/3/4-
     * byte double-encode signature counts (non-overlapping leftmost

@@ -327,15 +327,62 @@ object Round12Queries {
       |GROUP BY 1 ORDER BY dw.source NULLS FIRST""".stripMargin
   }
 
+  // ---- q181: mojibake REPAIR (the q179 screen's companion fix) ------
+
+  /** q181 — whole-document double-encode REPAIR
+    * ([[graft.functions.FixMojibake]] behind
+    * [[graft.operators.TextAnalysis.MojibakeEligiblePat]]): documents
+    * that are ASCII + complete, WELL-FORMED double-encode sequences
+    * get their bytes reconstructed through the inverse
+    * latin-1/CP-1252 map and re-decoded as UTF-8 ("cafÃ©" → "café",
+    * "â€™" → "’", even a latin-1-mangled emoji round-trips);
+    * everything else — legit accented text, mixed mojibake+CJK —
+    * passes through unchanged. The oracle replays the identical walk:
+    * the same eligibility regex, then per-char byte reconstruction
+    * (`unicode ≤ 255` direct, else a strpos into the SAME CP-1252
+    * image string the kernel inverts) re-decoded via
+    * `decode(unhex(...))` — total because eligibility is exactly the
+    * RFC 3629 grammar through the image map.
+    */
+  val q181MojibakeRepair: Q = (s, d) =>
+    Tables
+      .documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id") +: graft.operators.TextAnalysis.mojibakeRepair(col("text")): _*)
+      .orderBy(col("doc_id"))
+
+  val q181Sql: String = {
+    val elig = sqlLit(graft.operators.TextAnalysis.MojibakeEligiblePat)
+    val img = sqlLit(graft.functions.FixMojibake.Cp1252Images)
+    val byteHex =
+      s"""CASE WHEN unicode(text[i:i]) <= 255
+        |     THEN right('0' || to_hex(unicode(text[i:i])), 2)
+        |     ELSE right('0' || to_hex(127 + strpos($img, text[i:i])), 2) END""".stripMargin
+    s"""WITH r AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN regexp_matches(text, $elig)
+      |         THEN decode(unhex(COALESCE(list_aggregate(
+      |                list_transform(range(1, len(text) + 1), i -> $byteHex),
+      |                'string_agg', ''), '')))
+      |         ELSE text END AS repaired
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT doc_id, repaired,
+      |       (regexp_matches(text, $elig) AND repaired <> text) AS fixed
+      |FROM r ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
   def all: Map[String, Q] = Map(
     "q177_classifier_train" -> q177ClassifierTrain,
     "q178_html_extract" -> q178HtmlExtract,
     "q179_encoding_screen" -> q179EncodingScreen,
-    "q180_train_tokenize" -> q180TrainTokenize)
+    "q180_train_tokenize" -> q180TrainTokenize,
+    "q181_mojibake_repair" -> q181MojibakeRepair)
 
   def oracles: Map[String, String] = Map(
     "q177_classifier_train" -> q177Sql,
     "q178_html_extract" -> q178Sql,
     "q179_encoding_screen" -> q179Sql,
-    "q180_train_tokenize" -> q180Sql)
+    "q180_train_tokenize" -> q180Sql,
+    "q181_mojibake_repair" -> q181Sql)
 }

@@ -60,4 +60,46 @@ class EncodingScreenSpec extends AnyFunSuite {
     val (repl, _, _, _, sus) = diag("a � b �� c")
     assert(repl === 3L && sus)
   }
+
+  private def repair(text: String): (String, Boolean) = {
+    import spark.implicits._
+    val r = Seq(text)
+      .toDF("text")
+      .select(TextAnalysis.mojibakeRepair(col("text")): _*)
+      .collect()
+      .head
+    (r.getString(0), r.getBoolean(1))
+  }
+
+  test("repair: latin-1 and cp1252 double-encodes round-trip back to the original") {
+    for (orig <- Seq("caf\u00e9 r\u00e9sum\u00e9 na\u00efve", "it\u2019s \u2014 fine", "rocket \ud83d\ude80 launch", "a\u00a0b")) {
+      for (cs <- Seq("ISO-8859-1", "windows-1252")) {
+        val g = new String(orig.getBytes("UTF-8"), cs)
+        val (rep, fixed) = repair(g)
+        assert(rep === orig, s"$cs failed to invert: ${g.take(40)}")
+        assert(fixed)
+      }
+    }
+  }
+
+  test("repair: clean text, mixed scripts, and malformed sequences pass through unchanged") {
+    for (clean <- Seq(
+        "caf\u00e9 r\u00e9sum\u00e9 na\u00efve", // legit accents: lead char + ASCII -> ineligible
+        "\u00c3 la carte \u00c3 propos", // lead-range chars before ASCII
+        "\u6df1\u5ea6\u5b66\u4e60 spark", // real CJK -> unmappable -> ineligible
+        "caf\u00c3\u00a9 next to \u4e2d\u6587", // mojibake MIXED with CJK -> whole-doc scope skips
+        "\u00e0\u0080\u0080", // E0 80 80: OVERLONG 3-byte -> ineligible
+        "\u00ed\u00a0\u0080", // ED A0 80: UTF-16 surrogate -> ineligible
+        "\u00c3", // truncated: lead with no continuation
+        "")) {
+      val (rep, fixed) = repair(clean)
+      assert(rep === clean && !fixed, s"spurious repair of: $clean")
+    }
+  }
+
+  test("repair kernel is total: direct call on unmappable input returns it unchanged") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val in = UTF8String.fromString("emoji 🚀 untouched")
+    assert(graft.functions.FixMojibake.repair(in) === in)
+  }
 }

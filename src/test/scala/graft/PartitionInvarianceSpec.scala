@@ -227,4 +227,19 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     invariant(e => operators.Similarity.jlProject(e, "vec_id", "embedding", 8, 64), emb)
   }
+
+  test("BPE training (both arms) is partitioning-invariant") {
+    // the argmax is a global count-then-(l,r) tie-break and every
+    // count is an exact integer — so the trained merge SEQUENCE must
+    // not depend on how the corpus arrives. Pinned for both counting
+    // arms (the incremental arm's delta bookkeeping rides shuffles
+    // whose layout varies with input partitioning).
+    val docs = Tables.documents(spark, sf).limit(200)
+    for (incr <- Seq(false, true)) {
+      val a = operators.BpeTrainer.train(docs.repartition(1), "text", 12, incremental = Some(incr))
+      val b = operators.BpeTrainer.train(
+        docs.repartition(13, col("doc_id")), "text", 12, incremental = Some(incr))
+      assert(a == b, s"incremental=$incr: partitioning changed the merge sequence")
+    }
+  }
 }
