@@ -156,30 +156,39 @@ object Round12Queries {
     * fixtures, the entity site pins decode order (&lt;data&gt;
     * survives tag-stripping and decodes to literal <data> AFTER it).
     */
+  /** The deterministic HTML wrapping as a Column (engine twin of the
+    * `src` CTE in [[htmlCtes]]).
+    */
+  private def htmlCol: org.apache.spark.sql.Column = concat(
+    lit(HtmlHead),
+    lit("<h1>Doc "),
+    col("doc_id").cast("string"),
+    lit("</h1>"),
+    lit(HtmlComment),
+    lit("<p>"),
+    replace(col("text"), lit(EntitySite._1), lit(EntitySite._2)),
+    lit("</p>"),
+    when(col("doc_id") % 3 === 0, lit(HtmlUl)).otherwise(lit("")),
+    when(
+      col("doc_id") % 5 === 1,
+      concat(lit("<blockquote>"), substring(col("text"), 1, 80), lit("</blockquote>")))
+      .otherwise(lit("")),
+    lit(HtmlFoot))
+
   val q178HtmlExtract: Q = (s, d) => {
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-    val html = concat(
-      lit(HtmlHead),
-      lit("<h1>Doc "),
-      col("doc_id").cast("string"),
-      lit("</h1>"),
-      lit(HtmlComment),
-      lit("<p>"),
-      replace(col("text"), lit(EntitySite._1), lit(EntitySite._2)),
-      lit("</p>"),
-      when(col("doc_id") % 3 === 0, lit(HtmlUl)).otherwise(lit("")),
-      when(
-        col("doc_id") % 5 === 1,
-        concat(lit("<blockquote>"), substring(col("text"), 1, 80), lit("</blockquote>")))
-        .otherwise(lit("")),
-      lit(HtmlFoot))
     graft.operators.HtmlExtract
-      .extractText(docs.select(col("doc_id"), html.as("html")), "html")
+      .extractText(docs.select(col("doc_id"), htmlCol.as("html")), "html")
       .select(col("doc_id"), col("text"), col("n_blocks"), col("n_short"), col("n_linky"))
       .orderBy(col("doc_id"))
   }
 
-  val q178Sql: String = {
+  /** The shared q178/q182 CTE pair: `src(doc_id, source, html)` — the
+    * deterministic wrapping — and `blk(doc_id, source, present)` — the
+    * per-block (vis, lnk) structs after script/comment removal, block
+    * splitting, tag stripping, and entity decoding.
+    */
+  private def htmlCtes: String = {
     import graft.operators.HtmlExtract._
     def decode(inner: String): String =
       Entities.foldLeft(inner) { case (acc, (k, v)) =>
@@ -190,21 +199,22 @@ object Round12Queries {
       s"""coalesce(list_sum(list_transform(
         |            regexp_extract_all(b, ${sqlLit(AnchorPat)}, 1),
         |            x -> len(${decode(s"regexp_replace(x, ${sqlLit(InlineTagPat)}, '', 'g')")}))), 0)""".stripMargin
-    val n = "len(struct_extract(s, 'vis'))"
-    val short = s"$n < 25"
-    val linky = s"$n >= 25 AND struct_extract(s, 'lnk') * 100 >= $n * 30"
-    s"""WITH src AS (
-      |  SELECT doc_id,
-      |    ${sqlLit(HtmlHead)}
-      |    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
-      |    || ${sqlLit(HtmlComment)}
-      |    || '<p>' || replace(text, ${sqlLit(EntitySite._1)}, ${sqlLit(EntitySite._2)}) || '</p>'
-      |    || CASE WHEN doc_id % 3 = 0 THEN ${sqlLit(HtmlUl)} ELSE '' END
-      |    || CASE WHEN doc_id % 5 = 1 THEN '<blockquote>' || substr(text, 1, 80) || '</blockquote>' ELSE '' END
-      |    || ${sqlLit(HtmlFoot)} AS html
+    // `||` rides at LINE ENDS: these fragments pass through a second
+    // stripMargin when composed into q178Sql/q182Sql, and a line whose
+    // first non-space char is `|` would lose it there (bit us as
+    // `|(STRING, STRING)` binder errors)
+    s"""src AS (
+      |  SELECT doc_id, source,
+      |    ${sqlLit(HtmlHead)} ||
+      |    '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+      |    ${sqlLit(HtmlComment)} ||
+      |    '<p>' || replace(text, ${sqlLit(EntitySite._1)}, ${sqlLit(EntitySite._2)}) || '</p>' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ${sqlLit(HtmlUl)} ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 1 THEN '<blockquote>' || substr(text, 1, 80) || '</blockquote>' ELSE '' END ||
+      |    ${sqlLit(HtmlFoot)} AS html
       |  FROM documents WHERE text IS NOT NULL),
       |blk AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, source,
       |    list_filter(
       |      list_transform(
       |        regexp_split_to_array(
@@ -214,21 +224,33 @@ object Round12Queries {
       |          '\\n+'),
       |        b -> struct_pack(vis := $vis, lnk := $lnk)),
       |      s -> len(struct_extract(s, 'vis')) > 0) AS present
-      |  FROM src)
-      |SELECT doc_id,
-      |  -- COALESCE is load-bearing: DuckDB array_to_string of an EMPTY
-      |  -- list is NULL where Spark array_join is '' — a doc whose every
-      |  -- block drops (all-boilerplate) must extract to '' on both sides
-      |  COALESCE(array_to_string(
-      |    list_transform(
-      |      list_filter(present, s -> NOT ($short) AND NOT ($linky)),
-      |      s -> struct_extract(s, 'vis')),
-      |    chr(10)), '') AS text,
-      |  CAST(len(present) AS BIGINT) AS n_blocks,
-      |  CAST(len(list_filter(present, s -> $short)) AS BIGINT) AS n_short,
-      |  CAST(len(list_filter(present, s -> $linky)) AS BIGINT) AS n_linky
-      |FROM blk ORDER BY doc_id NULLS FIRST""".stripMargin
+      |  FROM src)""".stripMargin
   }
+
+  private val shortRule = "len(struct_extract(s, 'vis')) < 25"
+  private val linkyRule =
+    "len(struct_extract(s, 'vis')) >= 25 AND struct_extract(s, 'lnk') * 100 >= len(struct_extract(s, 'vis')) * 30"
+
+  /** Kept-blocks extracted text — COALESCE is load-bearing: DuckDB
+    * array_to_string of an EMPTY list is NULL where Spark array_join
+    * is '' (a doc whose every block drops must extract to '' on both
+    * sides).
+    */
+  private val extractedTextSql: String =
+    s"""COALESCE(array_to_string(
+      |    list_transform(
+      |      list_filter(present, s -> NOT ($shortRule) AND NOT ($linkyRule)),
+      |      s -> struct_extract(s, 'vis')),
+      |    chr(10)), '')""".stripMargin
+
+  val q178Sql: String =
+    s"""WITH ${htmlCtes}
+      |SELECT doc_id,
+      |  $extractedTextSql AS text,
+      |  CAST(len(present) AS BIGINT) AS n_blocks,
+      |  CAST(len(list_filter(present, s -> $shortRule)) AS BIGINT) AS n_short,
+      |  CAST(len(list_filter(present, s -> $linkyRule)) AS BIGINT) AS n_linky
+      |FROM blk ORDER BY doc_id NULLS FIRST""".stripMargin
 
   // ---- q179: UTF-8 validity / mojibake screen ------------------------
 
@@ -352,24 +374,97 @@ object Round12Queries {
         col("doc_id") +: graft.operators.TextAnalysis.mojibakeRepair(col("text")): _*)
       .orderBy(col("doc_id"))
 
-  val q181Sql: String = {
-    val elig = sqlLit(graft.operators.TextAnalysis.MojibakeEligiblePat)
+  private def eligSql: String = sqlLit(graft.operators.TextAnalysis.MojibakeEligiblePat)
+
+  /** The oracle-side repair of column `c` — the q181 walk, reusable
+    * over any text expression (q182 runs it on EXTRACTED text).
+    */
+  private def repairCaseSql(c: String): String = {
     val img = sqlLit(graft.functions.FixMojibake.Cp1252Images)
     val byteHex =
-      s"""CASE WHEN unicode(text[i:i]) <= 255
-        |     THEN right('0' || to_hex(unicode(text[i:i])), 2)
-        |     ELSE right('0' || to_hex(127 + strpos($img, text[i:i])), 2) END""".stripMargin
+      s"""CASE WHEN unicode(($c)[i:i]) <= 255
+        |     THEN right('0' || to_hex(unicode(($c)[i:i])), 2)
+        |     ELSE right('0' || to_hex(127 + strpos($img, ($c)[i:i])), 2) END""".stripMargin
+    s"""CASE WHEN regexp_matches($c, $eligSql)
+      |     THEN decode(unhex(COALESCE(list_aggregate(
+      |            list_transform(range(1, len($c) + 1), i -> $byteHex),
+      |            'string_agg', ''), '')))
+      |     ELSE $c END""".stripMargin
+  }
+
+  val q181Sql: String =
     s"""WITH r AS (
       |  SELECT doc_id, text,
-      |    CASE WHEN regexp_matches(text, $elig)
-      |         THEN decode(unhex(COALESCE(list_aggregate(
-      |                list_transform(range(1, len(text) + 1), i -> $byteHex),
-      |                'string_agg', ''), '')))
-      |         ELSE text END AS repaired
+      |    ${repairCaseSql("text")} AS repaired
       |  FROM documents WHERE text IS NOT NULL)
       |SELECT doc_id, repaired,
-      |       (regexp_matches(text, $elig) AND repaired <> text) AS fixed
+      |       (regexp_matches(text, $eligSql) AND repaired <> text) AS fixed
       |FROM r ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  // ---- q182: the composed web-corpus intake pipeline ----------------
+
+  /** q182 — the intake stages COMPOSED in one lazy plan: HTML wrap →
+    * extract ([[graft.operators.HtmlExtract]]) → mojibake-repair the
+    * EXTRACTED text → encoding-screen the repaired text → per-source
+    * rollup (docs, extracted chars, repairs fired, residual suspects,
+    * boilerplate drops). One Spark plan end-to-end — no intermediate
+    * materialization, every stage per-row until the final map-side-
+    * combined aggregate — and the oracle replays ALL of it: the q178
+    * CTEs feed the q181 walk feed the q179 counts feed the rollup.
+    * This is the shape a 100 TB web crawl actually runs: intake
+    * stages fuse into the scan, and only source-grain statistics
+    * shuffle.
+    */
+  val q182IntakePipeline: Q = (s, d) => {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val ext = graft.operators.HtmlExtract
+      .extractText(docs.select(col("doc_id"), col("source"), htmlCol.as("html")), "html")
+    val rep = ext.select(
+      col("source") +: col("n_short") +: col("n_linky") +:
+        TextAnalysis.mojibakeRepair(col("text")): _*)
+    val scr = rep.select(
+      col("source"),
+      col("n_short"),
+      col("n_linky"),
+      col("fixed"),
+      length(col("repaired")).cast("long").as("n_chars"),
+      TextAnalysis.encodingDiagnostics(col("repaired")).last.as("suspect"))
+    scr
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_out"),
+        sum(when(col("fixed"), 1L).otherwise(0L)).as("n_fixed"),
+        sum(when(col("suspect"), 1L).otherwise(0L)).as("n_suspect"),
+        sum(col("n_short") + col("n_linky")).as("n_dropped_blocks"))
+      .orderBy(col("source"))
+  }
+
+  val q182Sql: String = {
+    import graft.operators.TextAnalysis._
+    val mojiSum = Seq(Moji2Pat, Moji3Pat, Moji4Pat)
+      .map(p => s"len(regexp_extract_all(rt, ${sqlLit(p)}))")
+      .mkString(" + ")
+    s"""WITH ${htmlCtes},
+      |ext AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |    $extractedTextSql AS t,
+      |    len(list_filter(present, s -> $shortRule))
+      |      + len(list_filter(present, s -> $linkyRule)) AS dropped
+      |  FROM blk),
+      |rep AS MATERIALIZED (
+      |  SELECT doc_id, source, t, dropped,
+      |    ${repairCaseSql("t")} AS rt
+      |  FROM ext)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(rt)) AS BIGINT) AS chars_out,
+      |  CAST(SUM(CASE WHEN regexp_matches(t, $eligSql) AND rt <> t THEN 1 ELSE 0 END) AS BIGINT) AS n_fixed,
+      |  CAST(SUM(CASE WHEN (len(rt) - len(replace(rt, chr(65533), ''))) + $mojiSum > 0
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+      |  CAST(SUM(dropped) AS BIGINT) AS n_dropped_blocks
+      |FROM rep GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
   }
 
   def all: Map[String, Q] = Map(
@@ -377,12 +472,14 @@ object Round12Queries {
     "q178_html_extract" -> q178HtmlExtract,
     "q179_encoding_screen" -> q179EncodingScreen,
     "q180_train_tokenize" -> q180TrainTokenize,
-    "q181_mojibake_repair" -> q181MojibakeRepair)
+    "q181_mojibake_repair" -> q181MojibakeRepair,
+    "q182_intake_pipeline" -> q182IntakePipeline)
 
   def oracles: Map[String, String] = Map(
     "q177_classifier_train" -> q177Sql,
     "q178_html_extract" -> q178Sql,
     "q179_encoding_screen" -> q179Sql,
     "q180_train_tokenize" -> q180Sql,
-    "q181_mojibake_repair" -> q181Sql)
+    "q181_mojibake_repair" -> q181Sql,
+    "q182_intake_pipeline" -> q182Sql)
 }
