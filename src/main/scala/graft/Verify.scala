@@ -144,6 +144,19 @@ object Verify {
           df.count() > 0 && df.filter(col("bpe_tokens") < col("n_pretokens")).count() == 0,
           "q180 inconsistent: a pre-token tokenized to < 1 token — trained-table inference broke")
       },
+      "q183_url_normalize" -> { df =>
+        import org.apache.spark.sql.functions.col
+        require(
+          df.filter(col("is_dup_url")).count() > 0 &&
+            df.filter(!col("is_dup_url")).count() > 0,
+          "q183 vacuous: URL-dup verdict is one-sided — the mod-variant construction broke")
+      },
+      "q184_domain_cap" -> { df =>
+        import org.apache.spark.sql.functions.col
+        require(
+          df.filter(col("keep")).count() > 0 && df.filter(!col("keep")).count() > 0,
+          "q184 vacuous: the domain cap never bites (or drops everything)")
+      },
       "q181_mojibake_repair" -> { df =>
         import org.apache.spark.sql.functions.col
         require(

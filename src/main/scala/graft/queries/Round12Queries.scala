@@ -467,13 +467,163 @@ object Round12Queries {
       |FROM rep GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
   }
 
+  // ---- q183/q184: URL normalization, URL-dup, per-domain caps -------
+
+  /** Deterministic per-doc URL construction (the q178 wrapping move —
+    * both engines build IDENTICAL urls so the gate pins the
+    * NORMALIZATION): four mod-variants covering uppercase
+    * scheme/authority, default ports, utm params (leading, adjacent,
+    * and sole-param positions), fragments, trailing slashes, and —
+    * via variants 1 and 3 — urls that COLLIDE after normalization
+    * (same source and same id residue), the planted URL-dups.
+    */
+  private def urlCol: org.apache.spark.sql.Column = {
+    val m = col("doc_id") % 4
+    when(m === 0,
+      concat(
+        lit("HTTPS://WWW."), col("source"), lit("-Example.COM:443/Data/"),
+        col("doc_id").cast("string"), lit("/?utm_source=feed&utm_campaign=x&id="),
+        (col("doc_id") % 7).cast("string"), lit("#Frag")))
+      .when(m === 1,
+        concat(
+          lit("http://"), col("source"), lit("-example.com:80/a/b?id="),
+          (col("doc_id") % 7).cast("string")))
+      .when(m === 2,
+        concat(
+          lit("https://cdn."), col("source"), lit("-example.com/Assets/"),
+          col("doc_id").cast("string"), lit("/")))
+      .otherwise(
+        concat(
+          lit("https://"), col("source"), lit("-example.com/Data/"),
+          (col("doc_id") % 50).cast("string"), lit("?utm_only=1")))
+  }
+
+  // `||` rides at line ends (the q178 double-stripMargin hazard)
+  private val urlSql: String =
+    """CASE CAST(doc_id % 4 AS INTEGER)
+      |  WHEN 0 THEN 'HTTPS://WWW.' || source || '-Example.COM:443/Data/' || CAST(doc_id AS VARCHAR) ||
+      |              '/?utm_source=feed&utm_campaign=x&id=' || CAST(doc_id % 7 AS VARCHAR) || '#Frag'
+      |  WHEN 1 THEN 'http://' || source || '-example.com:80/a/b?id=' || CAST(doc_id % 7 AS VARCHAR)
+      |  WHEN 2 THEN 'https://cdn.' || source || '-example.com/Assets/' || CAST(doc_id AS VARCHAR) || '/'
+      |  ELSE 'https://' || source || '-example.com/Data/' || CAST(doc_id % 50 AS VARCHAR) || '?utm_only=1'
+      |END""".stripMargin
+
+  /** The oracle twin of [[graft.operators.UrlOps.normalizeUrl]] over
+    * column `c` — same PATTERNS, DuckDB `\1` replacement syntax (Spark
+    * uses `$1`; patterns are shared, replacement strings per-engine).
+    */
+  private def normalizeUrlSql(c: String): String = {
+    val schemeAuth = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    val noFrag = s"regexp_replace($c, '(?s)#.*', '')"
+    val lowered =
+      s"lower(regexp_extract($noFrag, '$schemeAuth', 0)) || regexp_replace($noFrag, '$schemeAuth', '')"
+    val noPort =
+      s"""regexp_replace(regexp_replace($lowered,
+        |      '^(http://[^/:?#]*):80([/?#]|$$)', '\\1\\2'),
+        |      '^(https://[^/:?#]*):443([/?#]|$$)', '\\1\\2')""".stripMargin
+    val noUtm =
+      s"""regexp_replace(regexp_replace($noPort,
+        |      'utm_[A-Za-z0-9_]*=[^&#]*&', '', 'g'),
+        |      '[?&]?utm_[A-Za-z0-9_]*=[^&#]*$$', '')""".stripMargin
+    val tidy =
+      s"""regexp_replace(regexp_replace(regexp_replace($noUtm,
+        |      '\\?&+', '?'), '&&+', '&', 'g'), '[?&]+$$', '')""".stripMargin
+    s"regexp_replace($tidy, '^([^?]*[^/?])/(\\?.*)?$$', '\\1\\2')"
+  }
+
+  /** q183 — URL normalization + exact URL-dup detection
+    * ([[graft.operators.UrlOps]]): per doc the canonical url, host,
+    * registrable-domain proxy, and whether the canonical url collides
+    * with another document's (the crawl-side exact dedup key). The
+    * dup check is one hash equi-join on the normalized key — no
+    * broadcast assumption, scale-safe at any corpus size.
+    */
+  val q183UrlNormalize: Q = (s, d) => {
+    import graft.operators.UrlOps
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val norm = docs
+      .select(col("doc_id"), UrlOps.normalizeUrl(urlCol).as("url_norm"))
+      .withColumn("host", UrlOps.hostOf(col("url_norm")))
+      .withColumn("domain", UrlOps.domainOf(col("host")))
+    val counts = norm.groupBy(col("url_norm")).agg(count(lit(1)).as("__n"))
+    norm
+      .join(counts, Seq("url_norm"))
+      .select(
+        col("doc_id"),
+        col("url_norm"),
+        col("host"),
+        col("domain"),
+        (col("__n") > 1L).as("is_dup_url"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q183Sql: String = {
+    val hostPat = "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)"
+    s"""WITH u AS (
+      |  SELECT doc_id, ${normalizeUrlSql(s"($urlSql)")} AS url_norm
+      |  FROM documents WHERE text IS NOT NULL),
+      |h AS (
+      |  SELECT doc_id, url_norm,
+      |    regexp_extract(url_norm, '$hostPat', 1) AS host
+      |  FROM u),
+      |hd AS (
+      |  SELECT doc_id, url_norm, host,
+      |    CASE WHEN regexp_matches(host, '[^.]+\\.[^.]+$$')
+      |         THEN regexp_extract(host, '[^.]+\\.[^.]+$$', 0) ELSE host END AS domain
+      |  FROM h),
+      |n AS (SELECT url_norm, COUNT(*) AS c FROM hd GROUP BY 1)
+      |SELECT hd.doc_id, hd.url_norm, hd.host, hd.domain, (n.c > 1) AS is_dup_url
+      |FROM hd JOIN n USING (url_norm)
+      |ORDER BY hd.doc_id NULLS FIRST""".stripMargin
+  }
+
+  /** q184 — per-domain document caps (the FineWeb-style domain quota:
+    * any one domain may contribute at most K = 20 documents):
+    * deterministic rank within domain by doc_id, keep = rank ≤ K. A PARTITIONED
+    * window — each domain ranks independently across the cluster; no
+    * global funnel (the q89 windowless trick is for GLOBAL numbering).
+    */
+  val q184DomainCap: Q = (s, d) => {
+    import graft.operators.UrlOps
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val norm = docs
+      .select(col("doc_id"), UrlOps.normalizeUrl(urlCol).as("url_norm"))
+      .withColumn("domain", UrlOps.domainOf(UrlOps.hostOf(col("url_norm"))))
+    norm
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(col("domain")).orderBy(col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("domain"), col("rk"), (col("rk") <= 20L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q184Sql: String = {
+    val hostPat = "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)"
+    s"""WITH u AS (
+      |  SELECT doc_id, ${normalizeUrlSql(s"($urlSql)")} AS url_norm
+      |  FROM documents WHERE text IS NOT NULL),
+      |hd AS (
+      |  SELECT doc_id,
+      |    CASE WHEN regexp_matches(regexp_extract(url_norm, '$hostPat', 1), '[^.]+\\.[^.]+$$')
+      |         THEN regexp_extract(regexp_extract(url_norm, '$hostPat', 1), '[^.]+\\.[^.]+$$', 0)
+      |         ELSE regexp_extract(url_norm, '$hostPat', 1) END AS domain
+      |  FROM u)
+      |SELECT doc_id, domain,
+      |  CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS BIGINT) AS rk,
+      |  (row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= 20) AS keep
+      |FROM hd ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
   def all: Map[String, Q] = Map(
     "q177_classifier_train" -> q177ClassifierTrain,
     "q178_html_extract" -> q178HtmlExtract,
     "q179_encoding_screen" -> q179EncodingScreen,
     "q180_train_tokenize" -> q180TrainTokenize,
     "q181_mojibake_repair" -> q181MojibakeRepair,
-    "q182_intake_pipeline" -> q182IntakePipeline)
+    "q182_intake_pipeline" -> q182IntakePipeline,
+    "q183_url_normalize" -> q183UrlNormalize,
+    "q184_domain_cap" -> q184DomainCap)
 
   def oracles: Map[String, String] = Map(
     "q177_classifier_train" -> q177Sql,
@@ -481,5 +631,7 @@ object Round12Queries {
     "q179_encoding_screen" -> q179Sql,
     "q180_train_tokenize" -> q180Sql,
     "q181_mojibake_repair" -> q181Sql,
-    "q182_intake_pipeline" -> q182Sql)
+    "q182_intake_pipeline" -> q182Sql,
+    "q183_url_normalize" -> q183Sql,
+    "q184_domain_cap" -> q184Sql)
 }

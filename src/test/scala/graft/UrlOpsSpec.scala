@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.UrlOps
+
+/** Hand cases pinning the URL-normalization subset contract (q183):
+  * each rule at its boundary, plus the documented non-goals (no
+  * dot-segment resolution, PSL-free domains). Cross-engine equality
+  * is the q183/q184 hash gates; these pin the CONTRACT.
+  */
+class UrlOpsSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(2, appName = "url-ops-spec")
+
+  private def norm(url: String): String = {
+    import spark.implicits._
+    Seq(url).toDF("u").select(UrlOps.normalizeUrl(col("u"))).collect().head.getString(0)
+  }
+
+  private def hostDomain(url: String): (String, String) = {
+    import spark.implicits._
+    val r = Seq(url)
+      .toDF("u")
+      .select(UrlOps.hostOf(UrlOps.normalizeUrl(col("u"))).as("h"))
+      .select(col("h"), UrlOps.domainOf(col("h")))
+      .collect()
+      .head
+    (r.getString(0), r.getString(1))
+  }
+
+  test("scheme and authority lowercase; path and query keep case") {
+    assert(norm("HTTPS://WWW.Example.COM/Path/File?Q=Mixed") ===
+      "https://www.example.com/Path/File?Q=Mixed")
+  }
+
+  test("default ports strip only on the matching scheme") {
+    assert(norm("http://a.com:80/x") === "http://a.com/x")
+    assert(norm("https://a.com:443/x") === "https://a.com/x")
+    assert(norm("https://a.com:80/x") === "https://a.com:80/x") // NOT https' default
+    assert(norm("http://a.com:8080/x") === "http://a.com:8080/x")
+    assert(norm("https://a.com:443") === "https://a.com")
+  }
+
+  test("fragment strips; utm params strip in leading, adjacent, and trailing positions") {
+    assert(norm("https://a.com/p#frag?not=query") === "https://a.com/p")
+    assert(norm("https://a.com/p?utm_source=x&id=1") === "https://a.com/p?id=1")
+    assert(norm("https://a.com/p?utm_a=1&utm_b=2&id=3") === "https://a.com/p?id=3")
+    assert(norm("https://a.com/p?id=1&utm_z=9") === "https://a.com/p?id=1")
+    assert(norm("https://a.com/p?utm_only=1") === "https://a.com/p")
+  }
+
+  test("one trailing slash strips; a double slash is left alone") {
+    assert(norm("https://a.com/p/") === "https://a.com/p")
+    assert(norm("https://a.com/") === "https://a.com")
+    assert(norm("https://a.com/p/?id=1") === "https://a.com/p?id=1")
+    assert(norm("https://a.com/p//") === "https://a.com/p//")
+  }
+
+  test("documented non-goals: dot segments stay; domains are PSL-free") {
+    assert(norm("https://a.com/x/../y") === "https://a.com/x/../y")
+    assert(hostDomain("https://user:pw@Sub.Shop.co.uk:443/x") ===
+      (("sub.shop.co.uk", "co.uk"))) // PSL would say shop.co.uk — documented
+  }
+
+  test("host extraction drops userinfo and port") {
+    assert(hostDomain("HTTP://u@WWW.A-B.example.ORG:8080/p") ===
+      (("www.a-b.example.org", "example.org")))
+  }
+}
