@@ -37,7 +37,17 @@ class ExecShapeSpec extends AnyFunSuite {
     ("q117_label_spread", 13, 35),
     ("q146_copurchase_lift", 20, 45),
     ("q151_trust_dist", 22, 123),
-    ("q156_temporal_reach", 19, 85))
+    ("q156_temporal_reach", 19, 85),
+    // trainer loops (r12): one argmax job per merge/epoch is the
+    // CONTRACT (q175: 48 merges → 55 jobs; q176: 64 → 71; q177: 16
+    // epochs; q180: 16 merges + tokenize). At fixture vocabulary the
+    // auto-select runs the full-recount arm; a wiring regression in
+    // either arm (extra per-round jobs, the union partition-doubling
+    // class) moves these counts immediately. Derived twice, identical.
+    ("q175_bpe_train", 55, 107),
+    ("q176_bpe_train_bytes", 71, 139),
+    ("q177_classifier_train", 81, 192),
+    ("q180_train_tokenize", 29, 64))
 
   for ((name, jobs, stages) <- pinned)
     test(s"$name submits exactly $jobs jobs / $stages stages at sf0.001") {
