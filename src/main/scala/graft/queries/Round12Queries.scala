@@ -6,14 +6,30 @@ import graft.functions.BpeTokens
 import graft.queries.CoreQueries.Q
 
 /** Round-12 surface — the remaining "train it in-engine" stages and
-  * the web-corpus intake screens (VERDICT r11 Next #2/#4/#5/#7):
+  * the full web-corpus intake front door (VERDICT r11 Next
+  * #2/#4/#5/#7 + the URL stages):
   *
   *  - q177 in-engine classifier TRAINING
   *    ([[graft.operators.ClassifierTrainer]]): integer fixed-point
   *    hard-sigmoid GD over the q174 hashed-bigram feature space; the
   *    DuckDB oracle replays every epoch as chained MATERIALIZED CTE
   *    rounds (the q175/q176 BPE-training pattern), so the gate pins
-  *    every weight after every epoch-fold, corpus-generally.
+  *    every weight after every epoch-fold, corpus-generally;
+  *  - q178 HTML/boilerplate extraction
+  *    ([[graft.operators.HtmlExtract]]) over deterministically
+  *    wrapped fixtures — both engines build IDENTICAL markup, so the
+  *    gate pins the extraction pipeline;
+  *  - q179 encoding screen / q181 mojibake REPAIR
+  *    ([[graft.operators.TextAnalysis.encodingDiagnostics]] /
+  *    [[graft.functions.FixMojibake]] behind the RFC 3986-grammar
+  *    eligibility regex);
+  *  - q180 train→tokenize CLOSED in-engine: `BpeTrainer` merges feed
+  *    the runtime-table kernel `graft_bpe_table` in one pipeline, the
+  *    oracle replaying BOTH stages;
+  *  - q182 the composed intake pipeline (extract → repair → screen →
+  *    rollup, one lazy plan);
+  *  - q183/q184 URL normalization + URL-dup keys and per-domain caps
+  *    ([[graft.operators.UrlOps]]).
   */
 object Round12Queries {
 
