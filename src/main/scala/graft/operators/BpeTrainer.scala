@@ -255,7 +255,16 @@ object BpeTrainer {
     // Arm order of precedence: explicit parameter > GRAFT_BPE_INCR
     // env (on/off — the A/B switch) > vocabulary-size auto-select.
     val useIncremental = incremental
-      .orElse(sys.env.get("GRAFT_BPE_INCR").map(_ == "on"))
+      .orElse(sys.env.get("GRAFT_BPE_INCR").map {
+        case "on"  => true
+        case "off" => false
+        case other =>
+          // Fail fast instead of silently forcing the full-recount arm
+          // on a typo ("ON", "true", "1") — the contract is on|off
+          // (r12 ADVICE).
+          throw new IllegalArgumentException(
+            s"GRAFT_BPE_INCR must be 'on' or 'off'; got '$other'")
+      })
       .getOrElse(vocabRows >= IncrAutoVocabFloor)
     try {
       if (useIncremental) trainIncremental(loopSpark, words0Df, nMerges, minPairCount)

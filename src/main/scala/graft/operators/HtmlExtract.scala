@@ -114,8 +114,13 @@ object HtmlExtract {
         "\n"),
       "\n+")
     val isShort = (s: Column) => s.getField("n") < minLen
+    // 64-bit density arithmetic: link/n are IntegerType, so link*100
+    // (or n*linkPctMax) would wrap past ~21M link chars in ONE block —
+    // the oracle computes the same rule in BIGINT, so a wrap here is a
+    // silent keep/drop divergence, not just an overflow (r12 ADVICE).
     val isLinky = (s: Column) =>
-      s.getField("n") >= minLen && s.getField("link") * 100 >= s.getField("n") * linkPctMax
+      s.getField("n") >= minLen &&
+        s.getField("link").cast("long") * 100 >= s.getField("n").cast("long") * linkPctMax
     df.withColumn(
         "__present",
         filter(transform(blocks, b => blockStats(b)), s => s.getField("n") > 0))

@@ -136,8 +136,8 @@ object Round11Queries {
       |ORDER BY wc.word NULLS FIRST""".stripMargin
 
   /** q171 — per-document exact byte-BPE token budget: (doc, pre-token)
-    * occurrence counts joined to the broadcast distinct-pre-token byte
-    * token counts, rolled up per document; `n_bytes` (UTF-8) rides
+    * occurrence counts joined ([[Round10Queries.joinWordMap]]) to the
+    * distinct-pre-token byte token counts, rolled up per document; `n_bytes` (UTF-8) rides
     * along so the bytes-per-token compression ratio is visible per row.
     */
   val q171BpeBytesBudget: Q = (s, d) => {
@@ -156,7 +156,7 @@ object Round11Queries {
       .distinct()
       .withColumn("n_toks", size(call_function("graft_bpe_bytes", col("word"))).cast("long"))
       .withColumn("n_b", octet_length(col("word")).cast("long"))
-    dw.join(broadcast(wordToks), Seq("word"))
+    Round10Queries.joinWordMap(dw, wordToks)
       .groupBy(col("doc_id"))
       .agg(
         sum(col("n") * col("n_toks")).as("bpe_tokens"),
@@ -202,8 +202,7 @@ object Round11Queries {
       .select(col("word"))
       .distinct()
       .withColumn("n_toks", size(call_function("graft_bpe_bytes", col("word"))).cast("long"))
-    val counts = dw
-      .join(broadcast(wordToks), Seq("word"))
+    val counts = Round10Queries.joinWordMap(dw, wordToks)
       .groupBy(col("doc_id"))
       .agg(sum(col("n") * col("n_toks")).as("bpe_tok"))
     val withCounts = docs
@@ -274,7 +273,7 @@ object Round11Queries {
       .distinct()
       .withColumn("n_toks", size(call_function("graft_bpe_bytes", col("word"))).cast("long"))
       .withColumn("n_b", octet_length(col("word")).cast("long"))
-    dw.join(broadcast(wordToks), Seq("word"))
+    Round10Queries.joinWordMap(dw, wordToks)
       .groupBy(col("source"), col("lang"))
       .agg(
         sum(col("n") * col("n_toks")).as("bpe_tokens"),

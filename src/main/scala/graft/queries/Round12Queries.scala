@@ -336,7 +336,7 @@ object Round12Queries {
       .withColumn(
         "n_toks",
         size(call_function("graft_bpe_table", col("word"), lit(spec), lit(true))).cast("long"))
-    dw.join(broadcast(wordToks), Seq("word"))
+    Round10Queries.joinWordMap(dw, wordToks)
       .groupBy(col("source"))
       .agg(
         sum(col("n") * col("n_toks")).as("bpe_tokens"),
@@ -543,7 +543,7 @@ object Round12Queries {
         |      '[?&]?utm_[A-Za-z0-9_]*=[^&#]*$$', '')""".stripMargin
     val tidy =
       s"""regexp_replace(regexp_replace(regexp_replace($noUtm,
-        |      '\\?&+', '?'), '&&+', '&', 'g'), '[?&]+$$', '')""".stripMargin
+        |      '\\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$$', '')""".stripMargin
     s"regexp_replace($tidy, '^([^?]*[^/?])/(\\?.*)?$$', '\\1\\2')"
   }
 
