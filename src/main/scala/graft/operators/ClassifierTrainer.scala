@@ -249,6 +249,64 @@ object ClassifierTrainer {
       .toDF("bucket", "w_micro")
   }
 
+  /** Score a corpus with a TRAINED weight table (the held-out-eval
+    * side of the train/eval split — q185): per doc the integer dot
+    * product (micro² scale), the distillation label `y`, and the
+    * caller derives the hard-sigmoid prediction as `dot >= 0`
+    * (⟺ p ≥ 0.5). Featurization mirrors [[train]]'s exactly (hashed
+    * bigrams, ppm normalization, bias −1). Docs with ZERO bigrams
+    * carry no feature rows — [[train]] excludes them, but inference
+    * must still answer, so they score bias-only via the COALESCE.
+    * The weight table is bounded (≤ buckets+1 rows) — a CORRECT
+    * bounded broadcast, per the r12 word-map distinction.
+    */
+  def scoreDf(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      buckets: Int,
+      weights: Seq[(Int, Long)]): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20), s"buckets in [2, 2^20]; got $buckets")
+    require(weights.nonEmpty, "scoreDf: empty weight table")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val cnt = base
+      .select(col("__id"), explode(Dedup.wordNGramsAll(col("__t"), 2)).as("__g"))
+      .select(col("__id"), (graft.functions.Hashing.h32(col("__g")) % buckets).as("__b"))
+      .groupBy(col("__id"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val feats = cnt
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("__N"), collect_list(struct(col("__b"), col("__c"))).as("__bc"))
+      .select(
+        col("__id"),
+        explode(concat(
+          array(struct(lit(-1L).as("b"), lit(1000000L).as("x"))),
+          transform(
+            col("__bc"),
+            e => struct(
+              e.getField("__b").as("b"),
+              call_function("div", e.getField("__c") * lit(1000000L), col("__N")).as("x")))))
+          .as("f"))
+      .select(col("__id"), col("f.b").as("__b"), col("f.x").as("__x"))
+    val wdf = weights.map { case (b, w) => (b.toLong, w) }.toDF("__b", "__w")
+    val dots = feats
+      .join(broadcast(wdf), Seq("__b"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__w") * col("__x")).as("__dot"))
+    val biasOnly = weights.find(_._1 == -1).map(_._2).getOrElse(0L) * 1000000L
+    base
+      .select(col("__id"), enVerdict(col("__t")).as("__y"))
+      .join(dots, Seq("__id"), "left")
+      .select(
+        col("__id").as("doc_id"),
+        col("__y").as("y"),
+        coalesce(col("__dot"), lit(biasOnly)).as("dot"))
+  }
+
   /** The checked-in `make_classifier.py --int` artifact — the
     * cross-implementation reference [[train]] must reproduce
     * bit-for-bit on the sf0.01 corpus (ClassifierTrainerSpec), and a

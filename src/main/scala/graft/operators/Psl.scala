@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Public-Suffix-List registrable-domain extraction — the PSL-backed
+  * upgrade of [[UrlOps.domainOf]]'s last-two-labels proxy (r12 verdict
+  * Next #4): at web scale ~10% of hosts sit under ccSLDs
+  * (`shop.example.co.uk`), and the proxy pools them all into one fake
+  * `co.uk` domain, under-capping every real site on that suffix.
+  *
+  * Rules come from the checked-in snapshot
+  * `graft/psl_snapshot.dat` (publicsuffix.org data, standard PSL line
+  * format — `//` comments, `*.` wildcards, `!` exceptions). The
+  * matcher implements the full publicsuffix.org algorithm:
+  *
+  *  1. a rule matches when the host's trailing labels equal the
+  *     rule's labels (`*` matches exactly one label);
+  *  2. the prevailing rule is the matching EXCEPTION rule if any,
+  *     else the matching rule with the most labels,
+  *     else the implicit `*` (every bare TLD is a public suffix);
+  *  3. the public suffix is the prevailing rule's labels (for an
+  *     exception rule: minus its leading label); the REGISTRABLE
+  *     domain is the public suffix plus one more host label — NULL
+  *     when the host IS a public suffix (or shorter).
+  *
+  * Execution shape: rules are re-keyed so every kind is a pure
+  * equi-join — a normal rule keys on itself, a wildcard `*.tail` keys
+  * on `tail` with a min-host-labels guard, an exception on its full
+  * literal. Each DISTINCT host explodes into its last-k label
+  * suffixes (k ≤ the longest rule key — a constant of the snapshot),
+  * equi-joins the rule table (bounded by the checked-in file, so
+  * `broadcast()` here is a CORRECT bounded broadcast, unlike the
+  * vocabulary map the r12 verdict flagged), and an arg-max over
+  * (exception, rule-labels) picks the prevailing rule. The host→domain
+  * map then hash-equi-joins back onto the corpus — no global funnel,
+  * and AQE broadcasts the map when it fits.
+  *
+  * The DuckDB oracle replays the identical algorithm over the
+  * identical snapshot via [[rulesValuesSql]] + [[registrableDomainSql]]
+  * (generated from the SAME parsed rules, so the engines cannot
+  * drift apart on a snapshot edit).
+  */
+object Psl {
+
+  /** One parsed PSL rule, re-keyed for the equi-join.
+    *
+    * @param key        literal label suffix the candidate join matches on
+    * @param score      prevailing-rule priority: exceptions beat
+    *                   everything (publicsuffix.org step), then most
+    *                   labels wins
+    * @param psLen      labels in the public suffix IF this rule prevails
+    * @param minHostLabels wildcard rules only match hosts strictly
+    *                   longer than their literal tail
+    */
+  final case class Rule(key: String, score: Int, psLen: Int, minHostLabels: Int)
+
+  /** The parsed snapshot. Wildcards are only supported in the leading
+    * label (the only form the upstream list uses). */
+  val rules: Seq[Rule] = {
+    val in = getClass.getResourceAsStream("/graft/psl_snapshot.dat")
+    require(in != null, "classpath resource graft/psl_snapshot.dat missing")
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    lines
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map { l =>
+        if (l.startsWith("!")) {
+          val lit = l.drop(1)
+          val n = lit.count(_ == '.') + 1
+          Rule(lit, 1000 + n, n - 1, n)
+        } else if (l.startsWith("*.")) {
+          val tail = l.drop(2)
+          require(!tail.contains("*"), s"only leading-label wildcards supported: $l")
+          val n = tail.count(_ == '.') + 2 // the * counts as a label
+          Rule(tail, n, n, n)
+        } else {
+          require(!l.contains("*"), s"only leading-label wildcards supported: $l")
+          val n = l.count(_ == '.') + 1
+          Rule(l, n, n, n)
+        }
+      }
+  }
+
+  /** Longest join key in the snapshot — bounds the per-host suffix
+    * explode (a constant of the checked-in file, not of the data). */
+  val maxKeyLabels: Int = rules.map(r => r.key.count(_ == '.') + 1).max
+
+  /** The rule table as a DataFrame (bounded: one row per snapshot line). */
+  def rulesDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    rules.map(r => (r.key, r.score, r.psLen, r.minHostLabels)).toDF(
+      "sfx", "score", "ps_len", "min_host")
+  }
+
+  /** The rule table as a SQL VALUES body — the oracle's twin of
+    * [[rulesDf]], generated from the SAME parsed rules. */
+  def rulesValuesSql: String =
+    rules
+      .map(r => s"('${r.key.replace("'", "''")}',${r.score},${r.psLen},${r.minHostLabels})")
+      .mkString(", ")
+
+  /** Adds `out` = the PSL registrable domain of `hostCol` (NULL when
+    * the host is itself a public suffix or empty). Shape: distinct
+    * hosts → suffix explode → broadcast rule join → arg-max → hash
+    * join back on the host key.
+    */
+  def withRegistrableDomain(df: DataFrame, hostCol: String, out: String): DataFrame = {
+    val spark = df.sparkSession
+    val hosts = df.select(col(hostCol).as("__psl_host")).distinct()
+    val lab = hosts
+      .withColumn("__ls", split(col("__psl_host"), "\\."))
+      .withColumn("__nl", size(col("__ls")))
+    val cand = lab
+      .withColumn("__k", explode(sequence(lit(1), least(col("__nl"), lit(maxKeyLabels)))))
+      .withColumn("__sfx", array_join(slice(col("__ls"), -col("__k"), col("__k")), "."))
+    val matched = cand
+      .join(
+        broadcast(rulesDf(spark)),
+        cand("__sfx") === col("sfx") && cand("__nl") >= col("min_host"))
+      .groupBy(col("__psl_host"))
+      .agg(max(struct(col("score"), col("ps_len"))).getField("ps_len").as("__ps"))
+    val mapping = lab
+      .join(matched, Seq("__psl_host"), "left")
+      .withColumn("__l", coalesce(col("__ps"), lit(1)))
+      .withColumn(
+        out,
+        when(
+          col("__nl") > col("__l"),
+          array_join(slice(col("__ls"), -(col("__l") + lit(1)), col("__l") + lit(1)), ".")))
+      .select(col("__psl_host"), col(out))
+    df.join(mapping, df(hostCol) === mapping("__psl_host"), "left")
+      .drop("__psl_host")
+  }
+
+  /** Oracle twin: CTE chain computing `(host, dom)` for the DISTINCT
+    * hosts of `hostsSelect` (a SELECT yielding one column `host`).
+    * Emits CTEs named with the given prefix; the caller joins
+    * `<p>dom` back on host.
+    */
+  def registrableDomainSql(hostsSelect: String, p: String = "psl_"): String =
+    s"""${p}r(sfx, score, ps_len, min_host) AS (VALUES $rulesValuesSql),
+      |${p}h AS (SELECT DISTINCT host FROM ($hostsSelect)),
+      |${p}lab AS (SELECT host, string_split(host, '.') AS ls FROM ${p}h),
+      |${p}cand AS (
+      |  SELECT host, ls, len(ls) AS nl,
+      |         array_to_string(ls[len(ls)-k+1:], '.') AS sfx
+      |  FROM ${p}lab, unnest(generate_series(1, least(len(ls), $maxKeyLabels))) AS t(k)),
+      |${p}m AS (
+      |  SELECT c.host, arg_max(r.ps_len, r.score) AS ps
+      |  FROM ${p}cand c JOIN ${p}r r ON r.sfx = c.sfx AND c.nl >= r.min_host
+      |  GROUP BY 1),
+      |${p}dom AS (
+      |  SELECT l.host,
+      |         CASE WHEN len(l.ls) > COALESCE(m.ps, 1)
+      |              THEN array_to_string(l.ls[len(l.ls)-COALESCE(m.ps, 1):], '.')
+      |              ELSE NULL END AS dom
+      |  FROM ${p}lab l LEFT JOIN ${p}m m USING (host))""".stripMargin
+}

@@ -67,6 +67,75 @@ object UrlOps {
     regexp_replace(tidy, "^([^?]*[^/?])/(\\?.*)?$", "$1$2")
   }
 
+  /** Percent-encoding normalization (RFC 3986 §6.2.2.1–2): decode
+    * %-triples whose octet is UNRESERVED (ALPHA / DIGIT / `-` `.` `_`
+    * `~`) and uppercase the hex of every other triple. Decoding only
+    * unreserved octets can never materialize a delimiter (`/ ? # &`),
+    * so this is safe to apply to the WHOLE normalized URL string.
+    * Tokenizer + per-token map, same algorithm both engines (the
+    * oracle twin lives beside q187): tokens are %-triples, runs of
+    * non-`%`, or a stray `%`; token counts are bounded by URL length,
+    * so the interpreted HOF cost is per-row constant.
+    */
+  def pctNormalize(u: Column): Column = {
+    val toks = regexp_extract_all(u, lit("%[0-9A-Fa-f]{2}|[^%]+|%"), lit(0))
+    val mapped = transform(
+      toks,
+      t => {
+        val v = conv(substring(t, 2, 2), 16, 10).cast("int")
+        val unreserved = (v >= 48 && v <= 57) || (v >= 65 && v <= 90) ||
+          (v >= 97 && v <= 122) || v === 45 || v === 46 || v === 95 || v === 126
+        when(
+          t.rlike("^%[0-9A-Fa-f]{2}$"),
+          when(unreserved, call_function("chr", v))
+            .otherwise(concat(lit("%"), upper(substring(t, 2, 2)))))
+          .otherwise(t)
+      })
+    array_join(mapped, "")
+  }
+
+  /** Dot-segment resolution (RFC 3986 §6.2.2.3, remove_dot_segments)
+    * on the PATH component only: `.` segments drop, `..` pops the
+    * previous segment (popping past root drops — absolute paths), and
+    * a trailing `.`/`..` leaves a trailing slash (which the caller's
+    * trailing-slash rule then strips). Empty segments (`//`) are
+    * ordinary segments — preserved, matching the subset contract.
+    * One fold over the split segments ([[https://www.rfc-editor.org/rfc/rfc3986#section-5.2.4]]'s
+    * loop as `aggregate`); the oracle replays it with `list_reduce`.
+    */
+  def resolveDotSegments(u: Column): Column = {
+    val pre = regexp_extract(u, "^([a-z][a-z0-9+.-]*://[^/?#]*)", 1)
+    val path = regexp_extract(u, "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val rest = regexp_replace(u, "^[a-z][a-z0-9+.-]*://[^/?#]*[^?#]*", "")
+    val segs = split(substring(path, 2, Int.MaxValue), "/", -1)
+    val folded = aggregate(
+      segs,
+      typedLit(Seq.empty[String]),
+      (acc, x) =>
+        when(x === ".", acc)
+          .when(x === "..", slice(acc, lit(1), greatest(size(acc) - 1, lit(0))))
+          .otherwise(concat(acc, array(x))))
+    val endsDot = path.rlike("/\\.\\.?$")
+    val newPath = concat(
+      lit("/"),
+      array_join(folded, "/"),
+      when(endsDot && size(folded) > 0, lit("/")).otherwise(lit("")))
+    when(path.startsWith("/") && path.rlike("/\\.\\.?(/|$)"), concat(pre, newPath, rest))
+      .otherwise(u)
+  }
+
+  /** [[normalizeUrl]] + percent-encoding normalization + dot-segment
+    * resolution — the canonicalization the r12 verdict named as the
+    * gap that silently splits dup groups on real crawls (q187 plants
+    * exactly those collisions). Dot resolution can re-create a
+    * trailing slash (`/a/..` → `/`), so the trailing-slash rule
+    * re-applies last.
+    */
+  def normalizeUrlFull(url: Column): Column = {
+    val canon = resolveDotSegments(pctNormalize(normalizeUrl(url)))
+    regexp_replace(canon, "^([^?]*[^/?])/(\\?.*)?$", "$1$2")
+  }
+
   /** Lowercased host (authority minus port and userinfo). */
   def hostOf(normUrl: Column): Column =
     regexp_extract(normUrl, "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1)

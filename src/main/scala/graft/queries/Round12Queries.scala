@@ -65,7 +65,7 @@ object Round12Queries {
     * `%`/`//` term is parenthesized: Postgres-family grammars give
     * user-level binary operators equal left-associative precedence.
     */
-  private def fdSql(a: String, m: String): String =
+  private[queries] def fdSql(a: String, m: String): String =
     s"((($a) - (((($a) % ($m)) + ($m)) % ($m))) // ($m))"
 
   /** The epoch replay: n chained MATERIALIZED (score → error →
@@ -73,10 +73,11 @@ object Round12Queries {
     * in the q175/q176 trainer replay (each round reads its
     * predecessor's weight table twice).
     */
-  private def classifierTrainSql(buckets: Int, epochs: Int, lrMicro: Long): String = {
-    val mk = graft.operators.TextAnalysis.markers
-    def hits(l: String): String =
-      "len(list_filter(ws, t -> t IN (" + mk(l).map(w => s"'$w'").mkString(", ") + ")))"
+  private[queries] def classifierTrainCtes(
+      buckets: Int,
+      epochs: Int,
+      lrMicro: Long,
+      where: String): String = {
     val rounds = (1 to epochs)
       .map { i =>
         s"""s$i AS MATERIALIZED (
@@ -104,15 +105,9 @@ object Round12Queries {
           |  FROM wt${i - 1} w LEFT JOIN gr$i g ON g.b = w.b)""".stripMargin
       }
       .mkString(",\n")
-    s"""WITH
-      |src AS (SELECT doc_id, text, string_split(text, ' ') AS ws
-      |        FROM documents WHERE text IS NOT NULL),
-      |lab AS (SELECT doc_id, ws,
-      |          CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) = 0
-      |                    AND NOT (${hits("de")} >= ${hits("en")} AND ${hits("de")} >= ${hits("es")}
-      |                             AND ${hits("de")} >= ${hits("fr")})
-      |                    AND ${hits("en")} >= ${hits("es")} AND ${hits("en")} >= ${hits("fr")}
-      |               THEN 1 ELSE 0 END AS y
+    s"""src AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+      |        FROM documents WHERE $where),
+      |lab AS (SELECT doc_id, ws, $enVerdictCaseSql AS y
       |        FROM src),
       |g AS (SELECT doc_id,
       |             unnest([ws[i]||' '||ws[i+1] for i in range(1, CAST(len(ws) AS BIGINT))]) AS bigram
@@ -134,12 +129,28 @@ object Round12Queries {
       |         ((n * 1000000) // (2 * (n - np))) AS cwn FROM st),
       |wt0 AS MATERIALIZED (
       |  SELECT CAST(r AS BIGINT) AS b, CAST(0 AS BIGINT) AS w FROM range(-1, $buckets) t(r)),
-      |$rounds
-      |SELECT b AS bucket, w AS w_micro FROM wt$epochs
-      |ORDER BY bucket NULLS FIRST""".stripMargin
+      |$rounds""".stripMargin
   }
 
-  val q177Sql: String = classifierTrainSql(Buckets, Epochs, LrMicro)
+  /** The q26 marker-verdict CASE over a `(text, ws)` row — the shared
+    * distillation target of the train (q177) and held-out-eval (q185)
+    * oracles. */
+  private[queries] def enVerdictCaseSql: String = {
+    val mk = graft.operators.TextAnalysis.markers
+    def hits(l: String): String =
+      "len(list_filter(ws, t -> t IN (" + mk(l).map(w => s"'$w'").mkString(", ") + ")))"
+    s"""CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) = 0
+      |                    AND NOT (${hits("de")} >= ${hits("en")} AND ${hits("de")} >= ${hits("es")}
+      |                             AND ${hits("de")} >= ${hits("fr")})
+      |                    AND ${hits("en")} >= ${hits("es")} AND ${hits("en")} >= ${hits("fr")}
+      |               THEN 1 ELSE 0 END""".stripMargin
+  }
+
+  val q177Sql: String =
+    s"""WITH
+      |${classifierTrainCtes(Buckets, Epochs, LrMicro, "text IS NOT NULL")}
+      |SELECT b AS bucket, w AS w_micro FROM wt$Epochs
+      |ORDER BY bucket NULLS FIRST""".stripMargin
 
   // ---- q178: HTML/boilerplate text extraction ------------------------
 
@@ -528,7 +539,7 @@ object Round12Queries {
     * column `c` — same PATTERNS, DuckDB `\1` replacement syntax (Spark
     * uses `$1`; patterns are shared, replacement strings per-engine).
     */
-  private def normalizeUrlSql(c: String): String = {
+  private[queries] def normalizeUrlSql(c: String): String = {
     val schemeAuth = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
     val noFrag = s"regexp_replace($c, '(?s)#.*', '')"
     val lowered =

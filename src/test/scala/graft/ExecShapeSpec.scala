@@ -30,7 +30,6 @@ class ExecShapeSpec extends AnyFunSuite {
     // the eager pre-gate job is gone, replaced by the guard join's
     // broadcast/AQE stages (slightly more jobs, measurably less wall
     // time — Bipartite.scala A/B record)
-    ("q150_cosupply_rank", 16, 49),
     ("q159_power_iteration", 11, 44),
     // session-width loops (clone reverted per the r10 LoopLab A/B)
     ("q51_conncomp", 31, 140),
@@ -59,6 +58,22 @@ class ExecShapeSpec extends AnyFunSuite {
           "if the loop change is intentional, re-derive with tools/run_main.sh graft.ExecShape " +
           "and update this pin plus BASELINE.md's shape row")
     }
+
+  test("q150_cosupply_rank submits exactly 16 jobs / 40-55 stages at sf0.001") {
+    // Same context-sensitivity class as q139/q148: isolated runs are
+    // stable at 16/49 (re-derived twice, r13), but inside the full
+    // suite the shared session's earlier exchanges get REUSED and
+    // whole stages are skipped (observed 44 in-suite, r13) — fewer
+    // stages from reuse is not a regression. Jobs stay the exact pin;
+    // stages get a band sized to the observed in-suite/isolated
+    // spread.
+    GraftSession.releaseAllCaches(spark)
+    val fn = SparkEntry.queries("q150_cosupply_rank")
+    val (j, s) = ExecShape.measure(spark, "q150_cosupply_rank")(
+      fn(spark, sf).queryExecution.toRdd.count(): Unit)
+    assert(j == 16, s"q150 jobs drifted: $j != 16")
+    assert(s >= 40 && s <= 55, s"q150 stages left the pinned band [40,55]: $s")
+  }
 
   test("q139_kcore submits 85-88 jobs / 675-705 stages at sf0.001") {
     // Isolated runs reproduce 87/693 exactly (twice, r11), but inside

@@ -56,10 +56,37 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(norm("https://a.com/p//") === "https://a.com/p//")
   }
 
-  test("documented non-goals: dot segments stay; domains are PSL-free") {
+  test("documented non-goals of the BASE normalize: dot segments stay; domains are PSL-free") {
     assert(norm("https://a.com/x/../y") === "https://a.com/x/../y")
     assert(hostDomain("https://user:pw@Sub.Shop.co.uk:443/x") ===
-      (("sub.shop.co.uk", "co.uk"))) // PSL would say shop.co.uk — documented
+      (("sub.shop.co.uk", "co.uk"))) // the proxy; Psl.withRegistrableDomain says shop.co.uk
+  }
+
+  private def full(url: String): String = {
+    import spark.implicits._
+    Seq(url).toDF("u").select(UrlOps.normalizeUrlFull(col("u"))).collect().head.getString(0)
+  }
+
+  test("pct normalization: unreserved octets decode, others uppercase, malformed stay") {
+    assert(full("https://a.com/%7Euser") === "https://a.com/~user")
+    assert(full("https://a.com/%41lpha") === "https://a.com/Alpha")
+    assert(full("https://a.com/a%2fb") === "https://a.com/a%2Fb") // '/' is NOT unreserved
+    assert(full("https://a.com/p?q=%41%2f") === "https://a.com/p?q=A%2F")
+    assert(full("https://a.com/p%") === "https://a.com/p%") // stray % untouched
+    assert(full("https://a.com/p%zz") === "https://a.com/p%zz") // non-hex untouched
+    assert(full("https://a.com/%2E%2E/x") === "https://a.com/x") // %2E decodes to '.' THEN resolves
+  }
+
+  test("dot segments resolve (RFC 3986 remove_dot_segments on the path)") {
+    assert(full("https://a.com/a/./b") === "https://a.com/a/b")
+    assert(full("https://a.com/a/b/../c") === "https://a.com/a/c")
+    assert(full("https://a.com/a/../../b") === "https://a.com/b") // pop past root drops
+    assert(full("https://a.com/a/..") === "https://a.com") // '/' then trailing-slash rule
+    assert(full("https://a.com/a/b/..") === "https://a.com/a")
+    assert(full("https://a.com/a/.") === "https://a.com/a")
+    assert(full("https://a.com/a//b/./c") === "https://a.com/a//b/c") // '//' preserved
+    assert(full("https://a.com/...") === "https://a.com/...") // not a dot segment
+    assert(full("https://a.com/x/../y?id=1&utm_z=2#f") === "https://a.com/y?id=1")
   }
 
   test("host extraction drops userinfo and port") {
