@@ -87,13 +87,20 @@ object ScaleCheck {
                 when(pmod(col("id"), lit(100)) === 0, lit(40)).otherwise(lit(0))).cast("int")))
             .as("text"))
     }
+    // --merges sizes the trainer probes (12 = the crossover rows;
+    // 512 = the local-arm A/B recorded in BpeTrainer.LocalAutoMergeFloor)
+    val nMerges = cfg.get("merges", "SPARK_GRAFT_SCALE_MERGES", "12").toInt
     def bpeTrain(incr: Boolean): DataFrame =
       graft.operators.BpeTrainer
-        .trainDf(bigVocabCorpus, "text", nMerges = 12, incremental = Some(incr))
+        .trainDf(bigVocabCorpus, "text", nMerges, incremental = Some(incr), local = Some(false))
+    def bpeTrainLocal: DataFrame =
+      graft.operators.BpeTrainer
+        .trainDf(bigVocabCorpus, "text", nMerges, local = Some(true))
 
     val workloads: Seq[(String, () => DataFrame)] = Seq(
       "bpetrain_full" -> (() => bpeTrain(false)),
       "bpetrain_incr" -> (() => bpeTrain(true)),
+      "bpetrain_local" -> (() => bpeTrainLocal),
       "minhash_pairs" -> (() => verifiedPairs),
       "components" -> (() => Dedup.connectedComponents(verifiedPairs)),
       "keeplist" -> (() => Dedup.keepList(docs, "doc_id", verifiedPairs)),
@@ -230,7 +237,7 @@ object ScaleCheck {
           .select(col("word"))
           .distinct()
           .withColumn("n_toks", size(call_function("graft_bpe", col("word"))).cast("long"))
-        dw.join(broadcast(wordToks), Seq("word"))
+        dw.join(wordToks, Seq("word")) // hint-free since r13 — matches joinWordMap
           .groupBy(col("doc_id"))
           .agg(sum(col("n") * col("n_toks")).as("bpe_tokens"), sum(col("n")).as("n_words"))
       }),
@@ -254,7 +261,7 @@ object ScaleCheck {
           .select(col("word"))
           .distinct()
           .withColumn("n_toks", size(call_function("graft_bpe_bytes", col("word"))).cast("long"))
-        dw.join(broadcast(wordToks), Seq("word"))
+        dw.join(wordToks, Seq("word")) // hint-free since r13 — matches joinWordMap
           .groupBy(col("doc_id"))
           .agg(sum(col("n") * col("n_toks")).as("bpe_tokens"), sum(col("n")).as("n_words"))
       }),
@@ -265,6 +272,13 @@ object ScaleCheck {
         val (bias, w) = graft.operators.TextAnalysis.qualityClassifier
         graft.operators.TextAnalysis.classifierKeepRule(docs, "text", "doc_id", w, bias)
       }),
+      // q180 shape END-TO-END: train 16 byte merges on the corpus,
+      // tokenize the SAME corpus with the trained table, roll up per
+      // source — the r13 vocabulary-GROWTH scaling row (run against
+      // make_scale.py --vocab-grow dirs, where distinct pre-tokens
+      // grow with the replicas instead of repeating).
+      "train_tokenize" -> (() =>
+        graft.queries.Round12Queries.q180TrainTokenize(spark, sfDir)),
       // q140 shape over the trading graph; --docs bounds the ORDER key
       // here so the edge list (and with it the node universe) grows.
       "hits" -> (() => {

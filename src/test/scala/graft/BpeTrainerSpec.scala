@@ -102,6 +102,76 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(incr == full)
   }
 
+  test("local arm: hand cases (greedy order, tie-break, stops, control-char skip)") {
+    import spark.implicits._
+    def loc(corpus: String, m: Int, minC: Long = 2L) =
+      BpeTrainer.train(Seq(corpus).toDF("text"), "text", m, minPairCount = minC,
+        local = Some(true))
+    assert(loc("aaab aaab ab", 10) == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    assert(loc("xy ab xy ab", 2) == Seq(("a", "b"), ("x", "y")))
+    assert(loc("ab cd ef", 5) == Seq.empty)
+    assert(loc("ab ab cd", 1, minC = 1L) == Seq(("a", "b")))
+    assert(loc("ab ab zz zz", 4) == Seq(("z", "z")))
+  }
+
+  test("local arm cross-implementation: reproduces the python-trained fixture on sf0.01") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val got = BpeTrainer.train(
+      docs, "text", nMerges = BpeTokens.merges.length, local = Some(true))
+    assert(
+      got == BpeTokens.merges.toSeq,
+      s"first divergence at rank ${got.zip(BpeTokens.merges).indexWhere { case (a, b) => a != b }}")
+  }
+
+  test("arm equality: driver-side local arm ≡ full recount at 512 merges (byte alphabet, sf0.001)") {
+    // the r12 verdict's production-vocab ask: the local arm must stay
+    // bit-equal to the distributed recurrence DEEP into the merge
+    // sequence — 512 merges, byte alphabet (the production form),
+    // minPairCount 1 so exhaustion doesn't cut the sequence short.
+    // The real sf0.001 corpus exhausts at 127 merges (measured — the
+    // fixture vocabulary is deliberately small), so the corpus here is
+    // the ScaleCheck bigVocabCorpus construction at 3000 DISTINCT
+    // deterministic hex words: rich enough for 512+, vocab-sized
+    // rounds cheap enough for the suite. Covers rise-after-threshold,
+    // tie-breaks in the U+0100..U+01FF mapped alphabet, and the lazy
+    // heap's stale-entry discipline over a long sequence.
+    val docs = spark
+      .range(3000)
+      .select(
+        concat_ws(
+          " ",
+          array_repeat(
+            substring(md5(col("id").cast("string")), lit(1), (pmod(col("id"), lit(8)) + 8).cast("int")),
+            (lit(1) + pmod(col("id"), lit(3))).cast("int")))
+          .as("text"))
+    val full = BpeTrainer.train(
+      docs, "text", 512, minPairCount = 1L, byteAlphabet = true,
+      incremental = Some(false), local = Some(false))
+    val loc = BpeTrainer.train(
+      docs, "text", 512, minPairCount = 1L, byteAlphabet = true, local = Some(true))
+    assert(
+      loc == full,
+      s"length loc=${loc.length} full=${full.length}; first divergence at rank " +
+        s"${loc.zip(full).indexWhere { case (a, b) => a != b }}")
+    assert(loc.length >= 512, s"corpus exhausted early (${loc.length}) — deepen the fixture")
+  }
+
+  test("local arm: observed-vocabulary guard refuses an over-ceiling collect") {
+    import spark.implicits._
+    // the guard trips on the OBSERVED count BEFORE any collect (the
+    // Relational.scala pre-collect-count idiom) — drive trainLocal
+    // with a reported vocabulary one past the ceiling
+    val words = Seq((2L, Seq("a", "b"))).toDF("n", "syms")
+    val e = intercept[IllegalArgumentException] {
+      BpeTrainer.trainLocal(words, 1, 2L, BpeTrainer.LocalVocabCeil + 1)
+    }
+    assert(e.getMessage.contains("driver-collect ceiling"))
+    assert(e.getMessage.contains("GRAFT_BPE_LOCAL=off"))
+    // and the positive path: explicit local on a tiny corpus trains
+    assert(BpeTrainer.train(Seq("ab ab").toDF("text"), "text", 1, local = Some(true))
+      == Seq(("a", "b")))
+  }
+
   test("byte alphabet: base symbols are the chr(256+b) mapping of the UTF-8 bytes") {
     import spark.implicits._
     // 'İ' (U+0130) is 2 UTF-8 bytes (C4 B0): pre-token "İİ" has 4 byte

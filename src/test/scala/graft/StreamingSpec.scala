@@ -370,6 +370,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intake stream (AvailableNow): landed records roll up bit-equal to the q182 batch result") {
+    // the r12 verdict's streaming-intake twin: the SAME per-row chain
+    // (extract → repair → screen) runs inside file-stream micro-batches
+    // (maxFilesPerTrigger=1 forces several), doc-grain records land
+    // through the idempotent sink, and the rollup over the landed
+    // parquet must BIT-MATCH the q182 batch query on the same fixtures
+    val docs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+    val wrapped = graft.queries.Round12Queries.htmlWrapped(docs)
+    val root = java.nio.file.Files.createTempDirectory("intake_stream").toString
+    wrapped.repartition(4).write.parquet(s"$root/in")
+    val stream = graft.operators.Intake.perDocStats(
+      spark.readStream
+        .schema(wrapped.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/in"))
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(EventStreams.writeBatchIdempotent(s"$root/out") _)
+      .start()
+    q.awaitTermination()
+    val batches = new java.io.File(s"$root/out")
+      .listFiles().map(_.getName).count(_.startsWith("batch_id="))
+    assert(batches >= 2, s"expected several micro-batches, got $batches")
+    val streamed = graft.operators.Intake
+      .rollup(spark.read.parquet(s"$root/out"))
+      .orderBy(col("source"))
+      .collect()
+    val batch = SparkEntry.queries("q182_intake_pipeline")(spark, sf).collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("idempotent foreachBatch sink: batch replay overwrites, never duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

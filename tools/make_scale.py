@@ -9,7 +9,22 @@ repeat (fine for timing — the operators hash/scan them either way).
 Multi-row-group output (row_group_size) so Spark can parallelize the
 scan, unlike the single-row-group originals.
 
-Usage: python3 tools/make_scale.py <srcSfDir> <destDir> <N>
+Usage: python3 tools/make_scale.py <srcSfDir> <destDir> <N> [--vocab-grow] [--tables=a,b]
+
+--vocab-grow: append a per-replica PURE-LETTER suffix to every letter
+run of documents.text, so DISTINCT pre-tokens grow ~N x instead of
+repeating. --vocab-grow=doc appends a per-DOCUMENT letter-mapped
+doc_id suffix instead (replica 0 verbatim), making the vocabulary grow
+~linearly with the CORPUS -- the web regime where the word->tokens map
+can never broadcast (the r12 `weak` finding's actual stress case). Plain replicas fix the BPE vocabulary by construction (the
+text repeats), which leaves the budgeting family's real growth axis --
+vocabulary -- untested (r12 verdict Next #2). Letters only: the GPT-2
+pre-tokenizer keeps a letter-suffixed word one pre-token. Replica 0
+stays verbatim, so the grown corpus CONTAINS the original vocabulary.
+
+--tables=documents: restrict output to the named tables (the
+vocab-growth runs only read documents; skipping the 100x lineitem
+replica saves most of the build).
 """
 import sys
 
@@ -31,11 +46,27 @@ OFFSETS = {
 
 
 def main():
-    src, dest, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    src, dest, n = pos[0], pos[1], int(pos[2])
+    vocab_grow = any(fl.startswith("--vocab-grow") for fl in flags)
+    vocab_doc = "--vocab-grow=doc" in flags
+    only = None
+    for fl in flags:
+        if fl.startswith("--tables="):
+            only = set(fl.split("=", 1)[1].split(","))
     con = duckdb.connect()
     import os
     os.makedirs(dest, exist_ok=True)
+
+    def suffix(i):
+        # replica 1 -> "qa", 2 -> "qb", ... pure letters, 'q' leading so
+        # suffixed words rarely collide with real corpus words
+        return "q" + chr(97 + (i - 1) // 26) + chr(97 + (i - 1) % 26)
+
     for table, offs in OFFSETS.items():
+        if only is not None and table not in only:
+            continue
         path = f"{src}/{table}.parquet"
         if not os.path.exists(path):
             continue
@@ -44,10 +75,24 @@ def main():
         offmap = dict(offs)
         selects = []
         for i in range(n):
-            proj = ", ".join(
-                f"{c} + {offmap[c] * i} AS {c}" if c in offmap and offmap[c] > 0 and i > 0
-                else c
-                for c in cols)
+            def colexpr(c):
+                if c in offmap and offmap[c] > 0 and i > 0:
+                    return f"{c} + {offmap[c] * i} AS {c}"
+                if vocab_grow and table == "documents" and c == "text" and i > 0:
+                    if vocab_doc:
+                        # replacement is per-ROW: each doc's words get a
+                        # unique letter-mapped id suffix. Use the
+                        # REPLICA-OFFSET id (the bare column still names
+                        # the source value in this projection), so
+                        # replicas don't repeat suffixes.
+                        off = offmap.get("doc_id", 0) * i
+                        return ("regexp_replace(text, '([A-Za-z]+)', "
+                                f"'\\1q' || translate(CAST(doc_id + {off} AS VARCHAR), "
+                                "'0123456789', 'abcdefghij'), 'g') AS text")
+                    return (f"regexp_replace(text, '([A-Za-z]+)', "
+                            f"'\\1{suffix(i)}', 'g') AS text")
+                return c
+            proj = ", ".join(colexpr(c) for c in cols)
             selects.append(f"SELECT {proj} FROM '{path}'")
         q = " UNION ALL ".join(selects)
         con.execute(
