@@ -389,10 +389,13 @@ object Round11Queries {
   /** Training base CTEs: `base(w, n)` word frequencies + the `w0`
     * initial symbol split, shared by q175/q176/q180.
     */
-  private[queries] def bpeTrainBaseCtes(wordSrcSql: String, w0SymsSql: String): String =
+  private[queries] def bpeTrainBaseCtes(
+      wordSrcSql: String,
+      w0SymsSql: String,
+      where: String = "text IS NOT NULL"): String =
     s"""base AS (SELECT w, COUNT(*) AS n FROM (
       |           SELECT $wordSrcSql AS w
-      |           FROM documents WHERE text IS NOT NULL)
+      |           FROM documents WHERE $where)
       |         WHERE len(w) > 0 GROUP BY 1),
       |w0 AS MATERIALIZED (SELECT $w0SymsSql AS syms, n FROM base)""".stripMargin
 

@@ -23,7 +23,11 @@ import graft.queries.CoreQueries.Q
   *    encoding normalization and RFC 3986 dot-segment resolution;
   *    planted `%7E`/`%41`/`%2f`/`/./`/`/../` variants collide ONLY
   *    after canonicalization, so the dup-group gate fails if either
-  *    step regresses.
+  *    step regresses;
+  *  - q188 held-out BPE evaluation — the tokenizer's q185: train the
+  *    merge table on the 4/5 split, tokenize the held-out fifth with
+  *    `graft_bpe_table`, gate the per-source token budget + the q173
+  *    compression metric, oracle replaying train AND apply.
   */
 object Round13Queries {
 
@@ -314,13 +318,85 @@ object Round13Queries {
       |ORDER BY canon.doc_id NULLS FIRST""".stripMargin
   }
 
+  // ---- q188: held-out BPE evaluation (train/apply split) -------------
+
+  private val Q188Merges = 16
+
+  /** q188 — the tokenizer's q185: q180 trains and tokenizes the SAME
+    * corpus, so nothing gated the trained merges on text they never
+    * saw. Here [[graft.operators.BpeTrainer]] trains 16 byte merges on
+    * the 4/5 split only, `graft_bpe_table` tokenizes the held-out
+    * fifth (byte alphabet — total, no OOV), and the gate is the
+    * per-source held-out token budget with the q173 compression
+    * metric. The oracle replays BOTH stages: the q176 training rounds
+    * on the train split feed the q170 inference recursion over the
+    * held-out pre-token universe.
+    */
+  val q188BpeHeldoutEval: Q = (s, d) => {
+    import graft.functions.BpeTokens
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val merges = graft.operators.BpeTrainer.train(
+      docs.filter(col("doc_id") % 5 =!= 0), "text", Q188Merges, byteAlphabet = true)
+    val spec = BpeTokens.mergesSpecOf(merges)
+    val dw = docs
+      .filter(col("doc_id") % 5 === 0)
+      .select(
+        col("source"),
+        explode(regexp_extract_all(col("text"), lit(BpeTokens.preTokenPattern), lit(0)))
+          .as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val wordToks = dw
+      .select(col("word"))
+      .distinct()
+      .withColumn(
+        "n_toks",
+        size(call_function("graft_bpe_table", col("word"), lit(spec), lit(true))).cast("long"))
+      .withColumn("n_b", octet_length(col("word")).cast("long"))
+    Round10Queries.joinWordMap(dw, wordToks)
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n") * col("n_toks")).as("bpe_tokens"),
+        sum(col("n") * col("n_b")).as("n_bytes"))
+      .withColumn("bytes_per_tok_ppm",
+        expr("cast((cast(n_bytes as decimal(38,0)) * 1000000) div bpe_tokens as bigint)"))
+      .orderBy(col("source"))
+  }
+
+  val q188Sql: String = {
+    s"""WITH RECURSIVE
+      |${Round11Queries.bpeTrainBaseCtes(
+         s"unnest(regexp_extract_all(text, ${Round11Queries.preTokSqlLit}))",
+         Round11Queries.byteW0SymsSql,
+         TrainWhere)},
+      |${Round11Queries.bpeTrainRoundCtes(Q188Merges)},
+      |mt AS MATERIALIZED (SELECT l, r, rank FROM (
+      |  ${Round11Queries.bpeTrainedMergesUnion(Q188Merges)})),
+      |dw AS (SELECT source, w AS word, COUNT(*) AS n FROM (
+      |         SELECT source, unnest(regexp_extract_all(text, ${Round11Queries.preTokSqlLit})) AS w
+      |         FROM documents WHERE $EvalWhere)
+      |       WHERE len(w) > 0 GROUP BY 1, 2),
+      |w AS (SELECT DISTINCT word FROM dw),
+      |${Round11Queries.bpeBytesReplayCtes("SELECT l, r, rank FROM mt")},
+      |agg AS (SELECT dw.source,
+      |               CAST(SUM(dw.n * len(f.syms)) AS BIGINT) AS bpe_tokens,
+      |               CAST(SUM(dw.n * octet_length(encode(f.word))) AS BIGINT) AS n_bytes
+      |        FROM dw JOIN fin f ON f.word = dw.word GROUP BY 1)
+      |SELECT source, bpe_tokens, n_bytes,
+      |       CAST((CAST(n_bytes AS HUGEINT) * 1000000) // bpe_tokens AS BIGINT) AS bytes_per_tok_ppm
+      |FROM agg ORDER BY source NULLS FIRST""".stripMargin
+  }
+
   def all: Map[String, Q] = Map(
     "q185_classifier_eval" -> q185ClassifierEval,
     "q186_psl_domain_cap" -> q186PslDomainCap,
-    "q187_url_canonical_dup" -> q187UrlCanonicalDup)
+    "q187_url_canonical_dup" -> q187UrlCanonicalDup,
+    "q188_bpe_heldout_eval" -> q188BpeHeldoutEval)
 
   def oracles: Map[String, String] = Map(
     "q185_classifier_eval" -> q185Sql,
     "q186_psl_domain_cap" -> q186Sql,
-    "q187_url_canonical_dup" -> q187Sql)
+    "q187_url_canonical_dup" -> q187Sql,
+    "q188_bpe_heldout_eval" -> q188Sql)
 }
