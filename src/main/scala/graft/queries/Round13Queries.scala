@@ -246,6 +246,13 @@ object Round13Queries {
       |  ELSE 'https://' || source || '.com/data/./Alpha' || CAST(doc_id % 25 AS VARCHAR)
       |END""".stripMargin
 
+  /** The planted-URL fixture as `(doc_id, url)` rows — public so the
+    * streaming URL-dedup twin (StreamingSpec) feeds the SAME fixture
+    * the q187 batch gate canonicalizes.
+    */
+  def plantedUrls(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), url187.as("url"))
+
   /** The oracle twin of [[UrlOps.pctNormalize]] over column `c` —
     * same tokenizer pattern, same unreserved set; the hex value is
     * strpos arithmetic (DuckDB has no hex-string cast in this form).

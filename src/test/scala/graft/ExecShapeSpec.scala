@@ -46,7 +46,13 @@ class ExecShapeSpec extends AnyFunSuite {
     ("q175_bpe_train", 55, 107),
     ("q176_bpe_train_bytes", 71, 139),
     ("q177_classifier_train", 81, 192),
-    ("q180_train_tokenize", 29, 64))
+    ("q180_train_tokenize", 29, 64),
+    // the r13 held-out-eval twins keep their parents' loop contracts:
+    // q185 = q177's 16-epoch loop + the eval join/rollup (86/209);
+    // q188 = q180's 16-merge train + tokenize, identical counts 29/64
+    // (the split filters change volumes, not shapes). Derived twice.
+    ("q185_classifier_eval", 86, 209),
+    ("q188_bpe_heldout_eval", 29, 64))
 
   for ((name, jobs, stages) <- pinned)
     test(s"$name submits exactly $jobs jobs / $stages stages at sf0.001") {

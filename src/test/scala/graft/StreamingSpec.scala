@@ -402,6 +402,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming URL dedup: first-seen canonical-url keep set equals the batch distinct") {
+    // crawl-side exact URL dedup as a STREAM: canonicalize per
+    // micro-batch (normalizeUrlFull is pure per-row, so it fuses into
+    // the batch scan), dropDuplicates on the canonical key. No
+    // watermark on purpose — a crawl dedup key never expires; state is
+    // the distinct-url set, the same state the batch dedup holds. The
+    // emitted keep set must equal the batch distinct over the SAME
+    // planted fixture (which doc_id wins a dup group is batch-order-
+    // dependent — the canonical-url SET is the deterministic contract).
+    import graft.operators.UrlOps
+    val docs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+    val urls = graft.queries.Round13Queries.plantedUrls(docs)
+    val root = java.nio.file.Files.createTempDirectory("url_dedup_stream").toString
+    urls.repartition(4).write.parquet(s"$root/in")
+    val canon = spark.readStream
+      .schema(urls.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/in")
+      .select(UrlOps.normalizeUrlFull(col("url")).as("url_canon"))
+      .dropDuplicates("url_canon")
+    val q = canon.writeStream
+      .format("memory")
+      .queryName("url_keeps")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT url_canon FROM url_keeps")
+      .collect().map(_.getString(0)).toSeq
+    val batch = urls
+      .select(UrlOps.normalizeUrlFull(col("url")).as("u"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    assert(streamed.size == streamed.toSet.size, "stream emitted a duplicate keep")
+    assert(streamed.toSet == batch.toSet)
+  }
+
   test("idempotent foreachBatch sink: batch replay overwrites, never duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
