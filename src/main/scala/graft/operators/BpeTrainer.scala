@@ -47,8 +47,11 @@ import org.apache.spark.sql.functions._
   *    shuffle volume drops from every adjacent pair in the vocabulary
   *    (~Σ|word|) to the touched-word delta + the distinct-pair table.
   *
-  * `GRAFT_BPE_INCR=on|off` forces an arm (the A/B switch); the
-  * `incremental` parameter overrides both. Still exactly ONE argmax
+  * `GRAFT_BPE_INCR=on|off` forces a distributed arm (the A/B switch);
+  * the `incremental` parameter overrides both, and either form of
+  * explicit distributed-arm request also opts OUT of the r13 local
+  * (driver-side) arm's auto-select — `local`/`GRAFT_BPE_LOCAL` have
+  * the final say on that axis. Still exactly ONE argmax
   * action per merge in either arm — inherent to greedy BPE (each pick
   * depends on the previous fold) — so a 32k-merge production
   * vocabulary remains 32k small jobs; what the delta maintenance
@@ -292,9 +295,16 @@ object BpeTrainer {
         // (r12 ADVICE).
         throw new IllegalArgumentException(s"$name must be 'on' or 'off'; got '$other'")
     }
+    // An EXPLICIT distributed-arm request (incremental parameter or
+    // GRAFT_BPE_INCR env) opts out of the local auto-select — a caller
+    // A/B-ing the distributed arms must never be silently rerouted to
+    // a driver-side loop (r13 review finding).
+    val distributedRequested =
+      incremental.isDefined || sys.env.contains("GRAFT_BPE_INCR")
     val useLocal = local
       .orElse(sys.env.get("GRAFT_BPE_LOCAL").map(onOff("GRAFT_BPE_LOCAL")))
-      .getOrElse(nMerges >= LocalAutoMergeFloor && vocabRows <= LocalVocabCeil)
+      .getOrElse(
+        !distributedRequested && nMerges >= LocalAutoMergeFloor && vocabRows <= LocalVocabCeil)
     val useIncremental = incremental
       .orElse(sys.env.get("GRAFT_BPE_INCR").map(onOff("GRAFT_BPE_INCR")))
       .getOrElse(vocabRows >= IncrAutoVocabFloor)
@@ -406,11 +416,10 @@ object BpeTrainer {
     val heap = new java.util.PriorityQueue[(Long, String, String)](64, heapOrd)
     def push(p: (String, String), c: Long): Unit =
       if (c >= minPairCount && !hasControlChar(p._1 + p._2)) heap.add((c, p._1, p._2)): Unit
-    def bump(p: (String, String), delta: Long, idx: Int, addIdx: Boolean): Unit = {
+    def bump(p: (String, String), delta: Long): Unit = {
       val c = counts.getOrElse(p, 0L) + delta
       if (c == 0L) counts.remove(p) else counts(p) = c
       if (delta != 0L) push(p, c)
-      if (addIdx) occ.getOrElseUpdate(p, mutable.HashSet.empty) += idx
     }
     // init quietly (no per-increment heap churn), then seed the heap
     // once per final pair
@@ -470,7 +479,7 @@ object BpeTrainer {
             val newSet = next.iterator.zip(next.iterator.drop(1)).toSet
             for (p <- oldSet if !newSet.contains(p))
               occ.get(p).foreach { s => s -= idx; if (s.isEmpty) occ.remove(p): Unit }
-            for ((p, d) <- delta if d != 0L) bump(p, d, idx, addIdx = false)
+            for ((p, d) <- delta if d != 0L) bump(p, d)
             for (p <- newSet if !oldSet.contains(p))
               occ.getOrElseUpdate(p, mutable.HashSet.empty) += idx
             wordSyms(idx) = next

@@ -80,6 +80,35 @@ object ClassifierTrainer {
   private def fd(a: Column, m: Long): Column =
     call_function("div", a - pmod(a, lit(m)), lit(m))
 
+  /** Per-document feature vectors over `(__id, __t)` rows: hashed-
+    * bigram bucket counts normalized to ppm of the doc's own total,
+    * with the bias pseudo-feature (-1, 1e6) prepended — as `__fx`
+    * struct arrays, one row per doc that has >= 1 bigram. The SINGLE
+    * source of the feature space: [[train]] and [[scoreDf]] both call
+    * this, so the held-out eval can never score in a drifted space
+    * (r13 review finding).
+    */
+  private def perDocFeatures(base: DataFrame, buckets: Int): DataFrame = {
+    val cnt = base
+      .select(col("__id"), explode(Dedup.wordNGramsAll(col("__t"), 2)).as("__g"))
+      .select(col("__id"), (graft.functions.Hashing.h32(col("__g")) % buckets).as("__b"))
+      .groupBy(col("__id"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    cnt
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("__N"), collect_list(struct(col("__b"), col("__c"))).as("__bc"))
+      .select(
+        col("__id"),
+        concat(
+          array(struct(lit(-1L).as("b"), lit(1000000L).as("x"))),
+          transform(
+            col("__bc"),
+            e => struct(
+              e.getField("__b").as("b"),
+              call_function("div", e.getField("__c") * lit(1000000L), col("__N")).as("x"))))
+          .as("__fx"))
+  }
+
   /** The marker-verdict distillation target: 1 iff
     * [[TextAnalysis.predictLang]] would say "en" (no CJK, not
     * German-dominant, en ≥ es and en ≥ fr) — the exact q26 CASE arm.
@@ -118,27 +147,9 @@ object ClassifierTrainer {
     val base = corpus
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"), col(textCol).as("__t"))
-    val cnt = base
-      .select(col("__id"), explode(Dedup.wordNGramsAll(col("__t"), 2)).as("__g"))
-      .select(col("__id"), (graft.functions.Hashing.h32(col("__g")) % buckets).as("__b"))
-      .groupBy(col("__id"), col("__b"))
-      .agg(count(lit(1)).as("__c"))
     // Per-doc ppm features in one doc-grain aggregate (no window, no
-    // self-join): collect this doc's (b, c) list, normalize by the
-    // list's own total, prepend the bias pseudo-feature.
-    val perDoc = cnt
-      .groupBy(col("__id"))
-      .agg(sum(col("__c")).as("__N"), collect_list(struct(col("__b"), col("__c"))).as("__bc"))
-      .select(
-        col("__id"),
-        concat(
-          array(struct(lit(-1L).as("b"), lit(1000000L).as("x"))),
-          transform(
-            col("__bc"),
-            e => struct(
-              e.getField("__b").as("b"),
-              call_function("div", e.getField("__c") * lit(1000000L), col("__N")).as("x"))))
-          .as("__fx"))
+    // self-join) — the shared perDocFeatures space.
+    val perDoc = perDocFeatures(base, buckets)
     val labels = base.select(col("__id"), enVerdict(col("__t")).as("__y"))
 
     // Docs with zero bigrams have no feature rows and are excluded
@@ -273,24 +284,8 @@ object ClassifierTrainer {
     val base = corpus
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"), col(textCol).as("__t"))
-    val cnt = base
-      .select(col("__id"), explode(Dedup.wordNGramsAll(col("__t"), 2)).as("__g"))
-      .select(col("__id"), (graft.functions.Hashing.h32(col("__g")) % buckets).as("__b"))
-      .groupBy(col("__id"), col("__b"))
-      .agg(count(lit(1)).as("__c"))
-    val feats = cnt
-      .groupBy(col("__id"))
-      .agg(sum(col("__c")).as("__N"), collect_list(struct(col("__b"), col("__c"))).as("__bc"))
-      .select(
-        col("__id"),
-        explode(concat(
-          array(struct(lit(-1L).as("b"), lit(1000000L).as("x"))),
-          transform(
-            col("__bc"),
-            e => struct(
-              e.getField("__b").as("b"),
-              call_function("div", e.getField("__c") * lit(1000000L), col("__N")).as("x")))))
-          .as("f"))
+    val feats = perDocFeatures(base, buckets)
+      .select(col("__id"), explode(col("__fx")).as("f"))
       .select(col("__id"), col("f.b").as("__b"), col("f.x").as("__x"))
     val wdf = weights.map { case (b, w) => (b.toLong, w) }.toDF("__b", "__w")
     val dots = feats

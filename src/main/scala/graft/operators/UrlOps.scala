@@ -124,15 +124,22 @@ object UrlOps {
       .otherwise(u)
   }
 
-  /** [[normalizeUrl]] + percent-encoding normalization + dot-segment
+  /** Percent normalization + [[normalizeUrl]] + dot-segment
     * resolution — the canonicalization the r12 verdict named as the
     * gap that silently splits dup groups on real crawls (q187 plants
-    * exactly those collisions). Dot resolution can re-create a
-    * trailing slash (`/a/..` → `/`), so the trailing-slash rule
-    * re-applies last.
+    * exactly those collisions). ORDER matters twice: percent
+    * normalization runs FIRST, so a decoded letter landing in the
+    * authority (`%41.com` → `A.com`) still passes through the
+    * lowercase step (`a.com` — running it after would break the
+    * lowercase-host invariant and split host dup groups, r13 review
+    * finding); and dot resolution can re-create a trailing slash
+    * (`/a/..` → `/`), so the trailing-slash rule re-applies last.
+    * Decoding only unreserved octets can never materialize a
+    * structural delimiter, so the pct pass cannot change what the
+    * later regex stages see as scheme/authority/query boundaries.
     */
   def normalizeUrlFull(url: Column): Column = {
-    val canon = resolveDotSegments(pctNormalize(normalizeUrl(url)))
+    val canon = resolveDotSegments(normalizeUrl(pctNormalize(url)))
     regexp_replace(canon, "^([^?]*[^/?])/(\\?.*)?$", "$1$2")
   }
 

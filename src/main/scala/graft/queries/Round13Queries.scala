@@ -50,34 +50,32 @@ object Round13Queries {
     * drifted weight or a flipped prediction anywhere fails the hash.
     */
   val q185ClassifierEval: Q = (s, d) => {
+    import s.implicits._
     val docs = Tables.documents(s, d)
     val trainDocs = docs.filter(col("text").isNotNull && col("doc_id") % 5 =!= 0)
     val evalDocs = docs.filter(col("text").isNotNull && col("doc_id") % 5 === 0)
     val w = graft.operators.ClassifierTrainer
       .train(trainDocs, "text", "doc_id", Buckets, Epochs, LrMicro)
-    val conf = graft.operators.ClassifierTrainer
+    // ONE eval pass; the confusion table is <= 4 rows BY CONSTRUCTION
+    // (y, y_hat in {0,1}) — bounded driver bookkeeping, so deriving
+    // balanced accuracy in Scala avoids re-executing the corpus-grain
+    // scoring lineage for a second aggregate branch (r13 review
+    // finding: the previous crossJoin ran the eval pipeline twice).
+    val confRows = graft.operators.ClassifierTrainer
       .scoreDf(evalDocs, "text", "doc_id", Buckets, w)
       .withColumn("y_hat", when(col("dot") >= 0L, 1L).otherwise(0L))
       .groupBy(col("y"), col("y_hat"))
       .agg(count(lit(1)).as("n_docs"))
-    val rate = (num: Column, den: Column) =>
-      when(den > 0L, call_function("div", num * lit(1000000L), den)).otherwise(lit(0L))
-    val bacc = conf
-      .agg(
-        coalesce(sum(when(col("y") === 1L && col("y_hat") === 1L, col("n_docs"))), lit(0L))
-          .as("tp"),
-        coalesce(sum(when(col("y") === 1L && col("y_hat") === 0L, col("n_docs"))), lit(0L))
-          .as("fn"),
-        coalesce(sum(when(col("y") === 0L && col("y_hat") === 0L, col("n_docs"))), lit(0L))
-          .as("tn"),
-        coalesce(sum(when(col("y") === 0L && col("y_hat") === 1L, col("n_docs"))), lit(0L))
-          .as("fp"))
-      .select(
-        call_function(
-          "div",
-          rate(col("tp"), col("tp") + col("fn")) + rate(col("tn"), col("tn") + col("fp")),
-          lit(2L)).as("bacc_ppm"))
-    conf.crossJoin(bacc).orderBy(col("y"), col("y_hat"))
+      .collect()
+    def cell(y: Long, yh: Long): Long =
+      confRows.find(r => r.getLong(0) == y && r.getLong(1) == yh).map(_.getLong(2)).getOrElse(0L)
+    val (tp, fnc, tn, fp) = (cell(1, 1), cell(1, 0), cell(0, 0), cell(0, 1))
+    def rate(num: Long, den: Long): Long = if (den > 0) num * 1000000L / den else 0L
+    val baccPpm = (rate(tp, tp + fnc) + rate(tn, tn + fp)) / 2
+    confRows.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), baccPpm))
+      .toDF("y", "y_hat", "n_docs", "bacc_ppm")
+      .orderBy(col("y"), col("y_hat"))
   }
 
   val q185Sql: String =
@@ -200,7 +198,7 @@ object Round13Queries {
       |  SELECT h.doc_id, h.host, d.dom AS domain_psl,
       |    CASE WHEN regexp_matches(h.host, '[^.]+\\.[^.]+$$')
       |         THEN regexp_extract(h.host, '[^.]+\\.[^.]+$$', 0) ELSE h.host END AS domain_proxy
-      |  FROM hosts0 h JOIN psl_dom d ON d.host = h.host)
+      |  FROM hosts0 h LEFT JOIN psl_dom d ON d.host = h.host)
       |SELECT doc_id, host, domain_psl, domain_proxy,
       |  (domain_psl IS NOT DISTINCT FROM domain_proxy) AS agree,
       |  CAST(row_number() OVER (PARTITION BY domain_psl ORDER BY doc_id) AS BIGINT) AS rk,
@@ -294,13 +292,13 @@ object Round13Queries {
     s"""WITH u0 AS (
       |  SELECT doc_id, $url187Sql AS u
       |  FROM documents WHERE text IS NOT NULL),
-      |n1 AS (SELECT doc_id, ${Round12Queries.normalizeUrlSql("u")} AS b FROM u0),
-      |p1 AS (SELECT doc_id, ${pctNormalizeSql("b")} AS p FROM n1),
+      |p1 AS (SELECT doc_id, ${pctNormalizeSql("u")} AS pct FROM u0),
+      |n1 AS (SELECT doc_id, ${Round12Queries.normalizeUrlSql("pct")} AS p FROM p1),
       |d0 AS (SELECT doc_id, p,
       |         regexp_extract(p, '($schemeAuthPath)', 1) AS pre,
       |         regexp_extract(p, '$schemeAuthPath([^?#]*)', 1) AS path,
       |         regexp_replace(p, '$schemeAuthPath[^?#]*', '') AS rest
-      |       FROM p1),
+      |       FROM n1),
       |d1 AS (SELECT doc_id, p, pre, path, rest,
       |         list_reduce(
       |           list_prepend([]::VARCHAR[],

@@ -247,9 +247,10 @@ object EventStreams {
       wrappedDir: String,
       schema: org.apache.spark.sql.types.StructType,
       outDir: String,
-      checkpointDir: String): Unit = {
+      checkpointDir: String,
+      readerOptions: Map[String, String] = Map.empty): Unit = {
     val stream = graft.operators.Intake.perDocStats(
-      spark.readStream.schema(schema).parquet(wrappedDir))
+      spark.readStream.schema(schema).options(readerOptions).parquet(wrappedDir))
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -48,10 +48,13 @@ class ExecShapeSpec extends AnyFunSuite {
     ("q177_classifier_train", 81, 192),
     ("q180_train_tokenize", 29, 64),
     // the r13 held-out-eval twins keep their parents' loop contracts:
-    // q185 = q177's 16-epoch loop + the eval join/rollup (86/209);
+    // q185 = q177's 16-epoch loop + ONE eval scoring pass (85/199 —
+    // re-derived after the review fix that collects the <=4-row
+    // confusion once instead of crossJoining a second aggregate
+    // branch over the same lineage);
     // q188 = q180's 16-merge train + tokenize, identical counts 29/64
     // (the split filters change volumes, not shapes). Derived twice.
-    ("q185_classifier_eval", 86, 209),
+    ("q185_classifier_eval", 85, 199),
     ("q188_bpe_heldout_eval", 29, 64))
 
   for ((name, jobs, stages) <- pinned)

@@ -380,17 +380,9 @@ class StreamingSpec extends AnyFunSuite {
     val wrapped = graft.queries.Round12Queries.htmlWrapped(docs)
     val root = java.nio.file.Files.createTempDirectory("intake_stream").toString
     wrapped.repartition(4).write.parquet(s"$root/in")
-    val stream = graft.operators.Intake.perDocStats(
-      spark.readStream
-        .schema(wrapped.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(s"$root/in"))
-    val q = stream.writeStream
-      .option("checkpointLocation", s"$root/ck")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch(EventStreams.writeBatchIdempotent(s"$root/out") _)
-      .start()
-    q.awaitTermination()
+    EventStreams.runIntakeAvailableNow(
+      spark, s"$root/in", wrapped.schema, s"$root/out", s"$root/ck",
+      readerOptions = Map("maxFilesPerTrigger" -> "1"))
     val batches = new java.io.File(s"$root/out")
       .listFiles().map(_.getName).count(_.startsWith("batch_id="))
     assert(batches >= 2, s"expected several micro-batches, got $batches")

@@ -75,6 +75,9 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(full("https://a.com/p%") === "https://a.com/p%") // stray % untouched
     assert(full("https://a.com/p%zz") === "https://a.com/p%zz") // non-hex untouched
     assert(full("https://a.com/%2E%2E/x") === "https://a.com/x") // %2E decodes to '.' THEN resolves
+    // pct runs BEFORE the lowercase step: a decoded letter in the
+    // AUTHORITY still lowercases (else %41.com and a.com split)
+    assert(full("https://%41.com/x") === "https://a.com/x")
   }
 
   test("dot segments resolve (RFC 3986 remove_dot_segments on the path)") {

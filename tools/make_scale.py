@@ -59,9 +59,18 @@ def main():
     import os
     os.makedirs(dest, exist_ok=True)
 
+    # two base-26 letter positions bound the per-replica suffix space;
+    # past it chr() would leak non-letters and the GPT-2 pre-tokenizer
+    # would split the suffixed word (breaking the letters-only
+    # invariant --vocab-grow documents). Plain and per-doc modes don't
+    # use the replica suffix, so they stay unbounded.
+    if vocab_grow and not vocab_doc:
+        assert n <= 26 * 26 + 1, \
+            f"--vocab-grow supports at most {26*26+1} replicas; got {n}"
+
     def suffix(i):
-        # replica 1 -> "qa", 2 -> "qb", ... pure letters, 'q' leading so
-        # suffixed words rarely collide with real corpus words
+        # replica 1 -> "qaa", 2 -> "qab", ... pure letters, 'q' leading
+        # so suffixed words rarely collide with real corpus words
         return "q" + chr(97 + (i - 1) // 26) + chr(97 + (i - 1) % 26)
 
     for table, offs in OFFSETS.items():
