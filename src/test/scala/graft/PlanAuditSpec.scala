@@ -483,4 +483,35 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
     }
   }
+
+  test("q186: the PSL rule table BROADCASTS (bounded by the snapshot); no cartesian, no nested loop") {
+    val p = plan("q186_psl_domain_cap")
+    // the rule join is the one CORRECT bounded broadcast in this
+    // family (the snapshot file bounds it, unlike the r12 word-map);
+    // the suffix-candidate condition is equi-on-sfx + a min-host
+    // filter, so it must plan as a BroadcastHashJoin with condition,
+    // never a nested loop
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q187: canonicalization is per-row; the dup count is one equi-join on the canonical key") {
+    val p = plan("q187_url_canonical_dup")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // no Window anywhere — the dup verdict is a hash-aggregate + join,
+    // not a partitioned rank
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q188: held-out tokenization keeps the q180 shape — runtime kernel over the distinct map, no cartesian") {
+    val df = SparkEntry.queries("q188_bpe_heldout_eval")(spark, sf)
+    val fp = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fp.contains("graft_bpe_table"), fp.take(3000))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), s"q188 must not shuffle-join the word map at test SF: ${p.take(3000)}")
+  }
 }
