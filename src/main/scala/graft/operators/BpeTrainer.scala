@@ -452,9 +452,12 @@ object BpeTrainer {
       else {
         val (l, r) = top
         merges += ((l, r))
-        // re-push the winner: selection does not consume its count —
-        // the fold below adjusts it via deltas like any other pair
-        push(top, counts(top))
+        // No winner re-push: the fold below consumes every (l, r)
+        // adjacency (each occurrence merges), so the delta bookkeeping
+        // drives the winner's count to 0 and removes it — a re-push
+        // with the pre-fold count would be a guaranteed-stale heap
+        // entry. If a later fold RE-CREATES the pair (a merge whose
+        // output borders l), bump() pushes it fresh like any pair.
         val touched = occ.getOrElse(top, mutable.HashSet.empty).toArray
         java.util.Arrays.sort(touched) // determinism of HashMap-free iteration
         for (idx <- touched) {

@@ -378,10 +378,78 @@ object Dedup {
       .select(col(idCol), col("bd.band").as("band"), col("bd.bv").as("bv"))
   }
 
-  def lshCandidates(sig: DataFrame, idCol: String, k: Int, nBands: Int): DataFrame = {
+  /** Per-bucket fan-out ceiling for the LSH candidate joins. A bucket
+    * of B docs contributes B² join rows (B·B_other cross-corpus), so
+    * 10⁴ bounds any single (band, bandValue) bucket at ~5·10⁷ pairs —
+    * the [[Bipartite.DefaultMaxKeyRows]] cost story. The single most
+    * common degenerate input at crawl scale is an EXACT-DUPLICATE
+    * mega-cluster: its members agree on every band, so without this
+    * gate the self-join is quadratic in the cluster size (a 10⁶-doc
+    * cluster emits ~5·10¹¹ candidates). Exact dups should be removed
+    * by [[exactDedup]] BEFORE near-dup candidate generation — the gate
+    * makes that ordering a loud contract instead of a stage-timeline
+    * discovery.
+    */
+  val DefaultMaxBucketDocs: Long = 10000L
+
+  /** In-job bucket-size gate over a banded (…, band, bv) frame — the
+    * [[Bipartite]] `raise_error`-projection discipline: one map-side-
+    * combined count per bucket, folded into the join plan (no extra
+    * action), that either THROWS naming the offending bucket or, with
+    * `drop = true`, silently removes oversize buckets (the winnowing
+    * "drop overly-common fingerprints" semantics — documented recall
+    * loss: members of a dropped bucket can still meet in their other
+    * bands, but an exact-dup cluster agrees on ALL bands and exits the
+    * candidate set entirely). The `__g` column must be referenced
+    * downstream or column pruning would delete the raise_error.
+    */
+  private def gatedBuckets(
+      bands: DataFrame,
+      maxBucketDocs: Long,
+      drop: Boolean,
+      op: String): DataFrame =
+    bands
+      .groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("__bc"))
+      .select(
+        col("band"),
+        col("bv"),
+        when(
+          col("__bc") > maxBucketDocs,
+          if (drop) lit(0)
+          else
+            raise_error(concat(
+              lit(s"$op: LSH bucket (band="),
+              col("band").cast("string"),
+              lit(", bv="),
+              col("bv").cast("string"),
+              lit(") holds "),
+              col("__bc").cast("string"),
+              lit(s" docs > maxBucketDocs=$maxBucketDocs — the band join is quadratic in " +
+                "bucket size; run exactDedup first (exact-dup clusters agree on every band) " +
+                "or pass dropOversizeBuckets = true to trade recall for boundedness"))))
+          .otherwise(lit(1))
+          .as("__g"))
+      .filter(col("__g") === 1)
+      .select(col("band"), col("bv"))
+
+  def lshCandidates(
+      sig: DataFrame,
+      idCol: String,
+      k: Int,
+      nBands: Int,
+      maxBucketDocs: Long = DefaultMaxBucketDocs,
+      dropOversizeBuckets: Boolean = false): DataFrame = {
+    require(maxBucketDocs >= 1, s"lshCandidates: maxBucketDocs >= 1; got $maxBucketDocs")
+    // Three consumers of the banded frame (both join sides + the
+    // bucket gate): persist it so the md5-heavy signature lineage runs
+    // once, not three times (the winnowCandidatePairs precedent).
     val exploded = lshBands(sig, idCol, k, nBands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     exploded
       .select(col(idCol).as("id_a"), col("band"), col("bv"))
+      .join(gatedBuckets(exploded, maxBucketDocs, dropOversizeBuckets, "lshCandidates"),
+        Seq("band", "bv"))
       .join(exploded.select(col(idCol).as("id_b"), col("band"), col("bv")), Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -403,15 +471,34 @@ object Dedup {
       corpusSig: DataFrame,
       idCol: String,
       k: Int,
-      nBands: Int): DataFrame =
-    lshBands(batchSig, idCol, k, nBands)
+      nBands: Int,
+      maxBucketDocs: Long = DefaultMaxBucketDocs,
+      dropOversizeBuckets: Boolean = false): DataFrame = {
+    require(maxBucketDocs >= 1, s"incrementalCandidates: maxBucketDocs >= 1; got $maxBucketDocs")
+    // Cross-corpus bucket mass is |bucket_batch| × |bucket_corpus|, so
+    // BOTH sides carry the gate: each side's buckets are bounded at
+    // maxBucketDocs, bounding any one bucket's pair mass at
+    // maxBucketDocs² (the corpus side is where a crawl's exact-dup
+    // mega-cluster lives; the batch side guards a degenerate delta).
+    // The batch frame feeds two consumers (its gate + the join) and
+    // the corpus frame likewise — persist both banded frames so the
+    // md5-heavy signature lineage runs once per side.
+    val batchBands = lshBands(batchSig, idCol, k, nBands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusBands = lshBands(corpusSig, idCol, k, nBands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    batchBands
       .select(col(idCol).as("new_id"), col("band"), col("bv"))
+      .join(gatedBuckets(batchBands, maxBucketDocs, dropOversizeBuckets,
+        "incrementalCandidates(batch)"), Seq("band", "bv"))
+      .join(gatedBuckets(corpusBands, maxBucketDocs, dropOversizeBuckets,
+        "incrementalCandidates(corpus)"), Seq("band", "bv"))
       .join(
-        lshBands(corpusSig, idCol, k, nBands)
-          .select(col(idCol).as("old_id"), col("band"), col("bv")),
+        corpusBands.select(col(idCol).as("old_id"), col("band"), col("bv")),
         Seq("band", "bv"))
       .select("new_id", "old_id")
       .distinct()
+  }
 
   /** Exact Jaccard similarity of two (already-distinct) array columns. */
   def jaccard(a: Column, b: Column): Column =

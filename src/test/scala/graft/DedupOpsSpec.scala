@@ -203,4 +203,81 @@ class DedupOpsSpec extends AnyFunSuite {
     }
     assert(exNd.getMessage.contains("O(n²)"))
   }
+
+  /** Messages down the cause chain — the in-job bucket gate's
+    * raise_error arrives wrapped (SparkException → SparkRuntimeException).
+    */
+  private def messageChain(t: Throwable): String = {
+    val b = new StringBuilder
+    var cur: Throwable = t
+    while (cur != null) { b.append(Option(cur.getMessage).getOrElse("")).append('\n'); cur = cur.getCause }
+    b.toString
+  }
+
+  /** A signature frame where every doc in [lo, hi] carries the SAME
+    * k-row signature `v` — an exact-duplicate cluster (agrees on every
+    * band), the degenerate input the bucket gate exists for.
+    */
+  private def constSig(lo: Long, hi: Long, v: Long, k: Int) = {
+    val base = spark.range(lo, hi + 1).toDF("doc_id")
+    base.select(col("doc_id") +: (0 until k).map(j => lit(v).as(s"mh$j")): _*)
+  }
+
+  test("lshCandidates: a planted 10^4-doc exact-dup mega-cluster trips the in-job bucket gate") {
+    // 10 001 identical signatures — every band bucket holds 10 001 docs,
+    // one over the DEFAULT gate. Without the gate this self-join would
+    // emit ~5·10⁷ pairs per band; with it, the counts stage raises
+    // before the fan-out materializes.
+    val sig = constSig(1L, 10001L, 7L, k = 12)
+    val e = intercept[Exception] {
+      Dedup.lshCandidates(sig, "doc_id", k = 12, nBands = 3).count()
+    }
+    val msg = messageChain(e)
+    assert(msg.contains("maxBucketDocs"), msg)
+    assert(msg.contains("10001"), msg) // the offending bucket's size is named
+    assert(msg.contains("exactDedup"), msg) // and the remedy
+  }
+
+  test("lshCandidates: dropOversizeBuckets removes the mega-cluster, keeps honest candidates") {
+    // An exact-dup cluster over the gate plus a 3-doc cluster under it:
+    // drop mode must silently retire the former (it agrees on EVERY
+    // band, so it leaves the candidate set entirely) and still emit
+    // the latter's C(3,2) pairs.
+    val mega = constSig(1L, 60L, 7L, k = 12)
+    val small = constSig(101L, 103L, 9L, k = 12)
+    val out = Dedup
+      .lshCandidates(mega.unionByName(small), "doc_id", k = 12, nBands = 3,
+        maxBucketDocs = 50L, dropOversizeBuckets = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(out === Set((101L, 102L), (101L, 103L), (102L, 103L)))
+    // and an un-degenerate corpus passes the default gate untouched
+    val honest = Dedup
+      .lshCandidates(mega.filter(col("doc_id") <= 3L).unionByName(small), "doc_id", 12, 3)
+      .count()
+    assert(honest === 6L) // two 3-cliques
+  }
+
+  test("incrementalCandidates: a corpus-side mega-bucket trips the gate; drop mode degrades") {
+    val batch = constSig(1L, 5L, 7L, k = 12)
+    val corpus = constSig(1001L, 1100L, 7L, k = 12)
+    val e = intercept[Exception] {
+      Dedup.incrementalCandidates(batch, corpus, "doc_id", 12, 3, maxBucketDocs = 50L).count()
+    }
+    val msg = messageChain(e)
+    assert(msg.contains("incrementalCandidates(corpus)"), msg)
+    assert(msg.contains("100"), msg)
+    // drop mode: the corpus mega-bucket is retired; a small corpus
+    // cluster in a different bucket still meets the batch.
+    val corpus2 = corpus.unionByName(constSig(2001L, 2003L, 9L, k = 12))
+    val batch2 = batch.unionByName(constSig(11L, 11L, 9L, k = 12))
+    val out = Dedup
+      .incrementalCandidates(batch2, corpus2, "doc_id", 12, 3,
+        maxBucketDocs = 50L, dropOversizeBuckets = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(out === Set((11L, 2001L), (11L, 2002L), (11L, 2003L)))
+  }
 }
