@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   * `co.uk` domain, under-capping every real site on that suffix.
   *
   * Rules come from the checked-in snapshot
-  * `graft/psl_snapshot.dat` (publicsuffix.org data, standard PSL line
-  * format — `//` comments, `*.` wildcards, `!` exceptions). The
+  * `graft/psl_snapshot.dat` — since r14 the FULL upstream list
+  * (9 506 rules, ICANN + PRIVATE sections, verbatim from the Debian
+  * `publicsuffix` package's publicsuffix.org copy), so registrable-
+  * domain accuracy is production-grade, not subset-grade. Standard PSL
+  * line format — `//` comments, `*.` wildcards, `!` exceptions. The
   * matcher implements the full publicsuffix.org algorithm:
   *
   *  1. a rule matches when the host's trailing labels equal the

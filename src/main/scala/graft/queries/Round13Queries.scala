@@ -160,32 +160,40 @@ object Round13Queries {
     * pools every `.co.uk` site into one fake domain — the gate fails
     * if the cap ever ranks on the proxy again. Shape: distinct-host
     * suffix explode → bounded-broadcast rule join → hash join back;
-    * the cap stays a partitioned window. Both engines evaluate the
+    * the cap is TOP-K MEMBERSHIP via the bounded-heap operator (no
+    * per-domain sort — see the inline note). Both engines evaluate the
     * SAME snapshot (the oracle's rule VALUES are generated from the
     * parsed resource).
     */
   val q186PslDomainCap: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Relational
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
     val hosts = docs.select(col("doc_id"), host186.as("host"))
     val withDom = Psl
       .withRegistrableDomain(hosts, "host", "domain_psl")
       .withColumn("domain_proxy", UrlOps.domainOf(col("host")))
-    withDom
       .withColumn("agree", col("domain_psl") <=> col("domain_proxy"))
-      .withColumn(
-        "rk",
-        row_number()
-          .over(Window.partitionBy(col("domain_psl")).orderBy(col("doc_id")))
-          .cast("long"))
+    // Per-domain cap as TOP-K MEMBERSHIP (r13 verdict Next #3): the
+    // bounded-heap operator keeps the 20 lowest doc_ids per PSL
+    // domain in one pass — no per-domain full sort, so a head domain
+    // at crawl scale costs O(n log 20) in its one task instead of a
+    // partition-sized sort. The oracle keeps the window row_number
+    // formulation as the independent semantics check. NULL domains
+    // (host IS a public suffix) group together — same as PARTITION BY.
+    val kept = Relational
+      .topKPerGroup(
+        withDom.select(col("doc_id"), col("domain_psl")).withColumn("__ord", -col("doc_id")),
+        20, "domain_psl", "__ord", "doc_id")
+      .select(col("doc_id"), lit(true).as("keep"))
+    withDom
+      .join(kept, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         col("host"),
         col("domain_psl"),
         col("domain_proxy"),
         col("agree"),
-        col("rk"),
-        (col("rk") <= 20L).as("keep"))
+        coalesce(col("keep"), lit(false)).as("keep"))
       .orderBy(col("doc_id"))
   }
 
@@ -201,7 +209,6 @@ object Round13Queries {
       |  FROM hosts0 h LEFT JOIN psl_dom d ON d.host = h.host)
       |SELECT doc_id, host, domain_psl, domain_proxy,
       |  (domain_psl IS NOT DISTINCT FROM domain_proxy) AS agree,
-      |  CAST(row_number() OVER (PARTITION BY domain_psl ORDER BY doc_id) AS BIGINT) AS rk,
       |  (row_number() OVER (PARTITION BY domain_psl ORDER BY doc_id) <= 20) AS keep
       |FROM j ORDER BY doc_id NULLS FIRST""".stripMargin
 

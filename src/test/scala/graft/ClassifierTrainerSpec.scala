@@ -61,7 +61,37 @@ class ClassifierTrainerSpec extends AnyFunSuite {
     assert(w.values.max == 200000L && w.values.min == -200000L)
   }
 
+  test("arm equality: driver-side local arm ≡ distributed arm at 16 epochs (sf0.001)") {
+    // The r13 verdict Next #4 gate: the collected-arrays GD loop and
+    // the distributed epoch loop must produce the identical weight
+    // table at the q177/q185 epoch count. Both arms forced explicitly
+    // (an explicit request is never rerouted by the auto-select).
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val loc = ClassifierTrainer.train(
+      docs, "text", "doc_id", buckets = 1024, epochs = 16, local = Some(true))
+    val dist = ClassifierTrainer.train(
+      docs, "text", "doc_id", buckets = 1024, epochs = 16, local = Some(false))
+    assert(loc.size == dist.size)
+    val diverge = loc.zip(dist).filter { case (a, b) => a != b }
+    assert(diverge.isEmpty, s"${diverge.size} weights diverge; first: ${diverge.headOption}")
+  }
+
+  test("local arm: observed feature-count guard refuses an over-ceiling collect") {
+    import spark.implicits._
+    val f = Seq((1L, -1L, 1000000L)).toDF("__id", "__b", "__x")
+    val dd = Seq((1L, 1L)).toDF("__id", "__y")
+    val e = intercept[IllegalArgumentException] {
+      ClassifierTrainer.trainLocalArm(
+        f, dd, buckets = 4, epochs = 1, lrMicro = 800000L, n = 1L,
+        cwp = 1000000L, cwn = 1000000L, nFeat = ClassifierTrainer.LocalFeatCeil + 1)
+    }
+    assert(e.getMessage.contains("driver-collect ceiling"), e.getMessage)
+  }
+
   test("cross-implementation: engine training reproduces make_classifier.py --int on sf0.01") {
+    // Auto-selects the LOCAL arm at this scale — so this gate now
+    // pins the local arm against the independent python trainer while
+    // the arm-equality test above ties the distributed arm to it.
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val got = ClassifierTrainer.train(
       docs, "text", "doc_id", buckets = 1024, epochs = 48)

@@ -38,23 +38,26 @@ class ExecShapeSpec extends AnyFunSuite {
     ("q151_trust_dist", 22, 123),
     ("q156_temporal_reach", 19, 85),
     // trainer loops (r12): one argmax job per merge/epoch is the
-    // CONTRACT (q175: 48 merges → 55 jobs; q176: 64 → 71; q177: 16
-    // epochs; q180: 16 merges + tokenize). At fixture vocabulary the
-    // auto-select runs the full-recount arm; a wiring regression in
-    // either arm (extra per-round jobs, the union partition-doubling
-    // class) moves these counts immediately. Derived twice, identical.
+    // CONTRACT for the distributed arms (q175: 48 merges → 55 jobs;
+    // q176: 64 → 71; q180: 16 merges + tokenize). At fixture
+    // vocabulary the BPE auto-select runs the full-recount arm; a
+    // wiring regression in either arm (extra per-round jobs, the
+    // union partition-doubling class) moves these counts immediately.
+    // Derived twice, identical.
     ("q175_bpe_train", 55, 107),
     ("q176_bpe_train_bytes", 71, 139),
-    ("q177_classifier_train", 81, 192),
+    // q177/q185 auto-select the DRIVER-SIDE GD arm since r14 (feature
+    // count ≪ LocalFeatCeil at every test SF): the 16-epoch × 4-jobs
+    // loop tail collapses to the corpus featurization pass + the
+    // guarded collects (was 81/192 and 85/199 on the distributed arm,
+    // whose per-epoch shape ClassifierTrainerSpec's arm-equality test
+    // still exercises). Re-derived twice post-change, identical.
+    ("q177_classifier_train", 17, 30),
     ("q180_train_tokenize", 29, 64),
-    // the r13 held-out-eval twins keep their parents' loop contracts:
-    // q185 = q177's 16-epoch loop + ONE eval scoring pass (85/199 —
-    // re-derived after the review fix that collects the <=4-row
-    // confusion once instead of crossJoining a second aggregate
-    // branch over the same lineage);
+    // q185 = q177's featurization + train collects + ONE eval pass;
     // q188 = q180's 16-merge train + tokenize, identical counts 29/64
     // (the split filters change volumes, not shapes). Derived twice.
-    ("q185_classifier_eval", 85, 199),
+    ("q185_classifier_eval", 21, 37),
     ("q188_bpe_heldout_eval", 29, 64))
 
   for ((name, jobs, stages) <- pinned)

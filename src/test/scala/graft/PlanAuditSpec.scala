@@ -496,6 +496,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q184/q186: per-domain caps plan on the bounded-heap operator — no corpus-grain Window sort") {
+    // r13 verdict Next #3: a crawl's head domain lands in ONE task
+    // under Window.partitionBy(domain) and sorts in full for a k=20
+    // verdict (AQE skew splitting does not apply to Windows). Both cap
+    // queries must rank through TopKPerGroupExec (bounded heap, no
+    // per-group sort); the window formulation survives only in the
+    // DuckDB oracle.
+    for (q <- Seq("q184_domain_cap", "q186_psl_domain_cap")) {
+      val p = plan(q)
+      assert(p.contains("TopKPerGroup"), s"$q: ${p.take(2500)}")
+      assert(!p.contains("Window"), s"$q: ${p.take(2500)}")
+    }
+  }
+
   test("q187: canonicalization is per-row; the dup count is one equi-join on the canonical key") {
     val p = plan("q187_url_canonical_dup")
     assert(!p.contains("CartesianProduct"), p.take(3000))

@@ -24,10 +24,36 @@ class PslSpec extends AnyFunSuite {
       .map(r => Option(r.getAs[String]("d")))
   }
 
-  test("snapshot parses; join keys bounded") {
-    assert(Psl.rules.nonEmpty)
-    assert(Psl.maxKeyLabels === 3) // s3.amazonaws.com
-    assert(Psl.rules.exists(_.score >= 1000)) // the !www.ck exception
+  test("snapshot parses; join keys bounded by the snapshot, not hard-pinned") {
+    // FULL upstream list (r13 ADVICE: derive, don't pin — the snapshot
+    // must stay drop-in replaceable). The explode bound is a constant
+    // of the checked-in file; assert it stays small enough that the
+    // per-host suffix explode is a handful of rows, and that the parse
+    // actually saw the full list's scale and every rule kind.
+    assert(Psl.rules.size > 9000, s"expected the full upstream list; parsed ${Psl.rules.size}")
+    assert(Psl.maxKeyLabels === Psl.rules.map(r => r.key.count(_ == '.') + 1).max)
+    assert(Psl.maxKeyLabels >= 3 && Psl.maxKeyLabels <= 8, s"got ${Psl.maxKeyLabels}")
+    assert(Psl.rules.exists(_.score >= 1000)) // exception rules (e.g. !www.ck)
+    assert(Psl.rules.exists(r => r.minHostLabels > r.psLen)) // wildcard rules
+  }
+
+  test("full-list rule kinds the r13 subset lacked") {
+    // ccSLD families beyond the subset: com.br-style hosts no longer
+    // fall to the implicit-* last-two-labels proxy.
+    assert(dom("shop.example.com.br", "example.com.br", "com.br") ===
+      Seq(Some("example.com.br"), Some("example.com.br"), None))
+    // PRIVATE-section multi-label rules: a 5-label normal rule
+    // (s3.dualstack.ap-south-1.amazonaws.com) and the *.compute
+    // wildcard family (every compute region is its own suffix).
+    assert(dom("bucket.s3.dualstack.ap-south-1.amazonaws.com") ===
+      Seq(Some("bucket.s3.dualstack.ap-south-1.amazonaws.com")))
+    assert(dom("vm.eu-west-1.compute.amazonaws.com", "eu-west-1.compute.amazonaws.com") ===
+      Seq(Some("vm.eu-west-1.compute.amazonaws.com"), None))
+    // Japanese geographic hierarchy: *.kawasaki.jp wildcard with the
+    // !city.kawasaki.jp exception carving the city domain back out.
+    assert(dom("a.b.kawasaki.jp") === Seq(Some("a.b.kawasaki.jp")))
+    assert(dom("sub.city.kawasaki.jp", "city.kawasaki.jp") ===
+      Seq(Some("city.kawasaki.jp"), Some("city.kawasaki.jp")))
   }
 
   test("normal rules: gTLD and ccSLD registrable domains") {
