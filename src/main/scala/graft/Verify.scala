@@ -157,6 +157,21 @@ object Verify {
           df.filter(col("keep")).count() > 0 && df.filter(!col("keep")).count() > 0,
           "q184 vacuous: the domain cap never bites (or drops everything)")
       },
+      "q190_image_neardup" -> { df =>
+        import org.apache.spark.sql.functions.col
+        val pairs = df.count()
+        val planted = df.filter(col("same_doc")).count()
+        // Recall side: planted base<->variant pairs dominate. A small
+        // number of cross-image collisions is EXPECTED of dHash
+        // (same-dims images share deterministic always-zero bits,
+        // shrinking effective entropy) and gives the gate its
+        // same_doc=false rows; a collision MAJORITY means the hash
+        // degenerated.
+        require(
+          planted > 0 && planted * 2 > pairs,
+          s"q190 vacuous/degenerate: $pairs pairs, only $planted base<->variant — " +
+            "expected recovered planted variants to dominate the pair set")
+      },
       "q181_mojibake_repair" -> { df =>
         import org.apache.spark.sql.functions.col
         require(

@@ -65,4 +65,14 @@ object Hashing {
     val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
+
+  /** JVM-side replica of [[h32]] — for deterministic fixture content
+    * generated in typed `Dataset` code (e.g. the block-pattern image
+    * payloads) that the DuckDB oracle must reproduce analytically.
+    */
+  def h32Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
 }

@@ -431,6 +431,186 @@ object Multimodal {
     }
   }
 
+  // ---- perceptual image hashing (r13 verdict Next #6) ---------------
+
+  /** Per-image 64-bit perceptual hashes over REAL decoded pixels — the
+    * image analog of [[graft.operators.Dedup.simHash]], closing the
+    * "multimodal columns decode but don't dedup" gap: a resized or
+    * re-encoded copy of an image lands within a few bits of Hamming
+    * distance, so the SimHash pigeonhole banding machinery
+    * ([[graft.operators.Dedup.simHashPairs]] with bits = 64) turns
+    * image near-dup into the same bounded equi-join shape as text
+    * near-dup.
+    */
+  case class ImageHash(
+      docId: Long,
+      width: Int,
+      height: Int,
+      dhashHi: Long,
+      dhashLo: Long,
+      ahashHi: Long,
+      ahashLo: Long)
+
+  /** Integer luma at (x, y): raw raster sample for single-band (gray)
+    * images (identity — no color management), integer Rec.601
+    * `(299·R + 587·G + 114·B) div 1000` for RGB. Integers, not the
+    * float luma of [[decodeOneImage]]: perceptual hash bits must be
+    * bit-stable across engines and platforms.
+    */
+  private def lumaIntAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+    if (img.getRaster.getNumBands == 1) img.getRaster.getSample(x, y, 0)
+    else {
+      val rgb = img.getRGB(x, y)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+    }
+
+  /** dHash (difference hash): sample a 9×8 luma grid by exact
+    * nearest-neighbor (`x = (gx·w) div 9`, `y = (gy·h) div 8` — floor
+    * math, so the DuckDB oracle replays it bit-for-bit on analytic
+    * fixtures), then bit `gy·8 + gx` is set iff the sample is
+    * STRICTLY brighter than its right neighbor. Gradient-based, so
+    * it survives uniform brightness shifts and (unlike aHash) has no
+    * global-mean coupling between far-apart pixels.
+    */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 9 && h >= 8, s"dHash64 needs >= 9x8 pixels; got ${w}x$h")
+    var bits = 0L
+    var gy = 0
+    while (gy < 8) {
+      val y = gy * h / 8
+      var gx = 0
+      while (gx < 8) {
+        val a = lumaIntAt(img, gx * w / 9, y)
+        val b = lumaIntAt(img, (gx + 1) * w / 9, y)
+        if (a > b) bits |= (1L << (gy * 8 + gx))
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** aHash (average hash): 8×8 exact nearest-neighbor luma grid; bit
+    * `gy·8 + gx` is set iff the sample is strictly brighter than the
+    * FLOOR of the 64-sample mean. All-integer.
+    */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 8 && h >= 8, s"aHash64 needs >= 8x8 pixels; got ${w}x$h")
+    val s = new Array[Int](64)
+    var sum = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val v = lumaIntAt(img, gx * w / 8, gy * h / 8)
+        s(gy * 8 + gx) = v
+        sum += v
+        gx += 1
+      }
+      gy += 1
+    }
+    val mean = sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (s(i) > mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Decode each payload through the JDK codec and compute both
+    * perceptual hashes, split into unsigned 32-bit halves (`hi` =
+    * bits 32–63) so a SQL oracle can assemble them without touching
+    * the sign bit. Fails loudly on undecodable bytes (route through
+    * [[decodeImagesJdkRouted]] first on corrupt-tolerant paths).
+    */
+  def imageHashes(records: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    records.mapPartitions(_.map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"undecodable image payload for doc ${r.docId}")
+      val dh = dHash64(img)
+      val ah = aHash64(img)
+      ImageHash(
+        r.docId, img.getWidth, img.getHeight,
+        (dh >>> 32) & 0xffffffffL, dh & 0xffffffffL,
+        (ah >>> 32) & 0xffffffffL, ah & 0xffffffffL)
+    })
+  }
+
+  /** Deterministic BLOCK-pattern grayscale PNG — the fixture generator
+    * for the perceptual-hash gates: the image is an 8×8 grid of
+    * constant-luma blocks, block (bx, by) valued
+    * `h32("<seed>#<bx>#<by>") mod 256` ([[graft.functions.Hashing]]
+    * md5 semantics, so the DuckDB oracle reproduces every pixel
+    * analytically), pixel (x, y) in block `((x·8) div w, (y·8) div h)`.
+    * Piecewise-constant content is what perceptual hashing assumes of
+    * real photographs (smooth regions) — pure-noise fixtures would
+    * decorrelate under any resize.
+    */
+  def encodeBlockPng(docId: Long, seed: Long, w: Int, h: Int): MediaRecord = {
+    require(w >= 9 && h >= 8, s"encodeBlockPng needs >= 9x8; got ${w}x$h")
+    val blocks = Array.tabulate(8, 8)((by, bx) =>
+      (graft.functions.Hashing.h32Local(s"$seed#$bx#$by") % 256L).toInt)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, blocks(by)(x * 8 / w))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val bytes = baos.toByteArray
+    MediaRecord(docId, bytes, MediaMeta("image/png", bytes.length.toLong, md5Hex(bytes), w, h, 1))
+  }
+
+  /** REAL decode → EXACT-floor nearest-neighbor resample to (nw, nh)
+    * → re-encode PNG, under a new docId. Unlike [[resizePayloads]]
+    * (Java2D `drawImage`, whose NN sample mapping is implementation-
+    * defined), the resample here is `src(x·w div nw, y·h div nh)` —
+    * pure integer floor math a SQL oracle can compose, which is what
+    * lets the near-dup gate verify the WHOLE decode→resize→encode→
+    * decode→hash chain cross-engine. Grayscale output (the fixture
+    * path is single-band end to end).
+    */
+  def resizeExact(r: MediaRecord, newDocId: Long, nw: Int, nh: Int): MediaRecord = {
+    require(nw >= 9 && nh >= 8, s"resizeExact needs >= 9x8; got ${nw}x$nh")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"undecodable image payload for doc ${r.docId}")
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new java.awt.image.BufferedImage(nw, nh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = out.getRaster
+    var y = 0
+    while (y < nh) {
+      val sy = y * h / nh
+      var x = 0
+      while (x < nw) {
+        raster.setSample(x, y, 0, lumaIntAt(img, x * w / nw, sy))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    val bytes = baos.toByteArray
+    MediaRecord(
+      newDocId, bytes,
+      MediaMeta("image/png", bytes.length.toLong, md5Hex(bytes), nw, nh, 1))
+  }
+
   /** STUB resize: recomputes target dims preserving aspect; a real
     * implementation would resample pixels.
     */

@@ -260,6 +260,80 @@ class MultimodalSpec extends AnyFunSuite {
     } finally release()
   }
 
+  /** A gray image with pixel value = f(x, y), exact dims. */
+  private def grayImage(w: Int, h: Int)(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, f(x, y))
+    img
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash/aHash hand cases: monotone gradients give the closed-form bit patterns") {
+    // 9-wide left-bright gradient: every dHash comparison is
+    // strictly-decreasing to the right -> all 64 bits set.
+    val leftBright = grayImage(9, 8)((x, _) => 255 - 28 * x)
+    assert(Multimodal.dHash64(leftBright) === -1L)
+    // Right-bright: no sample beats its right neighbor -> all clear.
+    val rightBright = grayImage(9, 8)((x, _) => 28 * x)
+    assert(Multimodal.dHash64(rightBright) === 0L)
+    // aHash of the left-bright 8x8 samples: v(gx) = 255-28*gx per
+    // row, sum = 8*1256 = 10048, mean = 157 -> gx in 0..3 exceed it.
+    val a = Multimodal.aHash64(leftBright)
+    assert(a === 0x0f0f0f0f0f0f0f0fL, a.toHexString)
+    // flat image: nothing strictly beats the mean or its neighbor
+    val flat = grayImage(9, 8)((_, _) => 77)
+    assert(Multimodal.dHash64(flat) === 0L && Multimodal.aHash64(flat) === 0L)
+  }
+
+  test("perceptual hashes survive re-encode exactly and real resizes within a small Hamming ball") {
+    implicit val s = spark
+    import spark.implicits._
+    val base = Multimodal.encodeBlockPng(0L, seed = 42L, w = 96, h = 88)
+    val baseImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base.payload))
+    val dBase = Multimodal.dHash64(baseImg)
+    // identity "resize" = decode -> resample at same dims -> re-encode:
+    // byte-path round trip must not move a single bit
+    val reenc = Multimodal.resizeExact(base, 1L, 96, 88)
+    val dReenc = Multimodal.dHash64(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(reenc.payload)))
+    assert(dReenc === dBase)
+    // exact-floor nearest-neighbor downscale: block pattern survives
+    val small = Multimodal.resizeExact(base, 2L, 64, 60)
+    val dSmall = Multimodal.dHash64(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(small.payload)))
+    assert(hamming(dBase, dSmall) <= 12, s"exact-NN resize moved ${hamming(dBase, dSmall)} bits")
+    // the Java2D production resize path (resizePayloads, NN hint):
+    // implementation-defined sample mapping, but still a near-dup
+    val j2d = Multimodal.resizePayloads(Seq(base).toDS(), maxSide = 64).collect()(0)
+    val dJ2d = Multimodal.dHash64(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(j2d.payload)))
+    assert(hamming(dBase, dJ2d) <= 12, s"Java2D resize moved ${hamming(dBase, dJ2d)} bits")
+    // and an unrelated image is NOT in the ball
+    val other = Multimodal.encodeBlockPng(9L, seed = 999L, w = 96, h = 88)
+    val dOther = Multimodal.dHash64(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(other.payload)))
+    assert(hamming(dBase, dOther) > 12, s"unrelated images collided at ${hamming(dBase, dOther)}")
+  }
+
+  test("imageHashes (Dataset path) equals the local per-image computation") {
+    implicit val s = spark
+    import spark.implicits._
+    val recs = Seq(
+      Multimodal.encodeBlockPng(10L, seed = 7L, w = 80, h = 72),
+      Multimodal.encodeBlockPng(11L, seed = 8L, w = 100, h = 64))
+    val got = Multimodal.imageHashes(recs.toDS()).collect().map(ih => ih.docId -> ih).toMap
+    for (r <- recs) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      val dh = Multimodal.dHash64(img)
+      val ah = Multimodal.aHash64(img)
+      val ih = got(r.docId)
+      assert((ih.dhashHi << 32 | ih.dhashLo) === dh)
+      assert((ih.ahashHi << 32 | ih.ahashLo) === ah)
+      assert(ih.width === img.getWidth && ih.height === img.getHeight)
+    }
+  }
+
   test("fail-loud decode still throws on a corrupt payload (contract unchanged)") {
     implicit val s = spark
     import spark.implicits._
