@@ -421,17 +421,21 @@ object Bench {
       val sd =
         if (ok.size > 1) math.sqrt(ok.map(t => (t - mean) * (t - mean)).sum / (ok.size - 1))
         else 0.0
-      // First-pass reps stay under "reps"; the outlier re-run (its own
-      // fresh fork, calib_sched measured adjacent on both sides) rides
-      // a separate "retry" block so the two passes audit independently
-      // even though min/median/mean cover BOTH.
+      // "reps" lists EVERY measurement (so `min` is always an element
+      // of it — the r13 verdict's record-hygiene ask); the first-pass/
+      // retry split audits independently via "first_pass" and the
+      // "retry" block (the outlier re-run's own fresh fork, calib_sched
+      // measured adjacent on both sides), plus an explicit min_source.
       val firstPass = ts.take(if (retryDetail.contains(n)) ts.length - retryDetail(n)._1.length else ts.length)
       val ledgerPart = ledger.get(shortName(n)).map(b => s""", "ledger_sec": ${fmt(b)}""").getOrElse("")
       val retryPart = retryDetail.get(n).map { case (rreps, before, after) =>
         val repsJson = if (rreps.isEmpty) "[]" else rreps.map(fmt).mkString("[", ", ", "]")
-        s""", "retry": {"reps": $repsJson, "calib_sched_before": ${fmt(before)}, "calib_sched_after": ${fmt(after)}}"""
+        val rok = rreps.filter(_ >= 0)
+        val src =
+          if (rok.nonEmpty && ok.nonEmpty && rok.min <= ok.min) "retry" else "first_pass"
+        s""", "first_pass": [${firstPass.map(fmt).mkString(", ")}], "min_source": "$src", "retry": {"reps": $repsJson, "calib_sched_before": ${fmt(before)}, "calib_sched_after": ${fmt(after)}}"""
       }.getOrElse("")
-      s"""  "$n": {"reps": [${firstPass.map(fmt).mkString(", ")}], "min": ${fmt(mn)}, "median": ${fmt(md)}, "mean": ${fmt(mean)}, "stdev": ${fmt(sd)}$ledgerPart$retryPart}"""
+      s"""  "$n": {"reps": [${ts.map(fmt).mkString(", ")}], "min": ${fmt(mn)}, "median": ${fmt(md)}, "mean": ${fmt(mean)}, "stdev": ${fmt(sd)}$ledgerPart$retryPart}"""
     }.mkString(",\n")
     val groupsJson = groupCalib.result().map { case (tag, qs, sched, mt) =>
       s"""  {"tag": "$tag", "queries": [${qs.map("\"" + _ + "\"").mkString(", ")}], "calib_sched": ${fmt(sched)}, "calib_md5_mt": ${fmt(mt)}}"""

@@ -279,6 +279,13 @@ object ScaleCheck {
       // grow with the replicas instead of repeating).
       "train_tokenize" -> (() =>
         graft.queries.Round12Queries.q180TrainTokenize(spark, sfDir)),
+      // q190 shape END-TO-END: real PNG encode→decode→hash per doc
+      // (strictly per-row — linear) + the banded Hamming equi-join
+      // whose bucket mass is bounded by chunk-value collisions, so the
+      // slope should track the corpus ~linearly; the pair space never
+      // materializes n².
+      "imagehash" -> (() =>
+        graft.queries.Round14Queries.imageNearDupOver(docs)),
       // q140 shape over the trading graph; --docs bounds the ORDER key
       // here so the edge list (and with it the node universe) grows.
       "hits" -> (() => {

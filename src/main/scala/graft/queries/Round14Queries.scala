@@ -41,9 +41,15 @@ object Round14Queries {
     * deterministic integer derivations of doc_id, so the oracle
     * reproduces the pixel function without a codec.
     */
-  private def imageRecords(s: SparkSession, d: String): Dataset[Multimodal.MediaRecord] = {
+  private def imageRecords(s: SparkSession, d: String): Dataset[Multimodal.MediaRecord] =
+    imageRecordsFor(Tables.documents(s, d))
+
+  /** The corpus generator over an arbitrary (doc_id, …) frame — shared
+    * with [[graft.ScaleCheck]]'s `imagehash` slope probe. */
+  private[graft] def imageRecordsFor(docs: org.apache.spark.sql.DataFrame): Dataset[Multimodal.MediaRecord] = {
+    val s = docs.sparkSession
     import s.implicits._
-    val ids = Tables.documents(s, d).select(col("doc_id")).as[Long]
+    val ids = docs.select(col("doc_id")).as[Long]
     val base = ids.mapPartitions(_.map { id =>
       val wb = (64 + id % 61).toInt
       val hb = (64 + (id / 61) % 53).toInt
@@ -148,8 +154,13 @@ object Round14Queries {
     * oracle verifies the full pair set via the exact all-pairs scan
     * DuckDB can afford at oracle scale.
     */
-  val q190ImageNearDup: Q = (s, d) => {
-    val hashes = Multimodal.imageHashes(imageRecords(s, d))(s).toDF()
+  val q190ImageNearDup: Q = (s, d) =>
+    imageNearDupOver(Tables.documents(s, d))
+
+  /** q190's pipeline over an arbitrary docs frame (ScaleCheck reuse). */
+  private[graft] def imageNearDupOver(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    val hashes = Multimodal.imageHashes(imageRecordsFor(docs))(s).toDF()
     val sh = hashes.select(
       col("docId").as("img_id"),
       expr("shiftleft(dhashHi, 32) | dhashLo").as("simhash"))
