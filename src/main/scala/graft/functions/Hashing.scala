@@ -60,19 +60,23 @@ object Hashing {
     * deterministic constants (e.g. SRP hyperplane weights) computed
     * once at plan-build time instead of per row.
     */
-  def h60Local(s: String): Long = {
+  /** Lowercase md5 hex of the UTF-8 bytes — the ONE local digest body
+    * both fixed-width local replicas parse from (kept single so a
+    * charset/format tweak can never split the replica family from the
+    * SQL twins).
+    */
+  private def md5HexLocal(s: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
+
+  def h60Local(s: String): Long =
+    java.lang.Long.parseLong(md5HexLocal(s).substring(0, 15), 16)
 
   /** JVM-side replica of [[h32]] — for deterministic fixture content
     * generated in typed `Dataset` code (e.g. the block-pattern image
     * payloads) that the DuckDB oracle must reproduce analytically.
     */
-  def h32Local(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 8), 16)
-  }
+  def h32Local(s: String): Long =
+    java.lang.Long.parseLong(md5HexLocal(s).substring(0, 8), 16)
 }

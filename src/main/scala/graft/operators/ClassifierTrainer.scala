@@ -291,8 +291,11 @@ object ClassifierTrainer {
     * arrays. Every quantity replicates the distributed arm's operator
     * semantics exactly —
     *  - per-doc dot: Long sum with `Math.addExact` (the distributed
-    *    arm's ANSI `sum(long)` equally throws on overflow, so the two
-    *    arms fail identically outside the documented |w| bound);
+    *    arm's ANSI `sum(long)` equally throws on overflow — ANSI is
+    *    Spark 4's DEFAULT and GraftSession leaves it on; verified
+    *    empirically: `SELECT Long.Max + 1` throws ArithmeticException
+    *    on this build — so the two arms fail identically outside the
+    *    documented |w| bound);
     *  - e1/e2: `Math.floorDiv`, the engine `fd`'s exact twin;
     *  - per-bucket gradient: signed 128-bit (hi, lo) accumulation —
     *    the decimal(38,0) sum's exact-integer equivalent (per-term
@@ -358,7 +361,7 @@ object ClassifierTrainer {
       }
       i = 0
       while (i < nDocs) {
-        val p4 = Math.min(Math.max(2000000000000L + dots(i), 0L), 4000000000000L)
+        val p4 = Math.min(Math.max(Math.addExact(2000000000000L, dots(i)), 0L), 4000000000000L)
         val e1 = Math.floorDiv(p4 - 4000000000000L * y(i), 1000000L)
         e2(i) = Math.floorDiv(Math.multiplyExact(e1, if (y(i) == 1L) cwp else cwn), 1000000L)
         i += 1

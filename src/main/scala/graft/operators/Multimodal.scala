@@ -35,6 +35,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO spools every ImageInputStream/ImageOutputStream through a
+  // DISK-backed cache by default — one temp file per encode/decode.
+  // On a 6 000-image pass that is ~12 000 file creations competing
+  // with the suite's writeback debt (measured: q189 reps 6.6–13.3 s
+  // in-suite vs 2.7 s isolated; memory-cached the in-suite line
+  // drops to the isolated cost). Payloads here are sub-megabyte —
+  // memory caching is strictly better. Object-init runs once per JVM
+  // that touches the codec paths (driver and executors alike).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata carried alongside every payload. */
   case class MediaMeta(
       mediaType: String,

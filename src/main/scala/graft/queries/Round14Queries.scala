@@ -49,21 +49,21 @@ object Round14Queries {
   private[graft] def imageRecordsFor(docs: org.apache.spark.sql.DataFrame): Dataset[Multimodal.MediaRecord] = {
     val s = docs.sparkSession
     import s.implicits._
-    val ids = docs.select(col("doc_id")).as[Long]
-    val base = ids.mapPartitions(_.map { id =>
+    // ONE pass: each id emits its base record and, for every fifth
+    // doc, the resized variant built from the just-encoded base bytes
+    // (a two-branch union over the same unpersisted Dataset would
+    // re-run the full-corpus PNG encode for the variant branch —
+    // r14 review finding).
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
       val wb = (64 + id % 61).toInt
       val hb = (64 + (id / 61) % 53).toInt
-      Multimodal.encodeBlockPng(2 * id, id, wb, hb)
-    })
-    val variants = base
-      .filter(r => (r.docId / 2) % 5 == 0)
-      .mapPartitions(_.map { r =>
-        val id = r.docId / 2
+      val base = Multimodal.encodeBlockPng(2 * id, id, wb, hb)
+      if (id % 5 == 0) {
         val wv = (48 + (id * 3 + 7) % 61).toInt
         val hv = (48 + (id * 5 + 11) % 53).toInt
-        Multimodal.resizeExact(r, 2 * id + 1, wv, hv)
-      })
-    base.union(variants)
+        Iterator(base, Multimodal.resizeExact(base, 2 * id + 1, wv, hv))
+      } else Iterator(base)
+    })
   }
 
   /** q189 — perceptual image hashes over the real-codec pipeline:

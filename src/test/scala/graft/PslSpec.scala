@@ -31,8 +31,25 @@ class PslSpec extends AnyFunSuite {
     // per-host suffix explode is a handful of rows, and that the parse
     // actually saw the full list's scale and every rule kind.
     assert(Psl.rules.size > 9000, s"expected the full upstream list; parsed ${Psl.rules.size}")
-    assert(Psl.maxKeyLabels === Psl.rules.map(r => r.key.count(_ == '.') + 1).max)
-    assert(Psl.maxKeyLabels >= 3 && Psl.maxKeyLabels <= 8, s"got ${Psl.maxKeyLabels}")
+    // Independent derivation from the RAW snapshot (not through Psl's
+    // parser, which would make the check a tautology — r14 review
+    // finding): a rule's join KEY drops a leading `*.`/`!` marker, so
+    // the expected explode bound is the max label count of the
+    // de-marked lines.
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/psl_snapshot.dat"), "UTF-8")
+    val expected =
+      try raw.getLines()
+        .map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("//"))
+        .map(l => l.stripPrefix("!").stripPrefix("*.").count(_ == '.') + 1)
+        .max
+      finally raw.close()
+    assert(Psl.maxKeyLabels === expected, s"parser key derivation drifted from the raw snapshot")
+    // currently 5 (s3.dualstack.<region>.amazonaws.com); bounded so a
+    // future snapshot swap stays a drop-in (the r13 ADVICE contract)
+    // while a parser explosion (e.g. counting the whole host) fails
+    assert(Psl.maxKeyLabels >= 5 && Psl.maxKeyLabels <= 8, s"got ${Psl.maxKeyLabels}")
     assert(Psl.rules.exists(_.score >= 1000)) // exception rules (e.g. !www.ck)
     assert(Psl.rules.exists(r => r.minHostLabels > r.psLen)) // wildcard rules
   }
