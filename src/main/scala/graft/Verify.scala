@@ -172,6 +172,15 @@ object Verify {
           s"q190 vacuous/degenerate: $pairs pairs, only $planted base<->variant — " +
             "expected recovered planted variants to dominate the pair set")
       },
+      "q192_audio_neardup" -> { df =>
+        import org.apache.spark.sql.functions.col
+        val pairs = df.count()
+        val planted = df.filter(col("same_doc")).count()
+        require(
+          planted > 0 && planted * 2 > pairs,
+          s"q192 vacuous/degenerate: $pairs pairs, only $planted base<->variant — " +
+            "expected recovered planted variants to dominate the pair set")
+      },
       "q181_mojibake_repair" -> { df =>
         import org.apache.spark.sql.functions.col
         require(

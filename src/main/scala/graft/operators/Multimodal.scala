@@ -314,6 +314,85 @@ object Multimodal {
 
   case class AudioWindow(docId: Long, windowIdx: Int, startSample: Long, nSamples: Int, peakAbs: Int, sumAbs: Long)
 
+  // ---- perceptual audio hashing (the q189/q190 pattern's audio twin) --
+
+  /** Per-clip 64-bit energy-contour hash over REAL decoded PCM — audio
+    * near-dup joins the dedup family the way [[ImageHash]] did for
+    * images: an amplitude-scaled or re-encoded copy of a clip keeps
+    * its energy CONTOUR (which window is louder than the next), so
+    * the fingerprint lands within a few Hamming bits and the SimHash
+    * banding machinery applies unchanged at bits = 64.
+    */
+  case class AudioHash(docId: Long, nSamples: Long, ahashHi: Long, ahashLo: Long)
+
+  /** The hash: sample `i` belongs to window `(i·65) div n` (65 windows
+    * — an exact equal partition a SQL GROUP BY replays verbatim, with
+    * every window non-empty for n ≥ 65), integer absolute-energy per
+    * window, bit `w` set iff `energy(w) > energy(w+1)` STRICTLY.
+    * Contour comparisons (not absolute energies) make the fingerprint
+    * invariant under any per-sample gain that preserves the energy
+    * ORDER — amplitude scaling, in particular, flips only windows
+    * whose energies were nearly tied.
+    */
+  def audioHash64(samples: Array[Int]): Long = {
+    val n = samples.length
+    require(n >= 65, s"audioHash64 needs >= 65 samples; got $n")
+    val e = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      e(((i.toLong * 65L) / n).toInt) += math.abs(samples(i).toLong)
+      i += 1
+    }
+    var bits = 0L
+    var w = 0
+    while (w < 64) {
+      if (e(w) > e(w + 1)) bits |= (1L << w)
+      w += 1
+    }
+    bits
+  }
+
+  /** Decode each payload through the JDK WAV codec and fingerprint it
+    * — unsigned 32-bit halves for SQL-safe sign handling, like
+    * [[imageHashes]]. Fails loudly on undecodable bytes.
+    */
+  def audioHashes(records: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[AudioHash] = {
+    import spark.implicits._
+    records.mapPartitions(_.map { r =>
+      val (_, samples) = readPcm16(r.docId, r.payload)
+      val h = audioHash64(samples)
+      AudioHash(r.docId, samples.length.toLong, (h >>> 32) & 0xffffffffL, h & 0xffffffffL)
+    })
+  }
+
+  /** REAL decode → exact floor-division amplitude scale (s ← s div k,
+    * `Math.floorDiv` so negatives round the SQL-replayable way) →
+    * re-encode WAV under a new docId — the audio analog of
+    * [[resizeExact]]: a true decode→transform→encode→decode chain
+    * whose every sample a SQL oracle can compose analytically.
+    */
+  def scaleAmplitudeExact(r: MediaRecord, newDocId: Long, div: Int): MediaRecord = {
+    require(div >= 1, s"scaleAmplitudeExact: div >= 1; got $div")
+    val (rate, samples) = readPcm16(r.docId, r.payload)
+    val n = samples.length
+    val raw = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = Math.floorDiv(samples(i), div)
+      raw(2 * i) = (v & 0xff).toByte
+      raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val bytes = baos.toByteArray
+    MediaRecord(newDocId, bytes, MediaMeta("audio/wav", bytes.length.toLong, md5Hex(bytes), 0, 0, n))
+  }
+
   /** Deterministic 16-bit mono PCM WAV fixture from a text row — the
     * audio analog of [[encodeGrayPng]]: sample count derives from the
     * text length, sample i is a char-driven full-range sawtooth

@@ -34,6 +34,22 @@ import graft.queries.CoreQueries.Q
   */
 object Round14Queries {
 
+  /** Total order for a SMALL output above an EXPENSIVE child: a global
+    * `orderBy` plans RangePartitioning, whose sampling job EXECUTES
+    * the child once more — for these codec pipelines that is a full
+    * extra encode/decode pass (measured on q191: 5.1 s with orderBy
+    * vs ~2.7 s single-pass). `repartition(1) + sortWithinPartitions`
+    * keeps the expensive pass parallel and 1-shot, then totally
+    * orders the few thousand result rows in one task — correct
+    * exactly because the output is known-small (the gate surfaces cap
+    * at ~corpus/5 rows); corpus-sized outputs must keep the sampled
+    * range sort.
+    */
+  private def orderedSmall(
+      df: org.apache.spark.sql.DataFrame,
+      cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
   /** The generated image corpus: one base block-PNG per document
     * (dims 64–124 × 64–116, seeded by doc_id) under img_id = 2·doc_id,
     * plus a real resized variant (48–108 × 48–100) under
@@ -72,7 +88,7 @@ object Round14Queries {
     */
   val q189ImagePhash: Q = (s, d) => {
     val hashes = Multimodal.imageHashes(imageRecords(s, d))(s).toDF()
-    hashes
+    val out = hashes
       .select(
         call_function("div", col("docId"), lit(2L)).as("doc_id"),
         when(col("docId") % 2 === 1, lit("var")).otherwise(lit("base")).as("kind"),
@@ -82,7 +98,7 @@ object Round14Queries {
         col("dhashLo").as("dhash_lo"),
         col("ahashHi").as("ahash_hi"),
         col("ahashLo").as("ahash_lo"))
-      .orderBy(col("doc_id"), col("kind"))
+    orderedSmall(out, col("doc_id"), col("kind"))
   }
 
   /** The analytic pixel/hash replay shared by both oracles: `lum(X, Y)`
@@ -161,9 +177,15 @@ object Round14Queries {
   private[graft] def imageNearDupOver(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     val hashes = Multimodal.imageHashes(imageRecordsFor(docs))(s).toDF()
+    // Persisted: BOTH sides of the banded self-join (and the chunk
+    // explode above them) would otherwise re-run the codec pipeline —
+    // the winnowCandidatePairs cache-before-explode discipline over an
+    // expensive lineage (A/B min-of-3 at sf0.1: this is the class
+    // where the cache WINS, unlike q184/q186's per-row regex chains).
     val sh = hashes.select(
       col("docId").as("img_id"),
       expr("shiftleft(dhashHi, 32) | dhashLo").as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup
       .simHashPairs(sh, "img_id", maxHamming = 7, bits = 64)
       .select(
@@ -172,7 +194,7 @@ object Round14Queries {
         col("hamming"),
         (call_function("div", col("id_a"), lit(2L)) ===
           call_function("div", col("id_b"), lit(2L))).as("same_doc"))
-      .orderBy(col("id_a"), col("id_b"))
+      .transform(orderedSmall(_, col("id_a"), col("id_b")))
   }
 
   val q190Sql: String =
@@ -185,11 +207,141 @@ object Round14Queries {
       |FROM p WHERE hamming <= 7
       |ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""".stripMargin
 
+  // ---- q191/q192: audio perceptual hash + near-dup --------------------
+
+  /** The generated audio corpus — the image fixture's audio twin: one
+    * real PCM WAV per document from its ASCII-projected text (the
+    * UTF-16-unit `charAt & 0xff` in the sample formula and SQL's
+    * code-point `substr`/`ord` agree only on ASCII — the q79-class
+    * cross-engine trap, dodged by construction), under
+    * clip_id = 2·doc_id; every fifth doc adds a REAL
+    * decode→amplitude-halve→re-encode variant under 2·doc_id + 1.
+    * Docs whose text projects to nothing are excluded on both sides.
+    */
+  private[graft] def audioRecordsFor(docs: org.apache.spark.sql.DataFrame): Dataset[Multimodal.MediaRecord] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), regexp_replace(col("text"), "[^ -~]", "").as("__t"))
+      .filter(length(col("__t")) >= 1)
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val base = Multimodal.encodePcmWav(2 * id, t)
+        if (id % 5 == 0)
+          Iterator(base, Multimodal.scaleAmplitudeExact(base, 2 * id + 1, 2))
+        else Iterator(base)
+      })
+  }
+
+  /** q191 — perceptual audio fingerprints over the real-codec chain
+    * (WAV encode → decode → [for variants: floor-halve → encode →
+    * decode] → 65-window energy contour): the DuckDB oracle replays
+    * every SAMPLE analytically (`s_i = ((c_i·257 + i·131) mod 2¹⁶) −
+    * 2¹⁵` over the ASCII projection; the variant's decoded samples
+    * are exactly `floorDiv(s_i, 2)` because the 16-bit WAV round trip
+    * is sample-exact), so a drifted codec, window boundary, or bit
+    * assembly fails the hash gate.
+    */
+  val q191AudioPhash: Q = (s, d) => {
+    val hashes = Multimodal.audioHashes(audioRecordsFor(Tables.documents(s, d)))(s).toDF()
+    val out = hashes
+      .select(
+        call_function("div", col("docId"), lit(2L)).as("doc_id"),
+        when(col("docId") % 2 === 1, lit("half")).otherwise(lit("base")).as("kind"),
+        col("nSamples").as("n_samples"),
+        col("ahashHi").as("ahash_hi"),
+        col("ahashLo").as("ahash_lo"))
+    orderedSmall(out, col("doc_id"), col("kind"))
+  }
+
+  /** The analytic sample/window/hash replay shared by both audio
+    * oracles: `dv` = the amplitude divisor (1 for base clips, 2 for
+    * variants — the decoded variant sample IS floorDiv(base, 2)).
+    * Floor division on negatives via the canonical non-negative
+    * residue; every window w ∈ [0, 64] is non-empty for n ≥ 65.
+    */
+  private val audioHashCtesSql: String = {
+    def fd(a: String, m: String): String =
+      s"((($a) - (((($a) % ($m)) + ($m)) % ($m))) // ($m))"
+    val sExpr = "((((ord(substr(t, CAST(i % l AS INTEGER) + 1, 1)) * 257) + (i * 131)) % 65536) - 32768)"
+    s"""src AS (SELECT doc_id AS id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+      |        FROM documents WHERE text IS NOT NULL),
+      |ok AS (SELECT id, t, CAST(len(t) AS BIGINT) AS l,
+      |              CAST(256 + len(t) % 512 AS BIGINT) AS n
+      |       FROM src WHERE len(t) >= 1),
+      |clips AS (
+      |  SELECT 2*id AS clip_id, t, l, n, CAST(1 AS BIGINT) AS dv FROM ok
+      |  UNION ALL
+      |  SELECT 2*id + 1, t, l, n, CAST(2 AS BIGINT) FROM ok WHERE id % 5 = 0),
+      |wen AS (
+      |  SELECT clip_id, ((i * 65) // n) AS w,
+      |         SUM(abs(${fd(sExpr, "dv")})) AS e
+      |  FROM clips, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS u(i)
+      |  GROUP BY 1, 2),
+      |ah AS (
+      |  SELECT a.clip_id,
+      |    CAST(SUM(CASE WHEN a.e > b.e AND a.w >= 32 THEN (CAST(1 AS BIGINT) << CAST(a.w - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |    CAST(SUM(CASE WHEN a.e > b.e AND a.w < 32 THEN (CAST(1 AS BIGINT) << CAST(a.w AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM wen a JOIN wen b ON b.clip_id = a.clip_id AND b.w = a.w + 1
+      |  WHERE a.w < 64
+      |  GROUP BY 1)""".stripMargin
+  }
+
+  val q191Sql: String =
+    s"""WITH $audioHashCtesSql
+      |SELECT (clip_id // 2) AS doc_id,
+      |  CASE WHEN clip_id % 2 = 1 THEN 'half' ELSE 'base' END AS kind,
+      |  n AS n_samples, ahash_hi, ahash_lo
+      |FROM clips JOIN ah USING (clip_id)
+      |ORDER BY doc_id NULLS FIRST, kind NULLS FIRST""".stripMargin
+
+  /** q192 — audio near-dup pairs: the q190 shape over the energy-
+    * contour fingerprints (8 pigeonhole chunks, maxHamming 7,
+    * lossless banding). Amplitude halving preserves the energy ORDER
+    * except near-exact ties, so planted pairs sit at Hamming ~0 —
+    * and unlike dHash there are no structurally-forced zero bits, so
+    * cross-clip collisions are vanishing (the oracle's exact
+    * all-pairs scan proves the recovered set either way).
+    */
+  val q192AudioNearDup: Q = (s, d) => {
+    val hashes = Multimodal.audioHashes(audioRecordsFor(Tables.documents(s, d)))(s).toDF()
+    // Persisted for the same both-join-sides reason as q190 (measured:
+    // 5.5 s with the codec child executing twice vs ~2.6 s cached).
+    val sh = hashes.select(
+      col("docId").as("clip_id"),
+      expr("shiftleft(ahashHi, 32) | ahashLo").as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup
+      .simHashPairs(sh, "clip_id", maxHamming = 7, bits = 64)
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("hamming"),
+        (call_function("div", col("id_a"), lit(2L)) ===
+          call_function("div", col("id_b"), lit(2L))).as("same_doc"))
+      .transform(orderedSmall(_, col("id_a"), col("id_b")))
+  }
+
+  val q192Sql: String =
+    s"""WITH $audioHashCtesSql,
+      |p AS (
+      |  SELECT a.clip_id AS id_a, b.clip_id AS id_b,
+      |    CAST(bit_count(xor(a.ahash_hi, b.ahash_hi)) + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS hamming
+      |  FROM ah a JOIN ah b ON a.clip_id < b.clip_id)
+      |SELECT id_a, id_b, hamming, ((id_a // 2) = (id_b // 2)) AS same_doc
+      |FROM p WHERE hamming <= 7
+      |ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""".stripMargin
+
   def all: Map[String, Q] = Map(
     "q189_image_phash" -> q189ImagePhash,
-    "q190_image_neardup" -> q190ImageNearDup)
+    "q190_image_neardup" -> q190ImageNearDup,
+    "q191_audio_phash" -> q191AudioPhash,
+    "q192_audio_neardup" -> q192AudioNearDup)
 
   def oracles: Map[String, String] = Map(
     "q189_image_phash" -> q189Sql,
-    "q190_image_neardup" -> q190Sql)
+    "q190_image_neardup" -> q190Sql,
+    "q191_audio_phash" -> q191Sql,
+    "q192_audio_neardup" -> q192Sql)
 }

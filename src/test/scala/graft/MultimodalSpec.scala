@@ -316,6 +316,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hamming(dBase, dOther) > 12, s"unrelated images collided at ${hamming(dBase, dOther)}")
   }
 
+  test("audioHash64 hand cases: monotone energy staircases give closed-form bit patterns") {
+    // 130 samples, 65 windows of exactly 2: strictly DECREASING window
+    // energy -> every contour comparison fires -> all 64 bits set.
+    val falling = Array.tabulate(130)(i => 1000 - 7 * (i / 2))
+    assert(Multimodal.audioHash64(falling) === -1L)
+    // strictly increasing -> no bit fires; flat -> ties, no bit fires
+    val rising = Array.tabulate(130)(i => 7 * (i / 2))
+    assert(Multimodal.audioHash64(rising) === 0L)
+    assert(Multimodal.audioHash64(Array.fill(130)(42)) === 0L)
+    // energy is ABSOLUTE: a sign flip changes nothing
+    assert(Multimodal.audioHash64(falling.map(-_)) === -1L)
+    // guard: fewer than 65 samples refuses
+    val e = intercept[IllegalArgumentException](Multimodal.audioHash64(Array.fill(64)(1)))
+    assert(e.getMessage.contains("65"))
+  }
+
+  test("audio fingerprints survive re-encode exactly and amplitude halving at Hamming ~0") {
+    implicit val s = spark
+    import spark.implicits._
+    val base = Multimodal.encodePcmWav(0L, "the quick brown fox jumps over the lazy dog 0123456789")
+    def hashOf(r: Multimodal.MediaRecord): Long = {
+      val ah = Multimodal.audioHashes(Seq(r).toDS()).collect()(0)
+      (ah.ahashHi << 32) | ah.ahashLo
+    }
+    val hBase = hashOf(base)
+    // identity divisor = decode -> re-encode: bit-identical fingerprint
+    assert(hashOf(Multimodal.scaleAmplitudeExact(base, 1L, 1)) === hBase)
+    // floor-halving preserves the energy ORDER except near-exact ties
+    val hHalf = hashOf(Multimodal.scaleAmplitudeExact(base, 2L, 2))
+    assert(java.lang.Long.bitCount(hBase ^ hHalf) <= 2,
+      s"halving moved ${java.lang.Long.bitCount(hBase ^ hHalf)} bits")
+    // an unrelated clip is nowhere near
+    val other = Multimodal.encodePcmWav(9L, "completely different content with other characters!")
+    assert(java.lang.Long.bitCount(hBase ^ hashOf(other)) > 7)
+  }
+
   test("imageHashes (Dataset path) equals the local per-image computation") {
     implicit val s = spark
     import spark.implicits._
