@@ -38,6 +38,9 @@ object GraftSession {
       master: String,
       shufflePartitions: Int,
       appName: String = "graft"): SparkSession.Builder = {
+    // Codec-path setting with session-setup placement (not object-init
+    // timing): see the helper's scaladoc for the measured rationale.
+    graft.operators.Multimodal.disableImageIoDiskCache()
     val b = SparkSession
       .builder()
       .appName(appName)

@@ -407,22 +407,24 @@ object Dedup {
       bands: DataFrame,
       maxBucketDocs: Long,
       drop: Boolean,
-      op: String): DataFrame =
+      op: String,
+      bandCol: String = "band",
+      valCol: String = "bv"): DataFrame =
     bands
-      .groupBy(col("band"), col("bv"))
+      .groupBy(col(bandCol), col(valCol))
       .agg(count(lit(1)).as("__bc"))
       .select(
-        col("band"),
-        col("bv"),
+        col(bandCol),
+        col(valCol),
         when(
           col("__bc") > maxBucketDocs,
           if (drop) lit(0)
           else
             raise_error(concat(
-              lit(s"$op: LSH bucket (band="),
-              col("band").cast("string"),
-              lit(", bv="),
-              col("bv").cast("string"),
+              lit(s"$op: LSH bucket ($bandCol="),
+              col(bandCol).cast("string"),
+              lit(s", $valCol="),
+              col(valCol).cast("string"),
               lit(") holds "),
               col("__bc").cast("string"),
               lit(s" docs > maxBucketDocs=$maxBucketDocs — the band join is quadratic in " +
@@ -431,7 +433,7 @@ object Dedup {
           .otherwise(lit(1))
           .as("__g"))
       .filter(col("__g") === 1)
-      .select(col("band"), col("bv"))
+      .select(col(bandCol), col(valCol))
 
   def lshCandidates(
       sig: DataFrame,
@@ -439,14 +441,33 @@ object Dedup {
       k: Int,
       nBands: Int,
       maxBucketDocs: Long = DefaultMaxBucketDocs,
-      dropOversizeBuckets: Boolean = false): DataFrame = {
+      dropOversizeBuckets: Boolean = false): DataFrame =
+    lshCandidatesReleasable(sig, idCol, k, nBands, maxBucketDocs, dropOversizeBuckets)._1
+
+  /** [[lshCandidates]] plus a RELEASE HANDLE for the persisted banded
+    * frame backing the returned pairs (the [[Bipartite]] /
+    * [[connectedComponentsReleasable]] idiom). The banded frame stays
+    * cached while the result is consumed — dropping it eagerly would
+    * re-run the md5-heavy signature lineage once per consumer — so a
+    * long-lived session composing this into a larger pipeline should
+    * call the handle once the pairs are materialized (it is safe to
+    * call after a gate `raise_error` abort too), or sweep with
+    * [[graft.GraftSession.releaseAllCaches]].
+    */
+  def lshCandidatesReleasable(
+      sig: DataFrame,
+      idCol: String,
+      k: Int,
+      nBands: Int,
+      maxBucketDocs: Long = DefaultMaxBucketDocs,
+      dropOversizeBuckets: Boolean = false): (DataFrame, () => Unit) = {
     require(maxBucketDocs >= 1, s"lshCandidates: maxBucketDocs >= 1; got $maxBucketDocs")
     // Three consumers of the banded frame (both join sides + the
     // bucket gate): persist it so the md5-heavy signature lineage runs
     // once, not three times (the winnowCandidatePairs precedent).
     val exploded = lshBands(sig, idCol, k, nBands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    exploded
+    val out = exploded
       .select(col(idCol).as("id_a"), col("band"), col("bv"))
       .join(gatedBuckets(exploded, maxBucketDocs, dropOversizeBuckets, "lshCandidates"),
         Seq("band", "bv"))
@@ -454,6 +475,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+    (out, () => { exploded.unpersist(blocking = false): Unit })
   }
 
   /** INCREMENTAL dedup candidates — the daily-ingest shape: candidate
@@ -473,7 +495,22 @@ object Dedup {
       k: Int,
       nBands: Int,
       maxBucketDocs: Long = DefaultMaxBucketDocs,
-      dropOversizeBuckets: Boolean = false): DataFrame = {
+      dropOversizeBuckets: Boolean = false): DataFrame =
+    incrementalCandidatesReleasable(
+      batchSig, corpusSig, idCol, k, nBands, maxBucketDocs, dropOversizeBuckets)._1
+
+  /** [[incrementalCandidates]] plus a release handle covering BOTH
+    * persisted banded frames (batch and corpus) — see
+    * [[lshCandidatesReleasable]] for the lifecycle contract.
+    */
+  def incrementalCandidatesReleasable(
+      batchSig: DataFrame,
+      corpusSig: DataFrame,
+      idCol: String,
+      k: Int,
+      nBands: Int,
+      maxBucketDocs: Long = DefaultMaxBucketDocs,
+      dropOversizeBuckets: Boolean = false): (DataFrame, () => Unit) = {
     require(maxBucketDocs >= 1, s"incrementalCandidates: maxBucketDocs >= 1; got $maxBucketDocs")
     // Cross-corpus bucket mass is |bucket_batch| × |bucket_corpus|, so
     // BOTH sides carry the gate: each side's buckets are bounded at
@@ -487,7 +524,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusBands = lshBands(corpusSig, idCol, k, nBands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    batchBands
+    val out = batchBands
       .select(col(idCol).as("new_id"), col("band"), col("bv"))
       .join(gatedBuckets(batchBands, maxBucketDocs, dropOversizeBuckets,
         "incrementalCandidates(batch)"), Seq("band", "bv"))
@@ -498,6 +535,10 @@ object Dedup {
         Seq("band", "bv"))
       .select("new_id", "old_id")
       .distinct()
+    (out, () => {
+      batchBands.unpersist(blocking = false)
+      corpusBands.unpersist(blocking = false): Unit
+    })
   }
 
   /** Exact Jaccard similarity of two (already-distinct) array columns. */
@@ -537,8 +578,31 @@ object Dedup {
     * Result set is IDENTICAL to the all-pairs scan (the banding is
     * lossless for ≤ maxHamming), at the cost of a `maxHamming+1`-way
     * row replication instead of an n² join.
+    *
+    * Carries the same in-job bucket gate as [[lshCandidates]]: an
+    * EXACT-duplicate cluster shares one simhash, so it agrees on every
+    * pigeonhole chunk and makes the (c, cv) self-join quadratic in the
+    * cluster size (10⁶ identical docs ≈ 5·10¹¹ pairs). The gate
+    * throws naming the offending (chunk, value) bucket, or with
+    * `dropOversizeBuckets = true` retires oversize buckets (an
+    * exact-dup cluster agrees on ALL chunks, so it exits the candidate
+    * set entirely — run [[exactDedup]] first). Low-entropy fingerprint
+    * regions fatten buckets too (e.g. dHash's structurally-zero bits
+    * on equal-dims images), which is exactly when the gate matters.
+    *
+    * The chunked frame is consumed three times (both join sides + the
+    * gate); `sh` itself is tiny (id, long) — persist it upstream when
+    * its lineage is expensive (every in-repo caller does), and the
+    * chunk explode is then a cheap shift/mask re-scan of the cache.
     */
-  def simHashPairs(sh: DataFrame, idCol: String, maxHamming: Int, bits: Int = 48): DataFrame = {
+  def simHashPairs(
+      sh: DataFrame,
+      idCol: String,
+      maxHamming: Int,
+      bits: Int = 48,
+      maxBucketDocs: Long = DefaultMaxBucketDocs,
+      dropOversizeBuckets: Boolean = false): DataFrame = {
+    require(maxBucketDocs >= 1, s"simHashPairs: maxBucketDocs >= 1; got $maxBucketDocs")
     val nChunks = maxHamming + 1
     val width = bits / nChunks
     require(width * nChunks == bits, s"bits ($bits) must be divisible by maxHamming+1 ($nChunks)")
@@ -552,7 +616,9 @@ object Dedup {
         expr(s"shiftright(simhash, CAST(c * $width AS INT)) & $mask").as("cv"))
     val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("c"), col("cv"))
     val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("c"), col("cv"))
-    a.join(b, Seq("c", "cv"))
+    a.join(gatedBuckets(chunked, maxBucketDocs, dropOversizeBuckets, "simHashPairs",
+        bandCol = "c", valCol = "cv"), Seq("c", "cv"))
+      .join(b, Seq("c", "cv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)

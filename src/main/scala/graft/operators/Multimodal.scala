@@ -35,15 +35,27 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  // ImageIO spools every ImageInputStream/ImageOutputStream through a
-  // DISK-backed cache by default — one temp file per encode/decode.
-  // On a 6 000-image pass that is ~12 000 file creations competing
-  // with the suite's writeback debt (measured: q189 reps 6.6–13.3 s
-  // in-suite vs 2.7 s isolated; memory-cached the in-suite line
-  // drops to the isolated cost). Payloads here are sub-megabyte —
-  // memory caching is strictly better. Object-init runs once per JVM
-  // that touches the codec paths (driver and executors alike).
-  javax.imageio.ImageIO.setUseCache(false)
+  /** ImageIO spools every ImageInputStream/ImageOutputStream through a
+    * DISK-backed cache by default — one temp file per encode/decode.
+    * On a 6 000-image pass that is ~12 000 file creations competing
+    * with the suite's writeback debt (measured: q189 reps 6.6–13.3 s
+    * in-suite vs 2.7 s isolated; memory-cached the in-suite line
+    * drops to the isolated cost). Payloads here are sub-megabyte —
+    * memory caching is strictly better.
+    *
+    * Called EXPLICITLY from [[graft.GraftSession]] session setup (the
+    * driver / local-mode JVM) and from the head of every codec
+    * `mapPartitions` closure (each executor JVM, once per partition —
+    * a static boolean write, free), rather than as an object-init side
+    * effect: initializer timing would make the setting load-order-
+    * dependent, and a library JVM that never touches this object
+    * would silently keep the slow disk cache (r14 ADVICE). JVM-global
+    * by nature (the JDK offers no per-stream switch for the implicit
+    * cache) — documented here so an embedding application knows its
+    * other ImageIO users see memory caching too.
+    */
+  def disableImageIoDiskCache(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
 
   /** Typed metadata carried alongside every payload. */
   case class MediaMeta(
@@ -127,6 +139,7 @@ object Multimodal {
     * PNG bytes, so [[decodeImagesJdk]] exercises an actual codec.
     */
   def encodeGrayPng(docId: Long, text: String): MediaRecord = {
+    disableImageIoDiskCache()
     val len = text.length
     val w = 16 + (len % 32)
     val h = 16 + ((len / 32) % 32)
@@ -177,6 +190,7 @@ object Multimodal {
     * (shared by the fail-loud and routed decode paths).
     */
   private def decodeOneImage(r: MediaRecord): DecodedImage = {
+    disableImageIoDiskCache()
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
     require(img != null, s"undecodable image payload for doc ${r.docId}")
     val w = img.getWidth
@@ -272,7 +286,9 @@ object Multimodal {
   def resizePayloads(records: Dataset[MediaRecord], maxSide: Int)(
       implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
-    records.mapPartitions(_.map { r =>
+    records.mapPartitions { it =>
+      disableImageIoDiskCache()
+      it.map { r =>
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
       require(img != null, s"undecodable image payload for doc ${r.docId}")
       val scale = maxSide.toDouble / math.max(img.getWidth, img.getHeight)
@@ -295,7 +311,8 @@ object Multimodal {
           bytes,
           r.meta.copy(byteLen = bytes.length.toLong, contentHash = md5Hex(bytes), width = nw, height = nh))
       }
-    })
+      }
+    }
   }
 
   /** Decoded-audio features — integers only, so the spec can assert
@@ -621,7 +638,9 @@ object Multimodal {
   def imageHashes(records: Dataset[MediaRecord])(
       implicit spark: SparkSession): Dataset[ImageHash] = {
     import spark.implicits._
-    records.mapPartitions(_.map { r =>
+    records.mapPartitions { it =>
+      disableImageIoDiskCache()
+      it.map { r =>
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
       require(img != null, s"undecodable image payload for doc ${r.docId}")
       val dh = dHash64(img)
@@ -630,7 +649,8 @@ object Multimodal {
         r.docId, img.getWidth, img.getHeight,
         (dh >>> 32) & 0xffffffffL, dh & 0xffffffffL,
         (ah >>> 32) & 0xffffffffL, ah & 0xffffffffL)
-    })
+    }
+    }
   }
 
   /** Deterministic BLOCK-pattern grayscale PNG — the fixture generator
@@ -644,6 +664,7 @@ object Multimodal {
     * decorrelate under any resize.
     */
   def encodeBlockPng(docId: Long, seed: Long, w: Int, h: Int): MediaRecord = {
+    disableImageIoDiskCache()
     require(w >= 9 && h >= 8, s"encodeBlockPng needs >= 9x8; got ${w}x$h")
     val blocks = Array.tabulate(8, 8)((by, bx) =>
       (graft.functions.Hashing.h32Local(s"$seed#$bx#$by") % 256L).toInt)
@@ -675,6 +696,7 @@ object Multimodal {
     * path is single-band end to end).
     */
   def resizeExact(r: MediaRecord, newDocId: Long, nw: Int, nh: Int): MediaRecord = {
+    disableImageIoDiskCache()
     require(nw >= 9 && nh >= 8, s"resizeExact needs >= 9x8; got ${nw}x$nh")
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
     require(img != null, s"undecodable image payload for doc ${r.docId}")

@@ -40,10 +40,14 @@ object Round14Queries {
     * extra encode/decode pass (measured on q191: 5.1 s with orderBy
     * vs ~2.7 s single-pass). `repartition(1) + sortWithinPartitions`
     * keeps the expensive pass parallel and 1-shot, then totally
-    * orders the few thousand result rows in one task — correct
-    * exactly because the output is known-small (the gate surfaces cap
-    * at ~corpus/5 rows); corpus-sized outputs must keep the sampled
-    * range sort.
+    * orders the few hundred result rows in one task — correct ONLY
+    * for the PAIR-output queries (q190/q192), whose near-dup pair
+    * sets are a small fraction of the corpus. The per-item hash
+    * queries (q189/q191) emit ~1.2 rows per document — corpus-sized —
+    * so they must NOT funnel through one task: they persist the hash
+    * frame and keep the sampled range sort instead (the persist
+    * already amortizes the codec pass the single-task sort was
+    * avoiding; r14 ADVICE).
     */
   private def orderedSmall(
       df: org.apache.spark.sql.DataFrame,
@@ -87,8 +91,14 @@ object Round14Queries {
     * unsigned 32-bit halves (SQL-safe sign handling).
     */
   val q189ImagePhash: Q = (s, d) => {
+    // Corpus-sized output (~1.2 rows/doc): the hash frame is PERSISTED
+    // and the total order stays a sampled range sort — the range-
+    // partitioning sampling job reads the cache instead of re-running
+    // the codec pipeline, and no single task ever holds the corpus
+    // (the scale contract orderedSmall cannot give here).
     val hashes = Multimodal.imageHashes(imageRecords(s, d))(s).toDF()
-    val out = hashes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashes
       .select(
         call_function("div", col("docId"), lit(2L)).as("doc_id"),
         when(col("docId") % 2 === 1, lit("var")).otherwise(lit("base")).as("kind"),
@@ -98,7 +108,7 @@ object Round14Queries {
         col("dhashLo").as("dhash_lo"),
         col("ahashHi").as("ahash_hi"),
         col("ahashLo").as("ahash_lo"))
-    orderedSmall(out, col("doc_id"), col("kind"))
+      .orderBy(col("doc_id"), col("kind"))
   }
 
   /** The analytic pixel/hash replay shared by both oracles: `lum(X, Y)`
@@ -244,15 +254,18 @@ object Round14Queries {
     * assembly fails the hash gate.
     */
   val q191AudioPhash: Q = (s, d) => {
+    // Corpus-sized output: persist + sampled range sort, not the
+    // single-task repartition(1) — same rationale as q189.
     val hashes = Multimodal.audioHashes(audioRecordsFor(Tables.documents(s, d)))(s).toDF()
-    val out = hashes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashes
       .select(
         call_function("div", col("docId"), lit(2L)).as("doc_id"),
         when(col("docId") % 2 === 1, lit("half")).otherwise(lit("base")).as("kind"),
         col("nSamples").as("n_samples"),
         col("ahashHi").as("ahash_hi"),
         col("ahashLo").as("ahash_lo"))
-    orderedSmall(out, col("doc_id"), col("kind"))
+      .orderBy(col("doc_id"), col("kind"))
   }
 
   /** The analytic sample/window/hash replay shared by both audio

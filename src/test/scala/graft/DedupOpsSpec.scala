@@ -259,6 +259,67 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(honest === 6L) // two 3-cliques
   }
 
+  test("simHashPairs: a planted 10^4-doc identical-hash cluster trips the in-job chunk gate") {
+    import spark.implicits._
+    // 10 001 docs sharing ONE simhash — an exact-dup cluster agrees on
+    // every pigeonhole chunk, so every (c, cv) bucket holds 10 001
+    // docs, one over the DEFAULT gate. Without it the self-join emits
+    // ~5·10⁷ pairs per chunk (×4 chunks); with it, the counts stage
+    // raises before the fan-out materializes.
+    val sh = spark.range(1, 10002).toDF("doc_id").select(col("doc_id"), lit(0xa5a5a5a5a5L).as("simhash"))
+    val e = intercept[Exception] {
+      Dedup.simHashPairs(sh, "doc_id", maxHamming = 3).count()
+    }
+    val msg = messageChain(e)
+    assert(msg.contains("simHashPairs"), msg)
+    assert(msg.contains("maxBucketDocs"), msg)
+    assert(msg.contains("10001"), msg) // the offending bucket's size is named
+    assert(msg.contains("exactDedup"), msg) // and the remedy
+  }
+
+  test("simHashPairs: dropOversizeBuckets retires the mega-cluster, keeps honest near-dups") {
+    import spark.implicits._
+    // A 60-doc exact-dup cluster over a maxBucketDocs=50 gate plus an
+    // honest hamming-1 pair in different buckets: drop mode retires
+    // the cluster entirely (it is oversize in EVERY chunk) and still
+    // finds the honest pair through its untouched chunks.
+    val mega = spark.range(1, 61).toDF("doc_id").select(col("doc_id"), lit(0xa5a5a5a5a5L).as("simhash"))
+    val honest = Seq(101L -> 0x0000ffff0000L, 102L -> (0x0000ffff0000L ^ 1L)).toDF("doc_id", "simhash")
+    val out = pairs(
+      Dedup.simHashPairs(mega.unionByName(honest), "doc_id", maxHamming = 3,
+        maxBucketDocs = 50L, dropOversizeBuckets = true))
+    assert(out === Set((101L, 102L, 1L)))
+    // and the same corpus under the default gate keeps the cluster's pairs
+    val under = pairs(
+      Dedup.simHashPairs(mega.filter(col("doc_id") <= 3L).unionByName(honest), "doc_id", 3))
+    assert(under === Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L), (101L, 102L, 1L)))
+  }
+
+  test("lshCandidatesReleasable: handle drops the banded cache on success and after a gate abort") {
+    def persistedCount(): Int = spark.sparkContext.getPersistentRDDs.size
+    GraftSession.releaseAllCaches(spark)
+    // success path: pairs materialize, cache present, release clears it
+    val small = constSig(1L, 3L, 9L, k = 12)
+    val (out, release) = Dedup.lshCandidatesReleasable(small, "doc_id", k = 12, nBands = 3)
+    assert(out.count() === 3L)
+    assert(persistedCount() > 0)
+    release()
+    assert(persistedCount() === 0)
+    // throw path: the gate aborts the action; release must still clear
+    val mega = constSig(1L, 60L, 7L, k = 12)
+    val (bad, release2) = Dedup.lshCandidatesReleasable(mega, "doc_id", 12, 3, maxBucketDocs = 50L)
+    intercept[Exception] { bad.count() }
+    release2()
+    assert(persistedCount() === 0)
+    // incrementalCandidatesReleasable: one handle covers both sides
+    val (inc, release3) =
+      Dedup.incrementalCandidatesReleasable(small, constSig(101L, 103L, 9L, k = 12), "doc_id", 12, 3)
+    assert(inc.count() === 9L)
+    assert(persistedCount() > 0)
+    release3()
+    assert(persistedCount() === 0)
+  }
+
   test("incrementalCandidates: a corpus-side mega-bucket trips the gate; drop mode degrades") {
     val batch = constSig(1L, 5L, 7L, k = 12)
     val corpus = constSig(1001L, 1100L, 7L, k = 12)

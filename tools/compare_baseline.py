@@ -27,14 +27,46 @@ def load_baseline():
     return base
 
 
+def load_segments():
+    """Per-segment ledger calibration (BASELINE.md LEDGER_SEGMENTS line):
+    [(from_q, to_q, calib_md5)] — the iron constant of the machine that
+    produced each table segment, so ratios can be normalized by
+    segment_calib / run_calib and the 2x bar means the same thing on
+    every segment (mirrors Bench.parseLedgerSegments)."""
+    text = (REPO / "BASELINE.md").read_text()
+    i = text.find("LEDGER_SEGMENTS:")
+    if i < 0:
+        return []
+    line = text[i:].split("\n", 1)[0]
+    return [(int(m.group(1)), int(m.group(2)), float(m.group(3)))
+            for m in re.finditer(
+                r'\{\s*"from"\s*:\s*(\d+)\s*,\s*"to"\s*:\s*(\d+)\s*,'
+                r'\s*"calib_md5"\s*:\s*([0-9.]+)\s*\}', line)]
+
+
+def segment_calib(segments, q):
+    try:
+        n = int(q[1:])
+    except ValueError:
+        return None
+    for lo, hi, c in segments:
+        if lo <= n <= hi:
+            return c
+    return None
+
+
 def load_bench(path):
     """Accept any of: the round-9 two-line Bench stdout (queries_full line
     + compact total line — merged so the full per-query map rides with the
     total/calib), a single-line pre-r9 record, or the driver's wrapper
     ({"parsed": {...}} — whose `queries` holds only the 20 slowest, so a
     sibling queries_full line, if present, replaces it)."""
-    lines = [ln for ln in Path(path).read_text().splitlines() if ln.strip()]
-    docs = [json.loads(ln) for ln in lines]
+    text = Path(path).read_text()
+    try:
+        # driver-wrapper records (BENCH_r{N}.json) are ONE pretty-printed doc
+        docs = [json.loads(text)]
+    except json.JSONDecodeError:
+        docs = [json.loads(ln) for ln in text.splitlines() if ln.strip()]
     full, total = None, None
     for d in docs:
         if "parsed" in d and isinstance(d["parsed"], dict):
@@ -112,15 +144,22 @@ def main():
         compare_runs(bench_path, prev_path, threshold)
         return
     base = load_baseline()
+    segments = load_segments()
     bench = load_bench(bench_path)
     queries = bench["queries"]
+    run_calib = float(bench.get("calib_md5") or 0) or None
+
+    def norm_factor(q):
+        c = segment_calib(segments, q)
+        return (c / run_calib) if (c and run_calib and run_calib > 0) else 1.0
 
     rows, new = [], []
     for q, sec in queries.items():
         if sec < 0:
             rows.append((float("inf"), q, sec, base.get(q)))
         elif q in base:
-            rows.append((sec / base[q], q, sec, base[q]))
+            # calibration-normalized: the statistic the retry protocol keys on
+            rows.append((sec * norm_factor(q) / base[q], q, sec, base[q]))
         else:
             new.append((q, sec))
 
@@ -129,7 +168,10 @@ def main():
     print(f"bench: {bench_path}  total={bench.get('value')}s  "
           f"calib_md5={bench.get('calib_md5', 'n/a')}  stat={bench.get('stat', 'median')}")
     print(f"baseline total: {sum(base.values()):.1f}s over {len(base)} queries")
-    print(f"\n{len(over)} / {len(rows)} ledger queries over {threshold}x baseline:")
+    if segments and run_calib:
+        facs = sorted({round(norm_factor(q), 3) for _, q, _, b in rows if b})
+        print(f"ratios are CALIB-NORMALIZED (x segment_calib/run_calib; factors {facs})")
+    print(f"\n{len(over)} / {len(rows)} ledger queries over {threshold}x baseline (normalized):")
     for ratio, q, sec, b in over:
         bs = f"{b:6.3f}s" if b is not None else "  (not in ledger)"
         rs = f"{ratio:5.1f}x" if ratio != float("inf") else " FAILED"
