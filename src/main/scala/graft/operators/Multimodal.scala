@@ -27,11 +27,15 @@ import org.apache.spark.sql.functions._
   *    I/O only, headless-safe): [[decodeAudioWav]] reads actual
   *    16-bit PCM samples and computes sample-exact integer features;
   *    [[sampleAudioWindows]] is the windowed (frame-sampling) analog.
-  *  - STUBS where the JDK genuinely has no codec (video):
-  *    [[sampleFrames]] derives deterministic fake features from the
-  *    bytes, keeping the explode shape real. [[decodeImages]] is the
-  *    byte-stat twin whose output the DuckDB oracle can verify (q30) —
-  *    DuckDB cannot decode PNGs, so the pixel path is spec-gated.
+  *  - REAL video frame parsing for UNCOMPRESSED containers
+  *    ([[parseY4m]] / [[videoFrameHashes]]): Y4M is an ASCII header
+  *    plus raw planes at fixed byte offsets — pure arithmetic, no
+  *    codec needed. COMPRESSED video remains the one true stub
+  *    ([[sampleFrames]] — the JDK ships no H.26x/VPx decoder):
+  *    deterministic fake features over the bytes, keeping the explode
+  *    shape real. [[decodeImages]] is the byte-stat twin whose output
+  *    the DuckDB oracle can verify (q30) — DuckDB cannot decode PNGs,
+  *    so the pixel path is spec-gated.
   */
 object Multimodal {
 
@@ -737,9 +741,12 @@ object Multimodal {
     }
   }
 
-  /** STUB frame sampling for video payloads: every `stride`-th "frame"
-    * (fixed-size byte window) becomes one row — the explode shape a
-    * real video pipeline has, with deterministic fake luma per frame.
+  /** STUB frame sampling for opaque (compressed) video payloads: every
+    * `stride`-th "frame" (fixed-size byte window) becomes one row —
+    * the explode shape a real video pipeline has, with deterministic
+    * fake luma per frame. The JDK has no codec for compressed video;
+    * for UNCOMPRESSED video the real path below ([[videoFrameHashes]]
+    * over Y4M) replaces this.
     */
   def sampleFrames(records: Dataset[MediaRecord], stride: Int)(implicit spark: SparkSession): Dataset[Frame] = {
     import spark.implicits._
@@ -751,5 +758,172 @@ object Multimodal {
         Frame(r.docId, f, off, luma)
       }
     }
+  }
+
+  // ------------------------------------------------------------- video
+
+  /** dHash over a RAW luma plane (row-major, w×h, one byte per pixel) —
+    * the same 9×8 exact-floor grid and strict-greater comparison as
+    * [[dHash64]], without a BufferedImage in between: video frames
+    * arrive as plane slices of the container payload, and decoding
+    * them through ImageIO would mean a pointless per-frame PNG
+    * round-trip.
+    */
+  def dHash64Plane(plane: Array[Byte], off: Int, w: Int, h: Int): Long = {
+    require(w >= 9 && h >= 8, s"dHash64Plane needs >= 9x8 pixels; got ${w}x$h")
+    require(off + w * h <= plane.length, "plane slice out of bounds")
+    var bits = 0L
+    var gy = 0
+    while (gy < 8) {
+      val y = gy * h / 8
+      var gx = 0
+      while (gx < 8) {
+        val a = plane(off + y * w + gx * w / 9) & 0xff
+        val b = plane(off + y * w + (gx + 1) * w / 9) & 0xff
+        if (a > b) bits |= (1L << (gy * 8 + gx))
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** Parsed Y4M geometry: luma-plane width/height, frame count, and
+    * the byte offset of the first `FRAME` marker.
+    */
+  case class Y4mInfo(width: Int, height: Int, nFrames: Int, firstFrameOffset: Int)
+
+  private val Y4mMagic = "YUV4MPEG2"
+  private val Y4mFrameMarker = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Parse a Y4M (YUV4MPEG2) stream header and index its frames —
+    * pure byte-offset arithmetic, no codec: the container is an ASCII
+    * parameter line (`YUV4MPEG2 W<w> H<h> F<n>:<d> ... Cmono\n`)
+    * followed by `FRAME\n` + one raw plane per frame (`Cmono` = luma
+    * only, w·h bytes — the grayscale end-to-end fixture path, like the
+    * single-band PNGs). Every frame marker is VALIDATED, not assumed:
+    * a truncated or corrupt payload throws (route through a
+    * corrupt-tolerant twin if tolerance is needed).
+    */
+  def parseY4m(payload: Array[Byte], docId: Long = -1L): Y4mInfo = {
+    val headerEnd = payload.indexOf('\n'.toByte)
+    require(headerEnd > 0, s"doc $docId: no Y4M header line")
+    val header = new String(payload, 0, headerEnd, java.nio.charset.StandardCharsets.US_ASCII)
+    val toks = header.split(' ')
+    require(toks.headOption.contains(Y4mMagic), s"doc $docId: not a Y4M stream: $header")
+    def param(p: Char): Option[String] = toks.tail.find(t => t.nonEmpty && t.head == p).map(_.tail)
+    val w = param('W').map(_.toInt).getOrElse(sys.error(s"doc $docId: Y4M header missing W"))
+    val h = param('H').map(_.toInt).getOrElse(sys.error(s"doc $docId: Y4M header missing H"))
+    require(w > 0 && h > 0, s"doc $docId: bad Y4M dims ${w}x$h")
+    val colorspace = param('C').getOrElse("420jpeg")
+    require(colorspace == "mono", s"doc $docId: only Cmono Y4M is supported; got C$colorspace")
+    val frameSize = Y4mFrameMarker.length + w * h
+    val body = payload.length - (headerEnd + 1)
+    require(body % frameSize == 0,
+      s"doc $docId: Y4M body ($body bytes) is not a whole number of ${w}x$h frames")
+    val n = body / frameSize
+    var f = 0
+    while (f < n) {
+      val off = headerEnd + 1 + f * frameSize
+      var i = 0
+      while (i < Y4mFrameMarker.length) {
+        require(payload(off + i) == Y4mFrameMarker(i), s"doc $docId: corrupt FRAME marker at frame $f")
+        i += 1
+      }
+      f += 1
+    }
+    Y4mInfo(w, h, n, headerEnd + 1)
+  }
+
+  /** Byte offset of frame `f`'s luma plane inside a parsed payload. */
+  private def y4mPlaneOffset(info: Y4mInfo, f: Int): Int =
+    info.firstFrameOffset + f * (Y4mFrameMarker.length + info.width * info.height) +
+      Y4mFrameMarker.length
+
+  /** Deterministic block-pattern Y4M fixture — [[encodeBlockPng]]
+    * extended with a frame axis: frame `f`'s pixel (x, y) lives in
+    * block `((x·8) div w, (y·8) div h)` valued
+    * `h32("<seed>#<f>#<bx>#<by>") mod 256`, so a SQL oracle replays
+    * every sampled pixel of every frame arithmetically while the Spark
+    * side parses REAL container bytes.
+    */
+  def encodeBlockY4m(docId: Long, seed: Long, w: Int, h: Int, nFrames: Int): MediaRecord = {
+    require(w >= 9 && h >= 8, s"encodeBlockY4m needs >= 9x8; got ${w}x$h")
+    require(nFrames >= 1, s"encodeBlockY4m needs >= 1 frame; got $nFrames")
+    val header = s"$Y4mMagic W$w H$h F25:1 Ip A1:1 Cmono\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val frameSize = Y4mFrameMarker.length + w * h
+    val bytes = new Array[Byte](header.length + nFrames * frameSize)
+    System.arraycopy(header, 0, bytes, 0, header.length)
+    var f = 0
+    while (f < nFrames) {
+      val off = header.length + f * frameSize
+      System.arraycopy(Y4mFrameMarker, 0, bytes, off, Y4mFrameMarker.length)
+      val blocks = Array.tabulate(8, 8)((by, bx) =>
+        (graft.functions.Hashing.h32Local(s"$seed#$f#$bx#$by") % 256L).toByte)
+      var y = 0
+      while (y < h) {
+        val by = y * 8 / h
+        val rowOff = off + Y4mFrameMarker.length + y * w
+        var x = 0
+        while (x < w) {
+          bytes(rowOff + x) = blocks(by)(x * 8 / w)
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    MediaRecord(docId, bytes,
+      MediaMeta("video/x-yuv4mpeg", bytes.length.toLong, md5Hex(bytes), w, h, nFrames))
+  }
+
+  /** REAL parse → temporal trim to the first `keepFrames` frames →
+    * re-encode, under a new docId — the video analog of [[resizeExact]]
+    * / [[scaleAmplitudeExact]]: a true parse→transform→encode chain
+    * over container bytes. Kept frames are copied VERBATIM (a trim
+    * touches no pixels), which is what makes trimmed variants land at
+    * Hamming 0 from their base's shared frames.
+    */
+  def trimFramesExact(r: MediaRecord, newDocId: Long, keepFrames: Int): MediaRecord = {
+    val info = parseY4m(r.payload, r.docId)
+    require(keepFrames >= 1 && keepFrames <= info.nFrames,
+      s"trimFramesExact: keepFrames in [1, ${info.nFrames}]; got $keepFrames")
+    val frameSize = Y4mFrameMarker.length + info.width * info.height
+    val bytes = new Array[Byte](info.firstFrameOffset + keepFrames * frameSize)
+    System.arraycopy(r.payload, 0, bytes, 0, bytes.length)
+    MediaRecord(newDocId, bytes,
+      MediaMeta("video/x-yuv4mpeg", bytes.length.toLong, md5Hex(bytes),
+        info.width, info.height, keepFrames))
+  }
+
+  case class VideoFrameHash(
+      docId: Long,
+      frameIdx: Int,
+      width: Int,
+      height: Int,
+      nFrames: Int,
+      dhashHi: Long,
+      dhashLo: Long)
+
+  /** Parse each Y4M payload and dHash every `stride`-th frame — the
+    * REAL frame-sampling path (byte-offset parse, raw-plane hash; no
+    * codec because uncompressed video needs none). One output row per
+    * sampled frame, hash in unsigned 32-bit halves like
+    * [[imageHashes]]. The per-record work is pure arithmetic over the
+    * payload bytes, so partition sizing bounds memory at one payload.
+    */
+  def videoFrameHashes(records: Dataset[MediaRecord], stride: Int)(
+      implicit spark: SparkSession): Dataset[VideoFrameHash] = {
+    require(stride >= 1, s"videoFrameHashes: stride >= 1; got $stride")
+    import spark.implicits._
+    records.mapPartitions(_.flatMap { r =>
+      val info = parseY4m(r.payload, r.docId)
+      (0 until info.nFrames by stride).iterator.map { f =>
+        val dh = dHash64Plane(r.payload, y4mPlaneOffset(info, f), info.width, info.height)
+        VideoFrameHash(r.docId, f, info.width, info.height, info.nFrames,
+          (dh >>> 32) & 0xffffffffL, dh & 0xffffffffL)
+      }
+    })
   }
 }

@@ -8,8 +8,10 @@ import graft.operators.Multimodal.{DecodedImage, MediaRecord}
 /** Multimodal plumbing: payload/metadata schema, partition-batched
   * decode, resize, and frame sampling. The image (javax.imageio) and
   * audio (javax.sound.sampled) paths are REAL JDK codecs, pinned
-  * pixel-exact / sample-exact; only video keeps the deterministic
-  * stub (no JDK codec exists).
+  * pixel-exact / sample-exact; video is REAL byte-offset parsing for
+  * uncompressed containers (Y4M — header parse, frame indexing,
+  * raw-plane dHash), with only compressed video keeping the
+  * deterministic stub (no JDK codec exists).
   */
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -367,6 +369,78 @@ class MultimodalSpec extends AnyFunSuite {
       assert((ih.dhashHi << 32 | ih.dhashLo) === dh)
       assert((ih.ahashHi << 32 | ih.ahashLo) === ah)
       assert(ih.width === img.getWidth && ih.height === img.getHeight)
+    }
+  }
+
+  // ------------------------------------------------------------- video
+
+  test("Y4M round-trip: encode → parse recovers geometry; frames are real container bytes") {
+    val r = Multimodal.encodeBlockY4m(docId = 7L, seed = 42L, w = 24, h = 16, nFrames = 4)
+    // the header is genuine ASCII YUV4MPEG2
+    val header = new String(r.payload.takeWhile(_ != '\n'.toByte), "US-ASCII")
+    assert(header === "YUV4MPEG2 W24 H16 F25:1 Ip A1:1 Cmono")
+    val info = Multimodal.parseY4m(r.payload, 7L)
+    assert(info.width === 24 && info.height === 16 && info.nFrames === 4)
+    assert(r.meta.nFrames === 4 && r.meta.mediaType === "video/x-yuv4mpeg")
+    // pixel (x, y) of frame f is the analytic block value — spot-check a few
+    def lum(f: Int, x: Int, y: Int): Int = {
+      val bx = x * 8 / 24; val by = y * 8 / 16
+      (graft.functions.Hashing.h32Local(s"42#$f#$bx#$by") % 256L).toInt
+    }
+    val frameSize = 6 + 24 * 16 // "FRAME\n" + plane
+    for (f <- 0 until 4; (x, y) <- Seq((0, 0), (23, 15), (11, 7))) {
+      val off = info.firstFrameOffset + f * frameSize + 6 + y * 24 + x
+      assert((r.payload(off) & 0xff) === lum(f, x, y), s"frame $f pixel ($x,$y)")
+    }
+  }
+
+  test("dHash64Plane equals dHash64 on identical content") {
+    // Render one frame's plane into a grayscale BufferedImage: the raw-
+    // plane hash and the image hash must agree bit for bit.
+    val r = Multimodal.encodeBlockY4m(1L, seed = 9L, w = 33, h = 21, nFrames = 1)
+    val info = Multimodal.parseY4m(r.payload)
+    val off = info.firstFrameOffset + 6
+    val img = new java.awt.image.BufferedImage(33, 21, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 21; x <- 0 until 33)
+      img.getRaster.setSample(x, y, 0, r.payload(off + y * 33 + x) & 0xff)
+    assert(Multimodal.dHash64Plane(r.payload, off, 33, 21) === Multimodal.dHash64(img))
+  }
+
+  test("trimFramesExact keeps verbatim bytes; parse rejects corrupt/truncated payloads") {
+    val base = Multimodal.encodeBlockY4m(10L, seed = 5L, w = 24, h = 16, nFrames = 3)
+    val trimmed = Multimodal.trimFramesExact(base, 11L, keepFrames = 2)
+    assert(Multimodal.parseY4m(trimmed.payload).nFrames === 2)
+    // kept prefix is byte-identical (a trim touches no pixels)
+    assert(trimmed.payload.toSeq === base.payload.take(trimmed.payload.length).toSeq)
+    assert(trimmed.docId === 11L && trimmed.meta.nFrames === 2)
+    // corrupt marker
+    val bad = base.payload.clone()
+    val info = Multimodal.parseY4m(base.payload)
+    bad(info.firstFrameOffset) = 'X'.toByte
+    val e1 = intercept[IllegalArgumentException] { Multimodal.parseY4m(bad, 99L) }
+    assert(e1.getMessage.contains("99") && e1.getMessage.contains("FRAME"))
+    // truncated body (not a whole number of frames)
+    val e2 = intercept[IllegalArgumentException] { Multimodal.parseY4m(base.payload.dropRight(7), 98L) }
+    assert(e2.getMessage.contains("whole number of"))
+    // wrong magic
+    intercept[RuntimeException] { Multimodal.parseY4m("JUNKHEADER\nxxxx".getBytes("US-ASCII")) }
+  }
+
+  test("videoFrameHashes: stride sampling over the Dataset path equals local per-frame hashing") {
+    implicit val s = spark
+    import spark.implicits._
+    val recs = Seq(
+      Multimodal.encodeBlockY4m(2L, seed = 1L, w = 24, h = 16, nFrames = 5),
+      Multimodal.encodeBlockY4m(4L, seed = 2L, w = 30, h = 20, nFrames = 3)).toDS()
+    val got = Multimodal.videoFrameHashes(recs, stride = 2).collect()
+      .map(v => (v.docId, v.frameIdx) -> ((v.dhashHi << 32) | v.dhashLo)).toMap
+    assert(got.keySet === Set(2L -> 0, 2L -> 2, 2L -> 4, 4L -> 0, 4L -> 2))
+    for (((id, f), hash) <- got) {
+      val r = if (id == 2L) Multimodal.encodeBlockY4m(2L, 1L, 24, 16, 5)
+              else Multimodal.encodeBlockY4m(4L, 2L, 30, 20, 3)
+      val info = Multimodal.parseY4m(r.payload)
+      val off = info.firstFrameOffset + f * (6 + info.width * info.height) + 6
+      assert(hash === Multimodal.dHash64Plane(r.payload, off, info.width, info.height), s"($id, $f)")
     }
   }
 
