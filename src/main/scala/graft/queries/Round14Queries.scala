@@ -95,7 +95,11 @@ object Round14Queries {
     // and the total order stays a sampled range sort — the range-
     // partitioning sampling job reads the cache instead of re-running
     // the codec pipeline, and no single task ever holds the corpus
-    // (the scale contract orderedSmall cannot give here).
+    // (the scale contract orderedSmall cannot give here). Measured
+    // cost of the scale-correct plan at sf0.1 (min-of-5): 0.94 s vs
+    // 0.62 s for the old repartition(1) funnel — +0.3 s of persist
+    // build + range shuffle, accepted: the funnel serializes the
+    // whole corpus through one task at crawl scale.
     val hashes = Multimodal.imageHashes(imageRecords(s, d))(s).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashes
@@ -124,7 +128,7 @@ object Round14Queries {
 
   /** CTE chain `imgs → dh → ah` computing (img_id, w, h, dhash, ahash
     * halves) for the generated corpus — the q189/q190 oracle core. */
-  private val hashCtesSql: String =
+  private[queries] val hashCtesSql: String =
     s"""ids AS (SELECT doc_id AS id FROM documents),
       |imgs AS (
       |  SELECT 2*id AS img_id, id AS seed,
@@ -255,7 +259,9 @@ object Round14Queries {
     */
   val q191AudioPhash: Q = (s, d) => {
     // Corpus-sized output: persist + sampled range sort, not the
-    // single-task repartition(1) — same rationale as q189.
+    // single-task repartition(1) — same rationale and A/B as q189
+    // (2.68 vs 2.47 s min-of-5 at sf0.1: the WAV codec dominates, so
+    // the persist's relative cost is smaller here).
     val hashes = Multimodal.audioHashes(audioRecordsFor(Tables.documents(s, d)))(s).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashes
@@ -274,7 +280,7 @@ object Round14Queries {
     * Floor division on negatives via the canonical non-negative
     * residue; every window w ∈ [0, 64] is non-empty for n ≥ 65.
     */
-  private val audioHashCtesSql: String = {
+  private[queries] val audioHashCtesSql: String = {
     def fd(a: String, m: String): String =
       s"((($a) - (((($a) % ($m)) + ($m)) % ($m))) // ($m))"
     val sExpr = "((((ord(substr(t, CAST(i % l AS INTEGER) + 1, 1)) * 257) + (i * 131)) % 65536) - 32768)"

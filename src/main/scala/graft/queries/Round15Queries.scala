@@ -200,11 +200,213 @@ object Round15Queries {
       |GROUP BY va, vb
       |ORDER BY vid_a NULLS FIRST, vid_b NULLS FIRST""".stripMargin
 
+  // ---- q195/q196: media pairs → clusters → keep-list ------------------
+
+  /** q195 — media duplicate COMPACTION: the q190/q192 pair sets stop
+    * at pairs; this runs the components→keep-list step text dedup has
+    * had since q104 over BOTH media families at once. Images and audio
+    * clips share one media-id space (2·img_id for images,
+    * 2·clip_id + 1 for clips — disjoint by parity, replayable in SQL),
+    * each modality's gated banded Hamming join contributes its edges,
+    * [[Dedup.connectedComponents]] clusters them, and every media item
+    * is labeled (canonical, cluster size, keep). The planted
+    * multi-variant clusters resolve to one canonical: a base image and
+    * its resized variant (or a clip and its amplitude-halved variant)
+    * share a component whose min id is the base.
+    *
+    * Cost decomposition at sf0.1 (min-of-5): ≈ q190 (1.2 s) + q192
+    * (3.1 s) + the compaction marginal — one full-edge materialize in
+    * CC, six label rounds at ~0.4 s (real collision CHAINS, measured
+    * via GRAFT_CC_LOG: the label sum keeps falling for 5 rounds), and
+    * the keep-list joins — every stage an equi-join or hash agg, no
+    * new quadratic surface.
+    */
+  val q195MediaKeepList: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // Each hash frame feeds the banded join three ways (two sides +
+    // the bucket gate) and the item universe — persist once per
+    // modality (the q190/q192 discipline; released by the harness
+    // sweep, or compose via the *Releasable operators in a library).
+    val imgSh = Multimodal.imageHashes(Round14Queries.imageRecordsFor(docs))(s).toDF()
+      .select(
+        (col("docId") * 2).as("media_id"),
+        expr("shiftleft(dhashHi, 32) | dhashLo").as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val audSh = Multimodal.audioHashes(Round14Queries.audioRecordsFor(docs))(s).toDF()
+      .select(
+        (col("docId") * 2 + 1).as("media_id"),
+        expr("shiftleft(ahashHi, 32) | ahashLo").as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = Dedup.simHashPairs(imgSh, "media_id", maxHamming = 7, bits = 64)
+      .select(col("id_a"), col("id_b"))
+      .unionByName(
+        Dedup.simHashPairs(audSh, "media_id", maxHamming = 7, bits = 64)
+          .select(col("id_a"), col("id_b")))
+    val items = imgSh.select("media_id").unionByName(audSh.select("media_id"))
+    Dedup.keepList(items, "media_id", edges)
+      .select(
+        col("media_id"),
+        when(col("media_id") % 2 === 0, lit("image")).otherwise(lit("audio")).as("modality"),
+        col("canonical_id"),
+        col("cluster_size"),
+        col("keep"))
+      .orderBy(col("media_id"))
+  }
+
+  /** The q104 recursive-components + keep-list tail, shared by the two
+    * compaction oracles: `prs(ma, mb)` pairs in, labeled universe out.
+    */
+  private def keepListTailSql(univSql: String, idName: String): String =
+    s"""edges AS (SELECT ma AS src, mb AS dst FROM prs UNION SELECT mb, ma FROM prs),
+      |walk(node, comp) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e2.dst, w.comp FROM walk w JOIN edges e2 ON e2.src = w.node),
+      |comp AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node),
+      |univ AS ($univSql),
+      |lab AS (SELECT u.$idName, COALESCE(c.component, u.$idName) AS canonical_id
+      |        FROM univ u LEFT JOIN comp c ON u.$idName = c.node),
+      |sz AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM lab GROUP BY canonical_id)""".stripMargin
+
+  val q195Sql: String =
+    s"""WITH RECURSIVE
+      |${Round14Queries.hashCtesSql},
+      |${Round14Queries.audioHashCtesSql.replace("ah AS (", "aah AS (")},
+      |ip AS (
+      |  SELECT 2*a.img_id AS ma, 2*b.img_id AS mb
+      |  FROM dh a JOIN dh b ON a.img_id < b.img_id
+      |  WHERE (bit_count(xor(a.dhash_hi, b.dhash_hi)) + bit_count(xor(a.dhash_lo, b.dhash_lo))) <= 7),
+      |ap AS (
+      |  SELECT 2*a.clip_id + 1 AS ma, 2*b.clip_id + 1 AS mb
+      |  FROM aah a JOIN aah b ON a.clip_id < b.clip_id
+      |  WHERE (bit_count(xor(a.ahash_hi, b.ahash_hi)) + bit_count(xor(a.ahash_lo, b.ahash_lo))) <= 7),
+      |prs AS (SELECT ma, mb FROM ip UNION SELECT ma, mb FROM ap),
+      |${keepListTailSql("SELECT 2*img_id AS media_id FROM imgs UNION ALL SELECT 2*clip_id + 1 FROM clips", "media_id")}
+      |SELECT CAST(l.media_id AS BIGINT) AS media_id,
+      |  CASE WHEN l.media_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+      |  CAST(l.canonical_id AS BIGINT) AS canonical_id,
+      |  CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+      |  l.media_id = l.canonical_id AS keep
+      |FROM lab l JOIN sz USING (canonical_id)
+      |ORDER BY media_id NULLS FIRST""".stripMargin
+
+  /** q196 — CROSS-MODAL dedup compaction at DOCUMENT grain: a document
+    * is a duplicate of another if ANY shared modality says so, so the
+    * image and audio pair sets are unioned in doc-id space before
+    * clustering — overlapping per-modality groups MERGE (the reason
+    * the union step exists). Planted structure: every run of 3
+    * consecutive docs shares its IMAGE content (seed = id − id mod 3;
+    * dims still vary per doc, so the pairs are near- not exact-dup),
+    * and every run of 5 shares its AUDIO (each doc's clip is encoded
+    * from its group leader's text — identical samples, Hamming 0).
+    * The overlapping mod-3 / mod-5 runs chain components toward
+    * lcm = 15-doc clusters wherever both modalities connect, which no
+    * single modality produces on its own. Oracle: both pair sets
+    * replayed analytically + the q104 recursive walk.
+    */
+  val q196CrossModalKeepList: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val dId = col("doc_id")
+    import s.implicits._
+    // image per doc: q189's base geometry, seed shared across id - id%3
+    val imgRecords = docs.select(dId).as[Long].mapPartitions(_.map { id =>
+      val w = (64 + id % 61).toInt
+      val h = (64 + (id / 61) % 53).toInt
+      Multimodal.encodeBlockPng(id, id - id % 3, w, h)
+    })
+    val imgSh = Multimodal.imageHashes(imgRecords)(s).toDF()
+      .select(col("docId").as("doc_id"), expr("shiftleft(dhashHi, 32) | dhashLo").as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // audio per doc: the LEADER doc's ASCII projection (equi-join on
+    // the derived leader id — cheap, hash-partitioned, replayable)
+    val leaderTxt = docs
+      .filter(col("text").isNotNull)
+      .select(dId.as("leader"), regexp_replace(col("text"), "[^ -~]", "").as("__t"))
+      .filter(length(col("__t")) >= 1)
+    val audRecords = docs
+      .select(dId, (dId - dId % 5).as("leader"))
+      .join(leaderTxt, "leader")
+      .select(dId, col("__t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => Multimodal.encodePcmWav(id, t) })
+    val audSh = Multimodal.audioHashes(audRecords)(s).toDF()
+      .select(col("docId").as("doc_id"), expr("shiftleft(ahashHi, 32) | ahashLo").as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = Dedup.simHashPairs(imgSh, "doc_id", maxHamming = 7, bits = 64)
+      .select(col("id_a"), col("id_b"))
+      .unionByName(
+        Dedup.simHashPairs(audSh, "doc_id", maxHamming = 7, bits = 64)
+          .select(col("id_a"), col("id_b")))
+    Dedup.keepList(docs.select(dId), "doc_id", edges).orderBy(dId)
+  }
+
+  val q196Sql: String = {
+    // q189's lum formula with the identity resample (base dims only)
+    // and the GROUP seed: lum(X, Y) of doc id's image.
+    def glum(x: String, y: String): String =
+      "(CAST('0x' || substr(md5(CAST(id - id % 3 AS VARCHAR) || '#' || " +
+        s"CAST(((($x))*8)//w AS VARCHAR) || '#' || " +
+        s"CAST(((($y))*8)//h AS VARCHAR)), 1, 8) AS BIGINT) % 256)"
+    def fd(a: String, m: String): String =
+      s"((($a) - (((($a) % ($m)) + ($m)) % ($m))) // ($m))"
+    val sExpr = "((((ord(substr(t, CAST(i % l AS INTEGER) + 1, 1)) * 257) + (i * 131)) % 65536) - 32768)"
+    s"""WITH RECURSIVE
+      |gi AS (SELECT doc_id AS id,
+      |              CAST(64 + doc_id % 61 AS BIGINT) AS w,
+      |              CAST(64 + (doc_id // 61) % 53 AS BIGINT) AS h
+      |       FROM documents),
+      |gbits AS (
+      |  SELECT id, CAST(b AS BIGINT) AS b,
+      |         (${glum("((b % 8)*w)//9", "((b // 8)*h)//8")} >
+      |          ${glum("(((b % 8) + 1)*w)//9", "((b // 8)*h)//8")}) AS bit
+      |  FROM gi, unnest(generate_series(0, 63)) AS t(b)),
+      |gdh AS (
+      |  SELECT id,
+      |    CAST(SUM(CASE WHEN bit AND b >= 32 THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(SUM(CASE WHEN bit AND b < 32 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM gbits GROUP BY 1),
+      |ltxt AS (SELECT doc_id AS leader, regexp_replace(text, '[^ -~]', '', 'g') AS t
+      |         FROM documents WHERE text IS NOT NULL),
+      |lok AS (SELECT leader, t, CAST(len(t) AS BIGINT) AS l,
+      |               CAST(256 + len(t) % 512 AS BIGINT) AS n
+      |        FROM ltxt WHERE len(t) >= 1),
+      |aclips AS (
+      |  SELECT d.doc_id AS id, k.t, k.l, k.n
+      |  FROM documents d JOIN lok k ON k.leader = d.doc_id - d.doc_id % 5),
+      |awen AS (
+      |  SELECT id, ((i * 65) // n) AS wdw, SUM(abs($sExpr)) AS e
+      |  FROM aclips, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS u(i)
+      |  GROUP BY 1, 2),
+      |adh AS (
+      |  SELECT a.id,
+      |    CAST(SUM(CASE WHEN a.e > b.e AND a.wdw >= 32 THEN (CAST(1 AS BIGINT) << CAST(a.wdw - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(SUM(CASE WHEN a.e > b.e AND a.wdw < 32 THEN (CAST(1 AS BIGINT) << CAST(a.wdw AS INTEGER)) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM awen a JOIN awen b ON b.id = a.id AND b.wdw = a.wdw + 1
+      |  WHERE a.wdw < 64
+      |  GROUP BY 1),
+      |ip AS (SELECT a.id AS ma, b.id AS mb FROM gdh a JOIN gdh b ON a.id < b.id
+      |       WHERE (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))) <= 7),
+      |ap AS (SELECT a.id AS ma, b.id AS mb FROM adh a JOIN adh b ON a.id < b.id
+      |       WHERE (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))) <= 7),
+      |prs AS (SELECT ma, mb FROM ip UNION SELECT ma, mb FROM ap),
+      |${keepListTailSql("SELECT doc_id FROM documents", "doc_id")}
+      |SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+      |  CAST(l.canonical_id AS BIGINT) AS canonical_id,
+      |  CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+      |  l.doc_id = l.canonical_id AS keep
+      |FROM lab l JOIN sz USING (canonical_id)
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
   def all: Map[String, Q] = Map(
     "q193_video_framehash" -> q193VideoFrameHash,
-    "q194_video_neardup" -> q194VideoNearDup)
+    "q194_video_neardup" -> q194VideoNearDup,
+    "q195_media_keeplist" -> q195MediaKeepList,
+    "q196_crossmodal_keeplist" -> q196CrossModalKeepList)
 
   def oracles: Map[String, String] = Map(
     "q193_video_framehash" -> q193Sql,
-    "q194_video_neardup" -> q194Sql)
+    "q194_video_neardup" -> q194Sql,
+    "q195_media_keeplist" -> q195Sql,
+    "q196_crossmodal_keeplist" -> q196Sql)
 }
