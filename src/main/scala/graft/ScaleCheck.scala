@@ -286,6 +286,12 @@ object ScaleCheck {
       // materializes n².
       "imagehash" -> (() =>
         graft.queries.Round14Queries.imageNearDupOver(docs)),
+      // q194 shape END-TO-END: real Y4M parse + per-sampled-frame raw-
+      // plane dHash (per-row byte arithmetic — linear) + the gated
+      // banded join at frame grain + the clip-pair rollup; like
+      // imagehash the pair space never materializes n².
+      "videohash" -> (() =>
+        graft.queries.Round15Queries.videoNearDupOver(docs)),
       // q140 shape over the trading graph; --docs bounds the ORDER key
       // here so the edge list (and with it the node universe) grows.
       "hits" -> (() => {

@@ -156,9 +156,15 @@ object Round15Queries {
     * gate's negative side exactly like q190. Oracle: exact all-pairs
     * frame scan.
     */
-  val q194VideoNearDup: Q = (s, d) => {
+  val q194VideoNearDup: Q = (s, d) => videoNearDupOver(Tables.documents(s, d))
+
+  /** q194's pipeline over an arbitrary docs frame ([[graft.ScaleCheck]]
+    * `videohash` slope probe reuse — the q190 imageNearDupOver pattern).
+    */
+  private[graft] def videoNearDupOver(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
     val hashes = Multimodal
-      .videoFrameHashes(videoRecordsFor(Tables.documents(s, d)), FrameStride)(s)
+      .videoFrameHashes(videoRecordsFor(docs), FrameStride)(s)
       .toDF()
     // Persisted: the banded self-join consumes the frame-hash lineage
     // three ways (two sides + the bucket gate); the parse+hash pass
