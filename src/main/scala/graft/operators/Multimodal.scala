@@ -906,6 +906,46 @@ object Multimodal {
       dhashHi: Long,
       dhashLo: Long)
 
+  case class VideoAttempt(ok: Seq[VideoFrameHash], err: Option[MediaError])
+
+  /** Corrupt-tolerant twin of [[videoFrameHashes]] — the P6 error-
+    * routing discipline at the container boundary, like
+    * [[decodeImagesJdkRouted]] / [[decodeAudioWavRouted]]: one poisoned
+    * payload in a 100 TB media corpus must neither kill the job nor
+    * vanish silently. Clean records hash bit-identically to the strict
+    * path; corrupt ones (bad magic, corrupt FRAME marker, truncated
+    * body) land on the error channel with their doc id and message.
+    */
+  def videoFrameHashesRouted(records: Dataset[MediaRecord], stride: Int)(
+      implicit spark: SparkSession): (Dataset[VideoFrameHash], Dataset[MediaError], () => Unit) = {
+    require(stride >= 1, s"videoFrameHashesRouted: stride >= 1; got $stride")
+    import spark.implicits._
+    val attempts = records
+      .mapPartitions(_.map { r =>
+        try VideoAttempt(hashOneVideo(r, stride), None)
+        catch {
+          case e: Exception =>
+            VideoAttempt(Nil, Some(MediaError(r.docId, "video-parse", String.valueOf(e.getMessage))))
+        }
+      })
+      .cache()
+    val clean = attempts.flatMap(_.ok)
+    val errors = attempts.flatMap(_.err)
+    (clean, errors, () => { attempts.unpersist(blocking = false); () })
+  }
+
+  /** One payload's sampled-frame hashes — shared by the fail-loud and
+    * routed paths.
+    */
+  private def hashOneVideo(r: MediaRecord, stride: Int): Seq[VideoFrameHash] = {
+    val info = parseY4m(r.payload, r.docId)
+    (0 until info.nFrames by stride).map { f =>
+      val dh = dHash64Plane(r.payload, y4mPlaneOffset(info, f), info.width, info.height)
+      VideoFrameHash(r.docId, f, info.width, info.height, info.nFrames,
+        (dh >>> 32) & 0xffffffffL, dh & 0xffffffffL)
+    }
+  }
+
   /** Parse each Y4M payload and dHash every `stride`-th frame — the
     * REAL frame-sampling path (byte-offset parse, raw-plane hash; no
     * codec because uncompressed video needs none). One output row per
@@ -917,13 +957,6 @@ object Multimodal {
       implicit spark: SparkSession): Dataset[VideoFrameHash] = {
     require(stride >= 1, s"videoFrameHashes: stride >= 1; got $stride")
     import spark.implicits._
-    records.mapPartitions(_.flatMap { r =>
-      val info = parseY4m(r.payload, r.docId)
-      (0 until info.nFrames by stride).iterator.map { f =>
-        val dh = dHash64Plane(r.payload, y4mPlaneOffset(info, f), info.width, info.height)
-        VideoFrameHash(r.docId, f, info.width, info.height, info.nFrames,
-          (dh >>> 32) & 0xffffffffL, dh & 0xffffffffL)
-      }
-    })
+    records.mapPartitions(_.flatMap(r => hashOneVideo(r, stride)))
   }
 }

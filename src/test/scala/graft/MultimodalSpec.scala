@@ -444,6 +444,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("routed video parse: corrupt containers route with doc ids, clean ones hash identically") {
+    implicit val s = spark
+    import spark.implicits._
+    val good = Seq(
+      Multimodal.encodeBlockY4m(2L, seed = 1L, w = 24, h = 16, nFrames = 4),
+      Multimodal.encodeBlockY4m(4L, seed = 2L, w = 30, h = 20, nFrames = 3))
+    // corruptions: flipped FRAME marker, truncated body, wrong magic
+    val marker = {
+      val bad = good.head.payload.clone()
+      bad(Multimodal.parseY4m(good.head.payload).firstFrameOffset) = 'X'.toByte
+      good.head.copy(docId = 9101L, payload = bad)
+    }
+    val truncated = good.head.copy(docId = 9102L, payload = good.head.payload.dropRight(5))
+    val junk = good.head.copy(docId = 9103L, payload = "JUNK\nnotvideo".getBytes("US-ASCII"))
+    val (clean, errors, release) =
+      Multimodal.videoFrameHashesRouted((good ++ Seq(marker, truncated, junk)).toDS(), stride = 2)
+    val cleanRows = clean.collect()
+    val errRows = errors.collect()
+    assert(errRows.map(_.docId).sorted.toSeq === Seq(9101L, 9102L, 9103L))
+    assert(errRows.forall(_.stage == "video-parse"))
+    // clean records hash bit-identically to the strict path
+    val strict = Multimodal.videoFrameHashes(good.toDS(), stride = 2).collect()
+      .map(v => (v.docId, v.frameIdx, v.dhashHi, v.dhashLo)).toSet
+    assert(cleanRows.map(v => (v.docId, v.frameIdx, v.dhashHi, v.dhashLo)).toSet === strict)
+    release()
+  }
+
   test("fail-loud decode still throws on a corrupt payload (contract unchanged)") {
     implicit val s = spark
     import spark.implicits._
