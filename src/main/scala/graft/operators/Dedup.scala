@@ -625,6 +625,57 @@ object Dedup {
       .distinct()
   }
 
+  /** INCREMENTAL Hamming near-dup candidates — [[incrementalCandidates]]'
+    * daily-ingest shape for the SimHash/perceptual-hash family: pairs
+    * between a NEW batch's fingerprints and the EXISTING corpus only,
+    * never corpus×corpus. Same lossless pigeonhole banding as
+    * [[simHashPairs]] (within `maxHamming`, the two fingerprints agree
+    * exactly on ≥ 1 chunk), met by an equi-join on (chunk, value) that
+    * touches only the buckets the batch lands in — O(|batch|·bucket)
+    * against a 100 TB store, and with a bucketed/pre-partitioned corpus
+    * side no corpus re-shuffle at all. BOTH sides carry the bucket
+    * gate (the corpus side is where a crawl's exact-dup mega-cluster
+    * lives; the batch side guards a degenerate delta). Persist the two
+    * `sh` frames upstream when their lineage is expensive — each side's
+    * chunk explode is consumed twice (its gate + the join).
+    *
+    * @return (new_id, old_id, hamming) — distinct, hamming ≤ maxHamming
+    */
+  def simHashIncremental(
+      batchSh: DataFrame,
+      corpusSh: DataFrame,
+      idCol: String,
+      maxHamming: Int,
+      bits: Int = 48,
+      maxBucketDocs: Long = DefaultMaxBucketDocs,
+      dropOversizeBuckets: Boolean = false): DataFrame = {
+    require(maxBucketDocs >= 1, s"simHashIncremental: maxBucketDocs >= 1; got $maxBucketDocs")
+    val nChunks = maxHamming + 1
+    val width = bits / nChunks
+    require(width * nChunks == bits, s"bits ($bits) must be divisible by maxHamming+1 ($nChunks)")
+    val mask = (1L << width) - 1
+    def chunked(sh: DataFrame): DataFrame = sh
+      .select(col(idCol), col("simhash"), explode(sequence(lit(0), lit(nChunks - 1))).as("c"))
+      .select(
+        col(idCol),
+        col("simhash"),
+        col("c"),
+        expr(s"shiftright(simhash, CAST(c * $width AS INT)) & $mask").as("cv"))
+    val b = chunked(batchSh)
+    val c = chunked(corpusSh)
+    b.select(col(idCol).as("new_id"), col("simhash").as("sh_new"), col("c"), col("cv"))
+      .join(gatedBuckets(b, maxBucketDocs, dropOversizeBuckets, "simHashIncremental(batch)",
+        bandCol = "c", valCol = "cv"), Seq("c", "cv"))
+      .join(gatedBuckets(c, maxBucketDocs, dropOversizeBuckets, "simHashIncremental(corpus)",
+        bandCol = "c", valCol = "cv"), Seq("c", "cv"))
+      .join(c.select(col(idCol).as("old_id"), col("simhash").as("sh_old"), col("c"), col("cv")),
+        Seq("c", "cv"))
+      .select(col("new_id"), col("old_id"),
+        expr("bit_count(sh_new ^ sh_old)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact all-pairs Hamming scan — the O(n²) baseline [[simHashPairs]]
     * is verified against. Refuses unbounded input: the count-gate keeps
     * the exact path from ever being pointed at a full corpus by

@@ -346,18 +346,19 @@ object Round15Queries {
     Dedup.keepList(docs.select(dId), "doc_id", edges).orderBy(dId)
   }
 
-  val q196Sql: String = {
-    // q189's lum formula with the identity resample (base dims only)
-    // and the GROUP seed: lum(X, Y) of doc id's image.
-    def glum(x: String, y: String): String =
-      "(CAST('0x' || substr(md5(CAST(id - id % 3 AS VARCHAR) || '#' || " +
-        s"CAST(((($x))*8)//w AS VARCHAR) || '#' || " +
-        s"CAST(((($y))*8)//h AS VARCHAR)), 1, 8) AS BIGINT) % 256)"
-    def fd(a: String, m: String): String =
-      s"((($a) - (((($a) % ($m)) + ($m)) % ($m))) // ($m))"
-    val sExpr = "((((ord(substr(t, CAST(i % l AS INTEGER) + 1, 1)) * 257) + (i * 131)) % 65536) - 32768)"
-    s"""WITH RECURSIVE
-      |gi AS (SELECT doc_id AS id,
+  /** q189's lum formula with the identity resample (base dims only)
+    * and the GROUP seed: lum(X, Y) of doc id's image.
+    */
+  private def glum(x: String, y: String): String =
+    "(CAST('0x' || substr(md5(CAST(id - id % 3 AS VARCHAR) || '#' || " +
+      s"CAST(((($x))*8)//w AS VARCHAR) || '#' || " +
+      s"CAST(((($y))*8)//h AS VARCHAR)), 1, 8) AS BIGINT) % 256)"
+
+  /** CTE chain `gi → gbits → gdh`: the GROUP-seeded image corpus's
+    * dHashes (shared by the q196 and q197 oracles).
+    */
+  private val groupImageCtesSql: String =
+    s"""gi AS (SELECT doc_id AS id,
       |              CAST(64 + doc_id % 61 AS BIGINT) AS w,
       |              CAST(64 + (doc_id // 61) % 53 AS BIGINT) AS h
       |       FROM documents),
@@ -370,7 +371,12 @@ object Round15Queries {
       |  SELECT id,
       |    CAST(SUM(CASE WHEN bit AND b >= 32 THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS hi,
       |    CAST(SUM(CASE WHEN bit AND b < 32 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS lo
-      |  FROM gbits GROUP BY 1),
+      |  FROM gbits GROUP BY 1)""".stripMargin
+
+  val q196Sql: String = {
+    val sExpr = "((((ord(substr(t, CAST(i % l AS INTEGER) + 1, 1)) * 257) + (i * 131)) % 65536) - 32768)"
+    s"""WITH RECURSIVE
+      |$groupImageCtesSql,
       |ltxt AS (SELECT doc_id AS leader, regexp_replace(text, '[^ -~]', '', 'g') AS t
       |         FROM documents WHERE text IS NOT NULL),
       |lok AS (SELECT leader, t, CAST(len(t) AS BIGINT) AS l,
@@ -404,15 +410,68 @@ object Round15Queries {
       |ORDER BY doc_id NULLS FIRST""".stripMargin
   }
 
+  /** q197 — INCREMENTAL media dedup, the daily-ingest shape: today's
+    * batch (every doc_id ≡ 2 mod 3) is screened against the EXISTING
+    * store (the other docs) with [[Dedup.simHashIncremental]] — a
+    * batch×corpus chunk equi-join that touches only the buckets the
+    * batch lands in, never corpus×corpus (the q99 shape for the
+    * perceptual-hash family). The group-seeded image corpus (q196's
+    * fixture) plants guaranteed recoveries: each batch doc's image
+    * shares its seed with its two mod-3 group siblings, both of which
+    * live in the corpus side. `same_group` flags them; the rest are
+    * genuine cross-group dHash collisions. Oracle: exact batch×corpus
+    * Hamming scan.
+    */
+  val q197MediaIncremental: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val imgRecords = docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (64 + id % 61).toInt
+      val h = (64 + (id / 61) % 53).toInt
+      Multimodal.encodeBlockPng(id, id - id % 3, w, h)
+    })
+    // One codec pass serves both sides of the split (batch + corpus
+    // filters are cache reads), plus each side's gate + join legs.
+    val sh = Multimodal.imageHashes(imgRecords)(s).toDF()
+      .select(col("docId").as("doc_id"), expr("shiftleft(dhashHi, 32) | dhashLo").as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = Dedup
+      .simHashIncremental(
+        sh.filter(col("doc_id") % 3 === 2),
+        sh.filter(col("doc_id") % 3 =!= 2),
+        "doc_id", maxHamming = 7, bits = 64)
+      .select(
+        col("new_id"),
+        col("old_id"),
+        col("hamming"),
+        ((col("new_id") - col("new_id") % 3) ===
+          (col("old_id") - col("old_id") % 3)).as("same_group"))
+    orderedSmall(out, col("new_id"), col("old_id"))
+  }
+
+  val q197Sql: String =
+    s"""WITH
+      |$groupImageCtesSql,
+      |p AS (
+      |  SELECT b.id AS new_id, c.id AS old_id,
+      |    CAST(bit_count(xor(b.hi, c.hi)) + bit_count(xor(b.lo, c.lo)) AS BIGINT) AS hamming
+      |  FROM gdh b JOIN gdh c ON b.id % 3 = 2 AND c.id % 3 <> 2)
+      |SELECT new_id, old_id, hamming,
+      |  ((new_id - new_id % 3) = (old_id - old_id % 3)) AS same_group
+      |FROM p WHERE hamming <= 7
+      |ORDER BY new_id NULLS FIRST, old_id NULLS FIRST""".stripMargin
+
   def all: Map[String, Q] = Map(
     "q193_video_framehash" -> q193VideoFrameHash,
     "q194_video_neardup" -> q194VideoNearDup,
     "q195_media_keeplist" -> q195MediaKeepList,
-    "q196_crossmodal_keeplist" -> q196CrossModalKeepList)
+    "q196_crossmodal_keeplist" -> q196CrossModalKeepList,
+    "q197_media_incremental" -> q197MediaIncremental)
 
   def oracles: Map[String, String] = Map(
     "q193_video_framehash" -> q193Sql,
     "q194_video_neardup" -> q194Sql,
     "q195_media_keeplist" -> q195Sql,
-    "q196_crossmodal_keeplist" -> q196Sql)
+    "q196_crossmodal_keeplist" -> q196Sql,
+    "q197_media_incremental" -> q197Sql)
 }

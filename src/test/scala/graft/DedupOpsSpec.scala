@@ -295,6 +295,51 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(under === Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L), (101L, 102L, 1L)))
   }
 
+  test("simHashIncremental: batch×corpus pairs equal the exact cross scan; never batch×batch") {
+    import spark.implicits._
+    val base = 0x0000a5a5a5a5L
+    val batch = Seq(1L -> base, 2L -> (base ^ 1L)).toDF("doc_id", "simhash")
+    val corpus = Seq(
+      101L -> base,                 // hamming 0 / 1 from the batch
+      102L -> (base ^ 0x0fL),       // hamming 4 / 5 (edge of banding, ≤ 7? yes: 4 and 5)
+      103L -> 0x0000ffff0000L,      // far from everything
+      104L -> (base ^ ((1L << 3) | (1L << 17) | (1L << 29) | (1L << 41))) // hamming 4 spread over chunks
+    ).toDF("doc_id", "simhash")
+    val got = Dedup.simHashIncremental(batch, corpus, "doc_id", maxHamming = 7, bits = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exact cross scan, computed by hand: every (batch, corpus) pair ≤ 7
+    def hm(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b).toLong
+    val expected = (for {
+      (bi, bh) <- Seq(1L -> base, 2L -> (base ^ 1L))
+      (ci, ch) <- Seq(101L -> base, 102L -> (base ^ 0x0fL), 103L -> 0x0000ffff0000L,
+        104L -> (base ^ ((1L << 3) | (1L << 17) | (1L << 29) | (1L << 41))))
+      if hm(bh, ch) <= 7
+    } yield (bi, ci, hm(bh, ch))).toSet
+    assert(got === expected)
+    assert(expected.exists(_._3 == 0L) && expected.exists(_._3 >= 4L)) // non-trivial spread
+    // batch-internal near-dups (1 vs 2 at hamming 1) must NOT appear
+    assert(!got.exists { case (a, b, _) => b < 100L || a > 100L })
+  }
+
+  test("simHashIncremental: a corpus-side mega-bucket trips the gate; drop mode degrades") {
+    import spark.implicits._
+    val batch = Seq(1L -> 7L).toDF("doc_id", "simhash")
+    val corpus = spark.range(1001, 1101).toDF("doc_id").select(col("doc_id"), lit(7L).as("simhash"))
+    val e = intercept[Exception] {
+      Dedup.simHashIncremental(batch, corpus, "doc_id", 3, maxBucketDocs = 50L).count()
+    }
+    val msg = messageChain(e)
+    assert(msg.contains("simHashIncremental(corpus)"), msg)
+    // drop mode: the corpus mega-bucket is retired; a distinct corpus
+    // fingerprint in other buckets still meets the batch.
+    val corpus2 = corpus.unionByName(Seq(2001L -> 0x0000ffff0000L).toDF("doc_id", "simhash"))
+    val batch2 = batch.unionByName(Seq(11L -> (0x0000ffff0000L ^ 2L)).toDF("doc_id", "simhash"))
+    val out = Dedup
+      .simHashIncremental(batch2, corpus2, "doc_id", 3, maxBucketDocs = 50L, dropOversizeBuckets = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((11L, 2001L, 1L)))
+  }
+
   test("lshCandidatesReleasable: handle drops the banded cache on success and after a gate abort") {
     def persistedCount(): Int = spark.sparkContext.getPersistentRDDs.size
     GraftSession.releaseAllCaches(spark)
