@@ -315,13 +315,7 @@ object Round15Queries {
     val dId = col("doc_id")
     import s.implicits._
     // image per doc: q189's base geometry, seed shared across id - id%3
-    val imgRecords = docs.select(dId).as[Long].mapPartitions(_.map { id =>
-      val w = (64 + id % 61).toInt
-      val h = (64 + (id / 61) % 53).toInt
-      Multimodal.encodeBlockPng(id, id - id % 3, w, h)
-    })
-    val imgSh = Multimodal.imageHashes(imgRecords)(s).toDF()
-      .select(col("docId").as("doc_id"), expr("shiftleft(dhashHi, 32) | dhashLo").as("simhash"))
+    val imgSh = groupImageSh(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // audio per doc: the LEADER doc's ASCII projection (equi-join on
     // the derived leader id — cheap, hash-partitioned, replayable)
@@ -422,18 +416,27 @@ object Round15Queries {
     * genuine cross-group dHash collisions. Oracle: exact batch×corpus
     * Hamming scan.
     */
-  val q197MediaIncremental: Q = (s, d) => {
+  /** (doc_id, simhash = dHash64) over the GROUP-seeded image corpus —
+    * the q196/q197 fixture hasher, shared with the streaming twin's
+    * spec ([[graft.streaming.EventStreams.runMediaDedupAvailableNow]]).
+    */
+  private[graft] def groupImageSh(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val docs = Tables.documents(s, d)
     val imgRecords = docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
       val w = (64 + id % 61).toInt
       val h = (64 + (id / 61) % 53).toInt
       Multimodal.encodeBlockPng(id, id - id % 3, w, h)
     })
+    Multimodal.imageHashes(imgRecords)(s).toDF()
+      .select(col("docId").as("doc_id"), expr("shiftleft(dhashHi, 32) | dhashLo").as("simhash"))
+  }
+
+  val q197MediaIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
     // One codec pass serves both sides of the split (batch + corpus
     // filters are cache reads), plus each side's gate + join legs.
-    val sh = Multimodal.imageHashes(imgRecords)(s).toDF()
-      .select(col("docId").as("doc_id"), expr("shiftleft(dhashHi, 32) | dhashLo").as("simhash"))
+    val sh = groupImageSh(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = Dedup
       .simHashIncremental(

@@ -230,6 +230,50 @@ object EventStreams {
       .foreachBatch(writeBatchIdempotent(outDir) _)
       .start()
 
+  /** Streaming twin of the q197 incremental media screen: NEW
+    * documents arrive as an AvailableNow file stream, each micro-batch
+    * is fingerprinted through the caller's real codec chain
+    * (`hashBatch` — e.g. PNG encode→decode→dHash) and met against the
+    * STATIC already-deduped corpus fingerprints with
+    * [[graft.operators.Dedup.simHashIncremental]] — the
+    * O(|batch|·bucket) daily-ingest join, here at micro-batch grain.
+    * Matches land through the idempotent batch sink; blocks until
+    * drained. `foreachBatch` is the right vehicle (not a stream-static
+    * join): the screen needs the banded chunk EXPLODE + bucket gates
+    * on both sides, which are batch transformations of the micro-batch.
+    * The screen is micro-batch-DECOMPOSABLE by construction — pairs
+    * are batch×corpus only, so the union over micro-batches equals the
+    * one-shot batch screen (StreamingSpec pins this against q197's
+    * pipeline on the same fixture).
+    *
+    * `corpusSh` should be persisted (or a bucketed table) by the
+    * caller — every micro-batch re-joins against it.
+    */
+  def runMediaDedupAvailableNow(
+      spark: SparkSession,
+      newDocsDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      corpusSh: DataFrame,
+      hashBatch: DataFrame => DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      maxHamming: Int = 7,
+      bits: Int = 64,
+      readerOptions: Map[String, String] = Map.empty): Unit = {
+    val in = spark.readStream.schema(schema).options(readerOptions).parquet(newDocsDir)
+    val q = in.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pairs = graft.operators.Dedup
+          .simHashIncremental(hashBatch(batch), corpusSh, idCol, maxHamming, bits)
+        writeBatchIdempotent(outDir)(pairs, batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming twin of the q182 intake front door (r12 verdict Next
     * #6): an AvailableNow file stream over `(doc_id, source, html)`
     * parquet runs the per-row intake stages

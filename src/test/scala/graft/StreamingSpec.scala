@@ -394,6 +394,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming media dedup: micro-batch screens union to the one-shot batch screen") {
+    // The q197 incremental media screen as a STREAM: new docs arrive in
+    // several micro-batches (maxFilesPerTrigger=1), each is hashed
+    // through the REAL codec chain and met against the static corpus
+    // fingerprints. Pairs are batch×corpus only, so the union over
+    // micro-batches must equal the one-shot screen — the property that
+    // makes the daily-ingest shape micro-batch-decomposable.
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val sh = graft.queries.Round15Queries.groupImageSh(docs).persist()
+    val corpusSh = sh.filter(col("doc_id") % 3 =!= 2)
+    val newDocs = docs.filter(col("doc_id") % 3 === 2).select("doc_id")
+    val root = java.nio.file.Files.createTempDirectory("media_dedup_stream").toString
+    newDocs.repartition(4).write.parquet(s"$root/in")
+    EventStreams.runMediaDedupAvailableNow(
+      spark, s"$root/in", newDocs.schema, corpusSh,
+      hashBatch = graft.queries.Round15Queries.groupImageSh,
+      outDir = s"$root/out", checkpointDir = s"$root/ck",
+      readerOptions = Map("maxFilesPerTrigger" -> "1"))
+    val batches = new java.io.File(s"$root/out")
+      .listFiles().map(_.getName).count(_.startsWith("batch_id="))
+    assert(batches >= 2, s"expected several micro-batches, got $batches")
+    val streamed = spark.read.parquet(s"$root/out")
+      .select("new_id", "old_id", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.length == streamed.toSet.size, "stream emitted a duplicate pair")
+    val oneShot = Dedup
+      .simHashIncremental(sh.filter(col("doc_id") % 3 === 2), corpusSh, "doc_id", 7, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.toSet === oneShot)
+    assert(oneShot.nonEmpty) // planted group siblings guarantee recoveries
+    sh.unpersist()
+  }
+
   test("streaming URL dedup: first-seen canonical-url keep set equals the batch distinct") {
     // crawl-side exact URL dedup as a STREAM: canonicalize per
     // micro-batch (normalizeUrlFull is pure per-row, so it fuses into
