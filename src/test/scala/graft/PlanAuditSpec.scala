@@ -87,6 +87,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q194/q197: media Hamming joins stay gated equi-joins — no cartesian, gate in-plan") {
+    for (q <- Seq("q194_video_neardup", "q197_media_incremental")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+      // the in-job bucket gate's raise_error projection must survive
+      // optimization (column pruning would silently delete the guard)
+      assert(p.contains("raise_error"), s"$q: gate missing from plan")
+    }
+  }
+
   test("q76: IVF assignment crosses only the broadcast centroid set — no corpus-sized cartesian") {
     val p = plan("q76_ivf_ann")
     // centroid fan-out is a broadcast nested loop (16 rows); the
