@@ -843,13 +843,18 @@ object Multimodal {
   /** Deterministic block-pattern Y4M fixture — [[encodeBlockPng]]
     * extended with a frame axis: frame `f`'s pixel (x, y) lives in
     * block `((x·8) div w, (y·8) div h)` valued
-    * `h32("<seed>#<f>#<bx>#<by>") mod 256`, so a SQL oracle replays
-    * every sampled pixel of every frame arithmetically while the Spark
-    * side parses REAL container bytes.
+    * `h32("<seed>#<f div sceneLen>#<bx>#<by>") mod 256`, so a SQL
+    * oracle replays every sampled pixel of every frame arithmetically
+    * while the Spark side parses REAL container bytes. `sceneLen > 1`
+    * gives the clip SCENE structure: frames within a scene are
+    * identical, scene boundaries jump to an unrelated pattern — the
+    * shot-segmentation fixture (default 1 = every frame its own
+    * pattern, the near-dup fixtures' shape).
     */
-  def encodeBlockY4m(docId: Long, seed: Long, w: Int, h: Int, nFrames: Int): MediaRecord = {
+  def encodeBlockY4m(docId: Long, seed: Long, w: Int, h: Int, nFrames: Int, sceneLen: Int = 1): MediaRecord = {
     require(w >= 9 && h >= 8, s"encodeBlockY4m needs >= 9x8; got ${w}x$h")
     require(nFrames >= 1, s"encodeBlockY4m needs >= 1 frame; got $nFrames")
+    require(sceneLen >= 1, s"encodeBlockY4m needs sceneLen >= 1; got $sceneLen")
     val header = s"$Y4mMagic W$w H$h F25:1 Ip A1:1 Cmono\n"
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val frameSize = Y4mFrameMarker.length + w * h
@@ -860,7 +865,7 @@ object Multimodal {
       val off = header.length + f * frameSize
       System.arraycopy(Y4mFrameMarker, 0, bytes, off, Y4mFrameMarker.length)
       val blocks = Array.tabulate(8, 8)((by, bx) =>
-        (graft.functions.Hashing.h32Local(s"$seed#$f#$bx#$by") % 256L).toByte)
+        (graft.functions.Hashing.h32Local(s"$seed#${f / sceneLen}#$bx#$by") % 256L).toByte)
       var y = 0
       while (y < h) {
         val by = y * 8 / h

@@ -464,17 +464,92 @@ object Round15Queries {
       |FROM p WHERE hamming <= 7
       |ORDER BY new_id NULLS FIRST, old_id NULLS FIRST""".stripMargin
 
+  /** q198 — video SCENE-CUT detection (shot segmentation, the step a
+    * video training pipeline runs before sampling representative
+    * frames): hash EVERY frame of the scene-structured Y4M corpus
+    * (odd doc_ids; frames within a scene are identical, boundaries
+    * jump), then compare CONSECUTIVE frame hashes with an equi-join on
+    * (clip, frame + 1) — no Window, no sort; a boundary is a cut when
+    * the Hamming distance exceeds the threshold. Within-scene
+    * boundaries land at exactly 0; scene boundaries at the unrelated-
+    * pattern distance (~25–35 bits). Corpus-sized output: persist +
+    * range sort. Oracle: the analytic frame replay with the scene
+    * index `f div sceneLen` in the seed.
+    */
+  val q198VideoSceneCut: Q = (s, d) => {
+    import s.implicits._
+    val recs = Tables.documents(s, d)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (24 + id % 13).toInt
+        val h = (16 + (id / 13) % 11).toInt
+        val n = (6 + id % 5).toInt
+        Multimodal.encodeBlockY4m(id, id, w, h, n, sceneLen = (2 + id % 2).toInt)
+      })
+    val fh = Multimodal.videoFrameHashes(recs, stride = 1)(s).toDF()
+      .select(
+        col("docId").as("doc_id"),
+        col("frameIdx").as("f"),
+        expr("shiftleft(dhashHi, 32) | dhashLo").as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nxt = fh.select(col("doc_id"), (col("f") - 1).as("f"), col("sh").as("sh_next"))
+    fh.join(nxt, Seq("doc_id", "f"))
+      .select(
+        col("doc_id"),
+        (col("f") + 1).as("boundary_idx"),
+        expr("bit_count(sh ^ sh_next)").cast("long").as("hamming"))
+      .withColumn("is_cut", col("hamming") > 10)
+      .orderBy(col("doc_id"), col("boundary_idx"))
+  }
+
+  val q198Sql: String = {
+    def slum(x: String, y: String): String =
+      "(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '#' || CAST((f // sl) AS VARCHAR) || '#' || " +
+        s"CAST((((($x))*8)//w) AS VARCHAR) || '#' || " +
+        s"CAST((((($y))*8)//h) AS VARCHAR)), 1, 8) AS BIGINT) % 256)"
+    s"""WITH
+      |sids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 2 = 1),
+      |svids AS (
+      |  SELECT id AS vid_id, id AS seed,
+      |         CAST(24 + id % 13 AS BIGINT) AS w, CAST(16 + (id // 13) % 11 AS BIGINT) AS h,
+      |         CAST(6 + id % 5 AS BIGINT) AS n, CAST(2 + id % 2 AS BIGINT) AS sl
+      |  FROM sids),
+      |sfr AS (
+      |  SELECT vid_id, seed, w, h, sl, CAST(f AS BIGINT) AS f
+      |  FROM svids, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS t(f)),
+      |sbits AS (
+      |  SELECT vid_id, f,
+      |         CAST(b AS BIGINT) AS b,
+      |         (${slum("((b % 8)*w)//9", "((b // 8)*h)//8")} >
+      |          ${slum("(((b % 8) + 1)*w)//9", "((b // 8)*h)//8")}) AS bit
+      |  FROM sfr, unnest(generate_series(0, 63)) AS u(b)),
+      |sdh AS (
+      |  SELECT vid_id, f,
+      |    CAST(SUM(CASE WHEN bit AND b >= 32 THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(SUM(CASE WHEN bit AND b < 32 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM sbits GROUP BY 1, 2)
+      |SELECT a.vid_id AS doc_id, CAST(a.f + 1 AS INTEGER) AS boundary_idx,
+      |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming,
+      |  ((bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))) > 10) AS is_cut
+      |FROM sdh a JOIN sdh b ON b.vid_id = a.vid_id AND b.f = a.f + 1
+      |ORDER BY doc_id NULLS FIRST, boundary_idx NULLS FIRST""".stripMargin
+  }
+
   def all: Map[String, Q] = Map(
     "q193_video_framehash" -> q193VideoFrameHash,
     "q194_video_neardup" -> q194VideoNearDup,
     "q195_media_keeplist" -> q195MediaKeepList,
     "q196_crossmodal_keeplist" -> q196CrossModalKeepList,
-    "q197_media_incremental" -> q197MediaIncremental)
+    "q197_media_incremental" -> q197MediaIncremental,
+    "q198_video_scenecut" -> q198VideoSceneCut)
 
   def oracles: Map[String, String] = Map(
     "q193_video_framehash" -> q193Sql,
     "q194_video_neardup" -> q194Sql,
     "q195_media_keeplist" -> q195Sql,
     "q196_crossmodal_keeplist" -> q196Sql,
-    "q197_media_incremental" -> q197Sql)
+    "q197_media_incremental" -> q197Sql,
+    "q198_video_scenecut" -> q198Sql)
 }

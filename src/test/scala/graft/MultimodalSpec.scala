@@ -444,6 +444,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("scene-structured Y4M: frames within a scene are byte-identical, boundaries jump") {
+    val r = Multimodal.encodeBlockY4m(3L, seed = 11L, w = 24, h = 16, nFrames = 6, sceneLen = 3)
+    val info = Multimodal.parseY4m(r.payload)
+    val frameSize = 6 + 24 * 16
+    def plane(f: Int): Seq[Byte] =
+      r.payload.slice(info.firstFrameOffset + f * frameSize + 6,
+        info.firstFrameOffset + f * frameSize + 6 + 24 * 16).toSeq
+    assert(plane(0) === plane(1) && plane(1) === plane(2), "scene 0 frames identical")
+    assert(plane(3) === plane(4) && plane(4) === plane(5), "scene 1 frames identical")
+    assert(plane(2) !== plane(3), "scene boundary changes content")
+    // and the per-frame hashes agree: 0 within scenes, > 0 at the cut
+    def dh(f: Int): Long =
+      Multimodal.dHash64Plane(r.payload, info.firstFrameOffset + f * frameSize + 6, 24, 16)
+    assert(dh(0) === dh(1) && dh(1) === dh(2) && dh(3) === dh(4))
+    assert(dh(2) !== dh(3))
+    // sceneLen = 1 (the default) keeps the near-dup fixtures' shape:
+    // every frame its own pattern
+    val nd = Multimodal.encodeBlockY4m(3L, 11L, 24, 16, 2)
+    val ndInfo = Multimodal.parseY4m(nd.payload)
+    assert(nd.payload.slice(ndInfo.firstFrameOffset + 6, ndInfo.firstFrameOffset + 6 + 24 * 16).toSeq
+      === plane(0), "frame 0 of sceneLen=1 equals scene-0 content (same seed, scene index 0)")
+  }
+
   test("routed video parse: corrupt containers route with doc ids, clean ones hash identically") {
     implicit val s = spark
     import spark.implicits._
