@@ -301,7 +301,7 @@ class DedupOpsSpec extends AnyFunSuite {
     val batch = Seq(1L -> base, 2L -> (base ^ 1L)).toDF("doc_id", "simhash")
     val corpus = Seq(
       101L -> base,                 // hamming 0 / 1 from the batch
-      102L -> (base ^ 0x0fL),       // hamming 4 / 5 (edge of banding, ≤ 7? yes: 4 and 5)
+      102L -> (base ^ 0x0fL),       // hamming 4 from doc 1, 3 from doc 2
       103L -> 0x0000ffff0000L,      // far from everything
       104L -> (base ^ ((1L << 3) | (1L << 17) | (1L << 29) | (1L << 41))) // hamming 4 spread over chunks
     ).toDF("doc_id", "simhash")
