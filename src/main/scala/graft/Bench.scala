@@ -495,8 +495,11 @@ object Bench {
       val firstPass = ts.take(if (retryDetail.contains(n)) ts.length - retryDetail(n)._1.length else ts.length)
       // ledger_sec = the raw baseline line; ledger_calib_md5 + norm_ratio
       // make the cross-iron comparison machine-readable: norm_ratio =
-      // (min / ledger_sec) × (ledger segment calib / this run's calib) —
-      // the statistic the retry protocol actually keys on.
+      // (min / ledger_sec) × (ledger segment calib / this run's calib),
+      // over the HEADLINE min (first-pass AND retry reps — consistent
+      // with "min"). The retry TRIGGER keys on the same formula over
+      // the first-pass min alone; when a retry block is present, its
+      // first_pass reps let an auditor re-derive that pre-retry value.
       val ledgerPart = ledger.get(shortName(n)).map { b =>
         val segPart = segmentCalib(segments, shortName(n))
           .filter(_ => calib > 0 && mn >= 0)

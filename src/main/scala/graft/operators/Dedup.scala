@@ -595,6 +595,24 @@ object Dedup {
     * its lineage is expensive (every in-repo caller does), and the
     * chunk explode is then a cheap shift/mask re-scan of the cache.
     */
+  /** The pigeonhole chunk explode shared by every banded-Hamming
+    * operator: (idCol, simhash, c, cv) with `maxHamming + 1` equal
+    * chunks — ONE implementation so the batch, incremental, and
+    * prepared-corpus paths can never diverge on the banding.
+    */
+  private def simHashChunks(sh: DataFrame, idCol: String, maxHamming: Int, bits: Int): DataFrame = {
+    val nChunks = maxHamming + 1
+    val width = bits / nChunks
+    require(width * nChunks == bits, s"bits ($bits) must be divisible by maxHamming+1 ($nChunks)")
+    val mask = (1L << width) - 1
+    sh.select(col(idCol), col("simhash"), explode(sequence(lit(0), lit(nChunks - 1))).as("c"))
+      .select(
+        col(idCol),
+        col("simhash"),
+        col("c"),
+        expr(s"shiftright(simhash, CAST(c * $width AS INT)) & $mask").as("cv"))
+  }
+
   def simHashPairs(
       sh: DataFrame,
       idCol: String,
@@ -603,17 +621,7 @@ object Dedup {
       maxBucketDocs: Long = DefaultMaxBucketDocs,
       dropOversizeBuckets: Boolean = false): DataFrame = {
     require(maxBucketDocs >= 1, s"simHashPairs: maxBucketDocs >= 1; got $maxBucketDocs")
-    val nChunks = maxHamming + 1
-    val width = bits / nChunks
-    require(width * nChunks == bits, s"bits ($bits) must be divisible by maxHamming+1 ($nChunks)")
-    val mask = (1L << width) - 1
-    val chunked = sh
-      .select(col(idCol), col("simhash"), explode(sequence(lit(0), lit(nChunks - 1))).as("c"))
-      .select(
-        col(idCol),
-        col("simhash"),
-        col("c"),
-        expr(s"shiftright(simhash, CAST(c * $width AS INT)) & $mask").as("cv"))
+    val chunked = simHashChunks(sh, idCol, maxHamming, bits)
     val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("c"), col("cv"))
     val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("c"), col("cv"))
     a.join(gatedBuckets(chunked, maxBucketDocs, dropOversizeBuckets, "simHashPairs",
@@ -635,9 +643,15 @@ object Dedup {
     * against a 100 TB store, and with a bucketed/pre-partitioned corpus
     * side no corpus re-shuffle at all. BOTH sides carry the bucket
     * gate (the corpus side is where a crawl's exact-dup mega-cluster
-    * lives; the batch side guards a degenerate delta). Persist the two
-    * `sh` frames upstream when their lineage is expensive — each side's
-    * chunk explode is consumed twice (its gate + the join).
+    * lives; the batch side guards a degenerate delta). The corpus side
+    * is chunked + gated + PERSISTED internally (released by the
+    * [[graft.GraftSession.releaseAllCaches]] sweep); a caller that
+    * screens MANY batches against one store should instead call
+    * [[prepareSimHashCorpus]] once and [[simHashIncrementalPrepared]]
+    * per batch — that is what keeps a streaming ingest from paying a
+    * corpus-wide bucket aggregation per micro-batch. Persist the batch
+    * `sh` upstream when its lineage is expensive (its chunk explode is
+    * consumed twice: gate + join).
     *
     * @return (new_id, old_id, hamming) — distinct, hamming ≤ maxHamming
     */
@@ -648,27 +662,57 @@ object Dedup {
       maxHamming: Int,
       bits: Int = 48,
       maxBucketDocs: Long = DefaultMaxBucketDocs,
+      dropOversizeBuckets: Boolean = false): DataFrame =
+    simHashIncrementalPrepared(
+      batchSh,
+      prepareSimHashCorpus(corpusSh, idCol, maxHamming, bits, maxBucketDocs, dropOversizeBuckets)._1,
+      idCol, maxHamming, bits, maxBucketDocs, dropOversizeBuckets)
+
+  /** Chunk-band, GATE, and PERSIST a corpus fingerprint frame ONCE for
+    * repeated incremental screens — the repeated-consumer shape a
+    * streaming ingest has (one micro-batch after another against the
+    * same store): without this, every batch re-derives the corpus-wide
+    * bucket-count aggregation, k batches = k redundant corpus passes.
+    * Returns the prepared frame (feed it to
+    * [[simHashIncrementalPrepared]]) plus the release handle for its
+    * cache.
+    */
+  def prepareSimHashCorpus(
+      corpusSh: DataFrame,
+      idCol: String,
+      maxHamming: Int,
+      bits: Int = 48,
+      maxBucketDocs: Long = DefaultMaxBucketDocs,
+      dropOversizeBuckets: Boolean = false): (DataFrame, () => Unit) = {
+    require(maxBucketDocs >= 1, s"prepareSimHashCorpus: maxBucketDocs >= 1; got $maxBucketDocs")
+    val c = simHashChunks(corpusSh, idCol, maxHamming, bits)
+    val prepared = c
+      .join(gatedBuckets(c, maxBucketDocs, dropOversizeBuckets, "simHashIncremental(corpus)",
+        bandCol = "c", valCol = "cv"), Seq("c", "cv"))
+      .select(col(idCol), col("simhash"), col("c"), col("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (prepared, () => { prepared.unpersist(blocking = false): Unit })
+  }
+
+  /** [[simHashIncremental]] against a corpus side already chunked +
+    * gated by [[prepareSimHashCorpus]] — only the BATCH side is banded
+    * and gated per call.
+    */
+  def simHashIncrementalPrepared(
+      batchSh: DataFrame,
+      preparedCorpus: DataFrame,
+      idCol: String,
+      maxHamming: Int,
+      bits: Int = 48,
+      maxBucketDocs: Long = DefaultMaxBucketDocs,
       dropOversizeBuckets: Boolean = false): DataFrame = {
     require(maxBucketDocs >= 1, s"simHashIncremental: maxBucketDocs >= 1; got $maxBucketDocs")
-    val nChunks = maxHamming + 1
-    val width = bits / nChunks
-    require(width * nChunks == bits, s"bits ($bits) must be divisible by maxHamming+1 ($nChunks)")
-    val mask = (1L << width) - 1
-    def chunked(sh: DataFrame): DataFrame = sh
-      .select(col(idCol), col("simhash"), explode(sequence(lit(0), lit(nChunks - 1))).as("c"))
-      .select(
-        col(idCol),
-        col("simhash"),
-        col("c"),
-        expr(s"shiftright(simhash, CAST(c * $width AS INT)) & $mask").as("cv"))
-    val b = chunked(batchSh)
-    val c = chunked(corpusSh)
+    val b = simHashChunks(batchSh, idCol, maxHamming, bits)
     b.select(col(idCol).as("new_id"), col("simhash").as("sh_new"), col("c"), col("cv"))
       .join(gatedBuckets(b, maxBucketDocs, dropOversizeBuckets, "simHashIncremental(batch)",
         bandCol = "c", valCol = "cv"), Seq("c", "cv"))
-      .join(gatedBuckets(c, maxBucketDocs, dropOversizeBuckets, "simHashIncremental(corpus)",
-        bandCol = "c", valCol = "cv"), Seq("c", "cv"))
-      .join(c.select(col(idCol).as("old_id"), col("simhash").as("sh_old"), col("c"), col("cv")),
+      .join(
+        preparedCorpus.select(col(idCol).as("old_id"), col("simhash").as("sh_old"), col("c"), col("cv")),
         Seq("c", "cv"))
       .select(col("new_id"), col("old_id"),
         expr("bit_count(sh_new ^ sh_old)").cast("long").as("hamming"))

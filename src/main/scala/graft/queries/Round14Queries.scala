@@ -280,7 +280,13 @@ object Round14Queries {
     * Floor division on negatives via the canonical non-negative
     * residue; every window w ∈ [0, 64] is non-empty for n ≥ 65.
     */
-  private[queries] val audioHashCtesSql: String = {
+  private[queries] val audioHashCtesSql: String = audioHashCtes()
+
+  /** The audio CTE chain with a caller-chosen name for its FINAL CTE —
+    * so a composing oracle (q195) can avoid colliding with the image
+    * chain's `ah` without string surgery on shared SQL.
+    */
+  private[queries] def audioHashCtes(finalName: String = "ah"): String = {
     def fd(a: String, m: String): String =
       s"((($a) - (((($a) % ($m)) + ($m)) % ($m))) // ($m))"
     val sExpr = "((((ord(substr(t, CAST(i % l AS INTEGER) + 1, 1)) * 257) + (i * 131)) % 65536) - 32768)"
@@ -298,7 +304,7 @@ object Round14Queries {
       |         SUM(abs(${fd(sExpr, "dv")})) AS e
       |  FROM clips, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS u(i)
       |  GROUP BY 1, 2),
-      |ah AS (
+      |$finalName AS (
       |  SELECT a.clip_id,
       |    CAST(SUM(CASE WHEN a.e > b.e AND a.w >= 32 THEN (CAST(1 AS BIGINT) << CAST(a.w - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash_hi,
       |    CAST(SUM(CASE WHEN a.e > b.e AND a.w < 32 THEN (CAST(1 AS BIGINT) << CAST(a.w AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash_lo

@@ -169,8 +169,14 @@ object Round15Queries {
     // Persisted: the banded self-join consumes the frame-hash lineage
     // three ways (two sides + the bucket gate); the parse+hash pass
     // must run once (the q190/q192 discipline).
+    // fid = vid·8 + frame is collision-free ONLY for < 8 frames; the
+    // corpus caps nFrames at 5, but the encoding must fail loudly (not
+    // silently merge frames across clips) if ever fed longer clips —
+    // the in-plan guard raises before any pair is attributed wrong.
     val sh = hashes.select(
-      (col("docId") * 8 + col("frameIdx")).as("fid"),
+      when(col("nFrames") <= 8, col("docId") * 8 + col("frameIdx"))
+        .otherwise(expr("raise_error('videoNearDupOver: fid encoding (vid*8 + frame) needs nFrames <= 8')"))
+        .as("fid"),
       expr("shiftleft(dhashHi, 32) | dhashLo").as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = Dedup
@@ -277,7 +283,7 @@ object Round15Queries {
   val q195Sql: String =
     s"""WITH RECURSIVE
       |${Round14Queries.hashCtesSql},
-      |${Round14Queries.audioHashCtesSql.replace("ah AS (", "aah AS (")},
+      |${Round14Queries.audioHashCtes(finalName = "aah")},
       |ip AS (
       |  SELECT 2*a.img_id AS ma, 2*b.img_id AS mb
       |  FROM dh a JOIN dh b ON a.img_id < b.img_id
@@ -449,7 +455,11 @@ object Round15Queries {
         col("hamming"),
         ((col("new_id") - col("new_id") % 3) ===
           (col("old_id") - col("old_id") % 3)).as("same_group"))
-    orderedSmall(out, col("new_id"), col("old_id"))
+    // Corpus-PROPORTIONAL output (the fixture plants ~2 recoveries per
+    // batch doc, ~0.67 rows/document): sampled range sort, not the
+    // single-task funnel — the same r14-ADVICE rule q189/q191 follow;
+    // the sampling job's re-execution reads the persisted sh cache.
+    out.orderBy(col("new_id"), col("old_id"))
   }
 
   val q197Sql: String =

@@ -246,8 +246,11 @@ object EventStreams {
     * one-shot batch screen (StreamingSpec pins this against q197's
     * pipeline on the same fixture).
     *
-    * `corpusSh` should be persisted (or a bucketed table) by the
-    * caller — every micro-batch re-joins against it.
+    * The corpus side is chunk-banded, bucket-GATED, and persisted ONCE
+    * up front ([[graft.operators.Dedup.prepareSimHashCorpus]]) and
+    * released when the stream drains — without that, every micro-batch
+    * would re-derive the corpus-wide bucket-count aggregation (k
+    * batches = k redundant corpus passes against a 100 TB store).
     */
   def runMediaDedupAvailableNow(
       spark: SparkSession,
@@ -261,17 +264,21 @@ object EventStreams {
       maxHamming: Int = 7,
       bits: Int = 64,
       readerOptions: Map[String, String] = Map.empty): Unit = {
-    val in = spark.readStream.schema(schema).options(readerOptions).parquet(newDocsDir)
-    val q = in.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val pairs = graft.operators.Dedup
-          .simHashIncremental(hashBatch(batch), corpusSh, idCol, maxHamming, bits)
-        writeBatchIdempotent(outDir)(pairs, batchId)
-      }
-      .start()
-    q.awaitTermination()
+    val (preparedCorpus, releaseCorpus) =
+      graft.operators.Dedup.prepareSimHashCorpus(corpusSh, idCol, maxHamming, bits)
+    try {
+      val in = spark.readStream.schema(schema).options(readerOptions).parquet(newDocsDir)
+      val q = in.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val pairs = graft.operators.Dedup
+            .simHashIncrementalPrepared(hashBatch(batch), preparedCorpus, idCol, maxHamming, bits)
+          writeBatchIdempotent(outDir)(pairs, batchId)
+        }
+        .start()
+      q.awaitTermination()
+    } finally releaseCorpus()
   }
 
   /** Streaming twin of the q182 intake front door (r12 verdict Next

@@ -319,6 +319,13 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(expected.exists(_._3 == 0L) && expected.exists(_._3 >= 4L)) // non-trivial spread
     // batch-internal near-dups (1 vs 2 at hamming 1) must NOT appear
     assert(!got.exists { case (a, b, _) => b < 100L || a > 100L })
+    // the prepare-once path (the streaming / repeated-batch shape)
+    // returns the identical pair set, and its handle drops the cache
+    val (prepared, release) = Dedup.prepareSimHashCorpus(corpus, "doc_id", 7, bits = 48)
+    val viaPrepared = Dedup.simHashIncrementalPrepared(batch, prepared, "doc_id", 7, bits = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaPrepared === expected)
+    release()
   }
 
   test("simHashIncremental: a corpus-side mega-bucket trips the gate; drop mode degrades") {
