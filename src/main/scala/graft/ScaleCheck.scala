@@ -292,6 +292,14 @@ object ScaleCheck {
       // imagehash the pair space never materializes n².
       "videohash" -> (() =>
         graft.queries.Round15Queries.videoNearDupOver(docs)),
+      // q196 shape END-TO-END: the heaviest composition in the suite —
+      // two codec passes (PNG + WAV), two gated banded joins, the
+      // cross-modal edge union, the CC label loop, and the keep-list
+      // rollup; every stage an equi-join or hash agg, so the slope
+      // should track the corpus near-linearly with the CC round count
+      // adding a log-diameter term.
+      "crossmodal" -> (() =>
+        graft.queries.Round15Queries.crossModalKeepListOver(docs)),
       // q140 shape over the trading graph; --docs bounds the ORDER key
       // here so the edge list (and with it the node universe) grows.
       "hits" -> (() => {

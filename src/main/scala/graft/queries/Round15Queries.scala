@@ -316,8 +316,13 @@ object Round15Queries {
     * single modality produces on its own. Oracle: both pair sets
     * replayed analytically + the q104 recursive walk.
     */
-  val q196CrossModalKeepList: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+  val q196CrossModalKeepList: Q = (s, d) => crossModalKeepListOver(Tables.documents(s, d))
+
+  /** q196's pipeline over an arbitrary docs frame ([[graft.ScaleCheck]]
+    * `crossmodal` compaction slope probe reuse).
+    */
+  private[graft] def crossModalKeepListOver(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
     val dId = col("doc_id")
     import s.implicits._
     // image per doc: q189's base geometry, seed shared across id - id%3
