@@ -222,7 +222,11 @@ object Bench {
         val tagIdx = text.indexOf("LEDGER_SEGMENTS:")
         if (tagIdx < 0) Vector.empty[(Int, Int, Double)]
         else {
-          val line = text.substring(tagIdx, math.min(text.length, tagIdx + 2000)).takeWhile(_ != '\n')
+          // Whole tag line (no char cap): a cap would silently drop
+          // trailing segments once the array grows, and the affected
+          // queries would quietly fall back to un-normalized ratios.
+          val eol = text.indexOf('\n', tagIdx)
+          val line = if (eol < 0) text.substring(tagIdx) else text.substring(tagIdx, eol)
           re.findAllMatchIn(line)
             .map(m => (m.group(1).toInt, m.group(2).toInt, m.group(3).toDouble))
             .toVector

@@ -409,7 +409,8 @@ object Dedup {
       drop: Boolean,
       op: String,
       bandCol: String = "band",
-      valCol: String = "bv"): DataFrame =
+      valCol: String = "bv",
+      kind: String = "LSH bucket"): DataFrame =
     bands
       .groupBy(col(bandCol), col(valCol))
       .agg(count(lit(1)).as("__bc"))
@@ -421,7 +422,7 @@ object Dedup {
           if (drop) lit(0)
           else
             raise_error(concat(
-              lit(s"$op: LSH bucket ($bandCol="),
+              lit(s"$op: $kind ($bandCol="),
               col(bandCol).cast("string"),
               lit(s", $valCol="),
               col(valCol).cast("string"),
@@ -625,7 +626,7 @@ object Dedup {
     val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("c"), col("cv"))
     val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("c"), col("cv"))
     a.join(gatedBuckets(chunked, maxBucketDocs, dropOversizeBuckets, "simHashPairs",
-        bandCol = "c", valCol = "cv"), Seq("c", "cv"))
+        bandCol = "c", valCol = "cv", kind = "pigeonhole chunk"), Seq("c", "cv"))
       .join(b, Seq("c", "cv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
@@ -688,7 +689,7 @@ object Dedup {
     val c = simHashChunks(corpusSh, idCol, maxHamming, bits)
     val prepared = c
       .join(gatedBuckets(c, maxBucketDocs, dropOversizeBuckets, "simHashIncremental(corpus)",
-        bandCol = "c", valCol = "cv"), Seq("c", "cv"))
+        bandCol = "c", valCol = "cv", kind = "pigeonhole chunk"), Seq("c", "cv"))
       .select(col(idCol), col("simhash"), col("c"), col("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (prepared, () => { prepared.unpersist(blocking = false): Unit })
@@ -706,11 +707,11 @@ object Dedup {
       bits: Int = 48,
       maxBucketDocs: Long = DefaultMaxBucketDocs,
       dropOversizeBuckets: Boolean = false): DataFrame = {
-    require(maxBucketDocs >= 1, s"simHashIncremental: maxBucketDocs >= 1; got $maxBucketDocs")
+    require(maxBucketDocs >= 1, s"simHashIncrementalPrepared: maxBucketDocs >= 1; got $maxBucketDocs")
     val b = simHashChunks(batchSh, idCol, maxHamming, bits)
     b.select(col(idCol).as("new_id"), col("simhash").as("sh_new"), col("c"), col("cv"))
       .join(gatedBuckets(b, maxBucketDocs, dropOversizeBuckets, "simHashIncremental(batch)",
-        bandCol = "c", valCol = "cv"), Seq("c", "cv"))
+        bandCol = "c", valCol = "cv", kind = "pigeonhole chunk"), Seq("c", "cv"))
       .join(
         preparedCorpus.select(col(idCol).as("old_id"), col("simhash").as("sh_old"), col("c"), col("cv")),
         Seq("c", "cv"))

@@ -272,9 +272,18 @@ object EventStreams {
         .option("checkpointLocation", checkpointDir)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val pairs = graft.operators.Dedup
-            .simHashIncrementalPrepared(hashBatch(batch), preparedCorpus, idCol, maxHamming, bits)
-          writeBatchIdempotent(outDir)(pairs, batchId)
+          // The batch fingerprints feed the screen's chunk explode
+          // TWICE (bucket-gate leg + join leg); without a persist the
+          // caller's full codec chain (e.g. PNG encode→decode→dHash)
+          // runs twice per micro-batch — the simHashIncremental
+          // scaladoc's own advice, applied here at micro-batch grain.
+          val sh = hashBatch(batch)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val pairs = graft.operators.Dedup
+              .simHashIncrementalPrepared(sh, preparedCorpus, idCol, maxHamming, bits)
+            writeBatchIdempotent(outDir)(pairs, batchId)
+          } finally sh.unpersist(blocking = false): Unit
         }
         .start()
       q.awaitTermination()
