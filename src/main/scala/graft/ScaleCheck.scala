@@ -88,7 +88,8 @@ object ScaleCheck {
             .as("text"))
     }
     // --merges sizes the trainer probes (12 = the crossover rows;
-    // 512 = the local-arm A/B recorded in BpeTrainer.LocalAutoMergeFloor)
+    // 512 = the local-vs-distributed A/B recorded in BpeTrainer.train's
+    // auto-select comment)
     val nMerges = cfg.get("merges", "SPARK_GRAFT_SCALE_MERGES", "12").toInt
     def bpeTrain(incr: Boolean): DataFrame =
       graft.operators.BpeTrainer

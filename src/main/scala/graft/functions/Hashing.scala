@@ -65,9 +65,22 @@ object Hashing {
     * charset/format tweak can never split the replica family from the
     * SQL twins).
     */
+  private val HexDigits = "0123456789abcdef".toCharArray
+
   private def md5HexLocal(s: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dg = md.digest(s.getBytes("UTF-8"))
+    // Table-driven hex: the idiomatic per-byte "%02x".format allocates
+    // a Formatter per byte and dominated the fixture generators'
+    // profile (64 h32Local calls per generated image/frame corpus row).
+    val out = new Array[Char](dg.length * 2)
+    var i = 0
+    while (i < dg.length) {
+      out(2 * i) = HexDigits((dg(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(dg(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   def h60Local(s: String): Long =

@@ -187,19 +187,9 @@ object BpeTrainer {
     */
   final val LocalVocabCeil: Long = 1L << 20
 
-  /** Merge floor where the local arm auto-selects: below it the
-    * distributed one-job-per-merge loop is cheap and keeps training
-    * observable on the cluster UI (and the q175/q176/q180 ExecShape
-    * pins); at a production vocabulary (GPT-2: 32k merges) the
-    * scheduler round-trips dominate. Measured A/B (ScaleCheck
-    * `--only=bpetrain_full,bpetrain_local --merges=512 --docs=50000`,
-    * 50k-word synthetic corpus, 32 cores, post-warmup rep): distributed
-    * full-recount arm 421.9 s vs driver-side arm 5.3 s end-to-end
-    * (corpus pass + guarded collect included) — 80×, and the gap grows
-    * linearly with merge count, so a 32k-merge production run is the
-    * difference between ~7 h of scheduler round-trips and ~a minute.
-    */
-  final val LocalAutoMergeFloor: Int = 512
+  // The r12–r15 auto-select additionally demanded nMerges >= 512 (a
+  // "short distributed loops are cheap" floor); the r16 optimization
+  // round retired it — see the auto-select comment in [[train]].
 
   def train(
       corpus: DataFrame,
@@ -301,10 +291,20 @@ object BpeTrainer {
     // a driver-side loop (r13 review finding).
     val distributedRequested =
       incremental.isDefined || sys.env.contains("GRAFT_BPE_INCR")
+    // Auto-select keys on the OBSERVED vocabulary alone (r16): the
+    // distributed arms cost one argmax ACTION per merge — pure
+    // scheduler latency whenever the word table is driver-sized — and
+    // the local arm is bit-equal by spec (BpeTrainerSpec arm-equality,
+    // 512 byte-alphabet merges) with its collect guarded by
+    // LocalVocabCeil. Measured: q175/q176 (48/64 merges, 31-word
+    // fixture vocab) spent 13.7 s of BENCH_r15 on distributed job
+    // round-trips; the 512-merge A/B records 80× (421.9 s vs 5.3 s,
+    // ScaleCheck bpetrain_full vs bpetrain_local, 50k words, 32
+    // cores). A genuinely huge vocabulary (> 2^20 observed words)
+    // stays distributed, so the 100 TB regime is unchanged.
     val useLocal = local
       .orElse(sys.env.get("GRAFT_BPE_LOCAL").map(onOff("GRAFT_BPE_LOCAL")))
-      .getOrElse(
-        !distributedRequested && nMerges >= LocalAutoMergeFloor && vocabRows <= LocalVocabCeil)
+      .getOrElse(!distributedRequested && vocabRows <= LocalVocabCeil)
     val useIncremental = incremental
       .orElse(sys.env.get("GRAFT_BPE_INCR").map(onOff("GRAFT_BPE_INCR")))
       .getOrElse(vocabRows >= IncrAutoVocabFloor)

@@ -783,8 +783,72 @@ object Dedup {
     * @param edges two-column DataFrame of undirected edges (any names)
     * @return (node: long, component: long)
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame =
-    connectedComponentsReleasable(edges, maxIter)._1
+  /** Bounded-collect ceiling for the driver-local union-find arm of
+    * [[connectedComponents]] (counted on the MIRRORED distinct edge
+    * rows, i.e. 2× the undirected pair count): 2M rows ≈ tens of MB
+    * of longs — trivially driver-resident, while a genuinely huge
+    * pair set stays on the distributed label rounds. Same bounded-
+    * collect family as [[graft.operators.BpeTrainer.LocalVocabCeil]].
+    */
+  final val LocalEdgeCeil: Long = 2L * 1024 * 1024
+
+  /** Union-find (path-halving + union by rank) over collected mirrored
+    * edge rows, labeling each node with the MIN node id of its
+    * component — the unique fixpoint the iterative arm converges to,
+    * so the two arms are equal by construction (CcLocalArmSpec). The
+    * result frame is RDD-backed and partitioned by the loop-partition
+    * rule so downstream joins see the same shape class as the
+    * distributed arm's materialized labels.
+    */
+  private def componentsLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val idx = new scala.collection.mutable.LongMap[Int](rows.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long](rows.length)
+    def reg(v: Long): Int =
+      idx.getOrElse(v, { val i = ids.length; idx.update(v, i); ids += v; i })
+    rows.foreach { r => reg(r.getLong(0)); reg(r.getLong(1)): Unit }
+    val n = ids.length
+    val parent = Array.tabulate(n)(identity)
+    val rank = new Array[Byte](n)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    rows.foreach { r =>
+      val a = find(idx(r.getLong(0)))
+      val b = find(idx(r.getLong(1)))
+      if (a != b) {
+        if (rank(a) < rank(b)) parent(a) = b
+        else if (rank(a) > rank(b)) parent(b) = a
+        else { parent(b) = a; rank(a) = (rank(a) + 1).toByte }
+      }
+    }
+    val minLab = Array.fill(n)(Long.MaxValue)
+    var i = 0
+    while (i < n) { val r = find(i); if (ids(i) < minLab(r)) minLab(r) = ids(i); i += 1 }
+    val out = new Array[org.apache.spark.sql.Row](n)
+    i = 0
+    while (i < n) { out(i) = org.apache.spark.sql.Row(ids(i), minLab(find(i))); i += 1 }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType, nullable = false)))
+    // Partitioned like the loop frames (≈500k rows/partition, ≥1):
+    // node-count-sized, so a downstream corpus join broadcasts it or
+    // shuffles a handful of partitions, never 32 near-empty ones.
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, (n.toLong + 499999L) / 500000L)).toInt
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(scala.collection.immutable.ArraySeq.unsafeWrapArray(out), parts),
+      schema)
+  }
+
+  def connectedComponents(
+      edges: DataFrame,
+      maxIter: Int = 20,
+      local: Option[Boolean] = None): DataFrame =
+    connectedComponentsReleasable(edges, maxIter, local)._1
 
   /** [[connectedComponents]] plus a RELEASE HANDLE for the persisted
     * label blocks backing the returned frame. The labels stay cached
@@ -795,7 +859,8 @@ object Dedup {
     */
   def connectedComponentsReleasable(
       edges: DataFrame,
-      maxIter: Int = 20): (DataFrame, () => Unit) = {
+      maxIter: Int = 20,
+      local: Option[Boolean] = None): (DataFrame, () => Unit) = {
     val spark = edges.sparkSession
     val Array(srcName, dstName) = edges.columns
     val e = edges.select(col(srcName).cast("long").as("src"), col(dstName).cast("long").as("dst"))
@@ -821,6 +886,42 @@ object Dedup {
     if (udRows == 0L) {
       ud.unpersist()
       return (ud.select(col("src").as("node"), col("src").as("component")), () => ())
+    }
+    // Driver-local union-find arm (r16 optimization): near-dup edge
+    // sets are a vanishing fraction of the corpus by design (every
+    // in-repo producer gates its candidate generation), so the common
+    // case is a mirrored edge list of thousands-to-millions of rows
+    // feeding 4-7 distributed label rounds of pure per-round job
+    // latency (measured ~0.4 s/round at sf0.1 — the dominant cost of
+    // q195/q196/q104). Below the observed-size ceiling the component
+    // labeling runs as union-find over the collected edge rows
+    // instead: the min-label fixpoint is UNIQUE (component id = min
+    // node id in the component), so the result is identical to the
+    // iterative arm's by construction — CcLocalArmSpec pins equality
+    // on path/star/random graphs, and every CC-consuming oracle gate
+    // re-proves it per query. Same guarded-collect idiom as
+    // BpeTrainer.LocalVocabCeil / ClassifierTrainer.LocalFeatCeil:
+    // the gate keys on the MATERIALIZED count the loop needed anyway,
+    // a 100 TB edge set stays on the distributed rounds, and
+    // GRAFT_CC_LOCAL=off forces them for A/B attribution.
+    // Arm precedence: explicit parameter > GRAFT_CC_LOCAL env > auto
+    // by observed size (the BpeTrainer.train precedence).
+    val localRequested = local.orElse(sys.env.get("GRAFT_CC_LOCAL") match {
+      case Some("on")  => Some(true)
+      case Some("off") => Some(false)
+      case Some(other) =>
+        throw new IllegalArgumentException(s"GRAFT_CC_LOCAL must be 'on' or 'off'; got '$other'")
+      case None => None
+    })
+    if (localRequested.getOrElse(udRows <= LocalEdgeCeil)) {
+      require(
+        udRows <= LocalEdgeCeil,
+        s"connectedComponents local arm: $udRows mirrored edge rows exceed the " +
+          s"driver-collect ceiling $LocalEdgeCeil — pass local = Some(false) or unset " +
+          "GRAFT_CC_LOCAL to use the distributed label-propagation rounds")
+      val labels = componentsLocal(spark, ud.collect())
+      ud.unpersist()
+      return (labels, () => ())
     }
     // NO loop-session rebinding here (unlike the PageRank/HITS/
     // relaxation family): the r10 LoopLab A/B measured the CC loop

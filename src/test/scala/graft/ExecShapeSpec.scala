@@ -31,21 +31,26 @@ class ExecShapeSpec extends AnyFunSuite {
     // broadcast/AQE stages (slightly more jobs, measurably less wall
     // time — Bipartite.scala A/B record)
     ("q159_power_iteration", 11, 44),
-    // session-width loops (clone reverted per the r10 LoopLab A/B)
-    ("q51_conncomp", 31, 140),
+    // r16: CC auto-selects the driver-local union-find arm below
+    // Dedup.LocalEdgeCeil — the loop rounds are gone; the remaining
+    // jobs are the pairs pipeline + the mirrored-edge count + keep-
+    // list joins (was 31/140 on the distributed rounds, whose shape
+    // ConnCompSpec's forced-arm tests still exercise). Derived twice.
+    ("q51_conncomp", 15, 30),
     ("q117_label_spread", 13, 35),
     ("q146_copurchase_lift", 20, 45),
     ("q151_trust_dist", 22, 123),
     ("q156_temporal_reach", 19, 85),
-    // trainer loops (r12): one argmax job per merge/epoch is the
-    // CONTRACT for the distributed arms (q175: 48 merges → 55 jobs;
-    // q176: 64 → 71; q180: 16 merges + tokenize). At fixture
-    // vocabulary the BPE auto-select runs the full-recount arm; a
-    // wiring regression in either arm (extra per-round jobs, the
-    // union partition-doubling class) moves these counts immediately.
-    // Derived twice, identical.
-    ("q175_bpe_train", 55, 107),
-    ("q176_bpe_train_bytes", 71, 139),
+    // trainer loops: since r16 the BPE auto-select keys on the
+    // OBSERVED vocabulary alone (BpeTrainer.train), so at fixture
+    // vocabulary the driver-local arm runs — the one-job-per-merge
+    // distributed tail (q175 was 55/107, q176 71/139) collapses to
+    // the corpus word-count pass + the guarded collect, exactly as
+    // q177/q185 did in r14. The distributed arms' per-round shape is
+    // still exercised by BpeTrainerSpec's explicit-arm equality
+    // tests. Derived twice, identical.
+    ("q175_bpe_train", 8, 12),
+    ("q176_bpe_train_bytes", 8, 12),
     // q177/q185 auto-select the DRIVER-SIDE GD arm since r14 (feature
     // count ≪ LocalFeatCeil at every test SF): the 16-epoch × 4-jobs
     // loop tail collapses to the corpus featurization pass + the
@@ -53,12 +58,14 @@ class ExecShapeSpec extends AnyFunSuite {
     // whose per-epoch shape ClassifierTrainerSpec's arm-equality test
     // still exercises). Re-derived twice post-change, identical.
     ("q177_classifier_train", 17, 30),
-    ("q180_train_tokenize", 29, 64),
+    // q180/q188 (16-merge train + tokenize) follow the r16 local-arm
+    // auto-select: was 29/64 each on the distributed recount arm.
+    ("q180_train_tokenize", 14, 33),
     // q185 = q177's featurization + train collects + ONE eval pass;
-    // q188 = q180's 16-merge train + tokenize, identical counts 29/64
-    // (the split filters change volumes, not shapes). Derived twice.
+    // q188 = q180's shape, identical counts (the split filters change
+    // volumes, not shapes). Derived twice.
     ("q185_classifier_eval", 21, 37),
-    ("q188_bpe_heldout_eval", 29, 64))
+    ("q188_bpe_heldout_eval", 14, 33))
 
   for ((name, jobs, stages) <- pinned)
     test(s"$name submits exactly $jobs jobs / $stages stages at sf0.001") {
