@@ -440,14 +440,21 @@ object SketchQueries {
         key: String,
         parent: org.apache.spark.sql.DataFrame,
         pkey: String): org.apache.spark.sql.DataFrame = {
-      val fk = child.select(col(key).as("fk"))
-      val orphans = fk
-        .filter(col("fk").isNotNull)
-        .join(broadcast(parent.select(col(pkey).as("pk")).distinct()), col("fk") === col("pk"), "left_anti")
-      fk.agg(
+      // ONE child scan per relation (r16): the old shape ran a count
+      // aggregate AND a broadcast anti-join over the same child — two
+      // full scans each, 6 of lineitem alone across its 3 relations
+      // (16 child scans / 80 Exchanges total in the static plan). A
+      // left-outer broadcast join against the distinct parent keys
+      // preserves exactly one row per child row (pk is distinct), so
+      // all three counters fold into one aggregate over one scan:
+      // orphan ⇔ fk non-null with no pk match. Identical counts.
+      child
+        .select(col(key).as("fk"))
+        .join(broadcast(parent.select(col(pkey).as("pk")).distinct()), col("fk") === col("pk"), "left_outer")
+        .agg(
           count(lit(1)).as("n_rows"),
-          count(when(col("fk").isNull, 1)).as("n_null_fk"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          count(when(col("fk").isNull, 1)).as("n_null_fk"),
+          count(when(col("fk").isNotNull && col("pk").isNull, 1)).as("n_orphans"))
         .select(lit(name).as("relation"), col("n_rows"), col("n_null_fk"), col("n_orphans"))
     }
     Seq(

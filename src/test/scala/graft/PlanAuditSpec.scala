@@ -295,10 +295,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p.take(2000))
   }
 
-  test("q143: FK orphan audits are broadcast anti-joins — fact tables never shuffle") {
+  test("q143: FK orphan audits are single-scan broadcast outer joins — fact tables never shuffle") {
     val p = plan("q143_fk_audit")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(3000))
+    // r16: the per-relation anti-join + separate count pass fused into
+    // ONE left-outer broadcast join + one aggregate (orphan ⇔ fk
+    // non-null with no pk match) — each child table is scanned once,
+    // not twice (16 → 8 child scans, 80 → 48 Exchanges).
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("LeftAnti"), p.take(3000))
   }
 
   test("q144: decile binning has no Window — boundaries broadcast back into the scan pass") {
