@@ -321,6 +321,21 @@ object Bench {
     val reps = cfg.get("reps", "SPARK_GRAFT_BENCH_REPS", "3").toInt
     val groupSize = cfg.get("group", "SPARK_GRAFT_BENCH_GROUP", "8").toInt
     val timeoutSec = cfg.get("group-timeout", "SPARK_GRAFT_BENCH_TIMEOUT", "1800").toLong
+    // WALL BUDGET (r16 verdict #1): the bench's wall-clock was unbounded
+    // — 25 group forks × (warmup + reps) plus up to retryCap re-forks —
+    // and on a degraded container the r16 32-core run outlived the
+    // driver's window and died at rc 124 WITHOUT printing the JSON
+    // line, which violates the contract as surely as deleting the
+    // println. The budget makes the summary line unconditional: reps
+    // and outlier retries are shed against the remaining budget (shed
+    // work is named in bench_detail.json), never the other way around.
+    // Default 3000 s sits inside every observed driver window (the r16
+    // 8-core run finished at 3557 s and was the slowest on record).
+    val budgetSec = cfg.get("budget", "SPARK_GRAFT_BENCH_BUDGET_SEC", "3000").toDouble
+    // Bookkeeping reserve: final quiesce + detail write + summary line.
+    val reserveSec = 45.0
+    val t0 = System.nanoTime()
+    def remaining: Double = budgetSec - (System.nanoTime() - t0) / 1e9
     // Calibration is diagnostics — a wedged worker (TimeoutException
     // out of the bounded get) must degrade the record to a -1
     // sentinel, never abort the suite before a single query runs
@@ -338,20 +353,26 @@ object Bench {
 
     /** Fork one child over `qs`; returns per-query rep times parsed from
       * its incrementally-written out-file (missing = child died first).
+      * `groupReps` may be below the configured reps when the wall
+      * budget is shedding; the fork timeout is additionally capped by
+      * the remaining budget so one hung child cannot outlive it.
       */
-    def runGroup(qs: Seq[String], tag: String): Map[String, Vector[Double]] = {
+    def runGroup(qs: Seq[String], tag: String, groupReps: Int): Map[String, Vector[Double]] = {
       val outFile = Files.createTempFile("graft_bench_", ".tsv")
       Files.deleteIfExists(outFile)
       val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
       val cmd = Seq(javaBin) ++ childJvmFlags ++ Seq(
         "-cp", System.getProperty("java.class.path"), "graft.Bench",
         "--child", s"--queries=${qs.mkString(",")}", s"--out=$outFile",
-        s"--sf-dir=$sfDir", s"--cpus=$cpus", s"--reps=$reps")
+        s"--sf-dir=$sfDir", s"--cpus=$cpus", s"--reps=$groupReps")
       val log = logDir.resolve(s"child_$tag.log").toFile
       val pb = new ProcessBuilder(cmd.asJava)
         .redirectOutput(log).redirectErrorStream(true)
       val p = pb.start()
-      val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      // A budget-capped fork still gets a 120 s floor: killing a child
+      // that would have finished loses whole queries to save seconds.
+      val forkTimeout = math.min(timeoutSec.toDouble, math.max(120.0, remaining - reserveSec)).toLong
+      val done = p.waitFor(forkTimeout, java.util.concurrent.TimeUnit.SECONDS)
       if (!done) { p.destroyForcibly(); p.waitFor(): Unit }
       val parsed: Map[String, Vector[Double]] =
         if (!Files.exists(outFile)) Map.empty
@@ -372,24 +393,55 @@ object Bench {
     // bench_detail.json — "was the machine degraded WHILE this group
     // ran" stops being an after-the-fact forensics exercise.
     val groupCalib = Vector.newBuilder[(String, Seq[String], Double, Double)]
-    groups.zipWithIndex.foreach { case (g, i) =>
-      quiesce()
-      val sched = scala.util.Try(calibratePingPong(20000)).getOrElse(-1.0)
-      val mt = scala.util.Try(calibrateMd5Mt()).getOrElse(-1.0)
-      groupCalib += (((s"g$i", g, sched, mt)))
-      results ++= runGroup(g, s"g$i")
-    }
-    // One retry pass, fresh JVM PER QUERY, for anything a child lost to
-    // a hang or crash. Singleton groups on retry: a deterministically-
-    // hanging query would otherwise take its whole retry group down
-    // with it, reporting healthy queries as failed just for sharing a
-    // child with the hang.
-    val missing = names.filterNot(results.contains)
-    if (missing.nonEmpty) {
-      quiesce()
-      missing.zipWithIndex.foreach { case (q, i) =>
-        results ++= runGroup(Seq(q), s"retry$i")
+    // Budget-aware rep shedding: model a group as (JVM+session+warmup ≈
+    // 2 rep-units) + r timed rep-units, learn seconds-per-unit from the
+    // completed groups, and size each remaining group's reps to its
+    // fair share of the remaining budget. Floor 1 — a group is never
+    // skipped outright (skipping reports healthy queries as failed);
+    // shed groups are recorded in the detail for the audit.
+    val shedEvents = Vector.newBuilder[(String, Int)]
+    var unitsDone = 0.0
+    var groupSecs = 0.0
+    // The measurement phases run under a catch-all so that a bug or a
+    // blown budget in ANY phase still reaches the summary println —
+    // the one-line JSON is the driver contract and must be unconditional.
+    var phaseError: Option[String] = None
+    try {
+      groups.zipWithIndex.foreach { case (g, i) =>
+        quiesce()
+        val sched = scala.util.Try(calibratePingPong(20000)).getOrElse(-1.0)
+        val mt = scala.util.Try(calibrateMd5Mt()).getOrElse(-1.0)
+        groupCalib += (((s"g$i", g, sched, mt)))
+        val perUnit = if (unitsDone > 0) groupSecs / unitsDone else 0.0
+        val groupReps =
+          if (perUnit <= 0) reps
+          else {
+            val share = math.max(0.0, remaining - reserveSec) / (groups.length - i)
+            math.max(1, math.min(reps, math.floor(share / perUnit).toInt - 2))
+          }
+        if (groupReps < reps) shedEvents += ((s"g$i", groupReps))
+        val gT0 = System.nanoTime()
+        results ++= runGroup(g, s"g$i", groupReps)
+        groupSecs += (System.nanoTime() - gT0) / 1e9
+        unitsDone += 2.0 + groupReps
       }
+      // One retry pass, fresh JVM PER QUERY, for anything a child lost to
+      // a hang or crash. Singleton groups on retry: a deterministically-
+      // hanging query would otherwise take its whole retry group down
+      // with it, reporting healthy queries as failed just for sharing a
+      // child with the hang. Budget-checked per fork; a query the budget
+      // cannot afford stays -1 (loud in `failed`), never silent.
+      val missing = names.filterNot(results.contains)
+      if (missing.nonEmpty) {
+        quiesce()
+        missing.zipWithIndex.foreach { case (q, i) =>
+          if (remaining - reserveSec > 60.0)
+            results ++= runGroup(Seq(q), s"retry$i", reps)
+        }
+      }
+    } catch {
+      case t: Throwable =>
+        phaseError = Some(s"${t.getClass.getName}: ${String.valueOf(t.getMessage).take(300)}")
     }
 
     // Self-exonerating outlier protocol (VERDICT r11 #1a): any query
@@ -444,17 +496,46 @@ object Bench {
       val ok = results(n).filter(_ >= 0)
       -normRatio(n, ok.min).getOrElse(0.0)
     }
-    val (retried, unretried) = ranked.splitAt(retryCap)
+    // Retries are the bench's FIRST shed under the wall budget (the r16
+    // 32-core run died re-forking outliers on a degraded container):
+    // each singleton fork must fit the remaining budget — estimated
+    // from the observed retry forks, seeded from the main pass's
+    // per-unit rate — or it and everything ranked after it goes to
+    // `outliers_unretried` instead of running.
+    val retried = Vector.newBuilder[String]
+    val budgetSkipped = Vector.newBuilder[String]
     val retryDetail = scala.collection.mutable.LinkedHashMap.empty[String, (Vector[Double], Double, Double)]
-    if (retried.nonEmpty) {
+    if (ranked.nonEmpty) {
       quiesce()
-      retried.zipWithIndex.foreach { case (q, i) =>
-        val before = scala.util.Try(calibratePingPong(20000)).getOrElse(-1.0)
-        val reps = runGroup(Seq(q), s"outlier$i").getOrElse(q, Vector.empty)
-        val after = scala.util.Try(calibratePingPong(20000)).getOrElse(-1.0)
-        retryDetail(q) = (reps, before, after)
-        if (reps.nonEmpty) results += q -> (results.getOrElse(q, Vector.empty) ++ reps)
+      val retrySecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      ranked.zipWithIndex.foreach { case (q, i) =>
+        val estRetry =
+          if (retrySecs.nonEmpty) retrySecs.sum / retrySecs.size
+          else if (unitsDone > 0) (groupSecs / unitsDone) * (2.0 + reps)
+          else 60.0
+        if (i >= retryCap || phaseError.isDefined) ()
+        else if (remaining - reserveSec < estRetry) budgetSkipped += q
+        else
+          try {
+            retried += q
+            val before = scala.util.Try(calibratePingPong(20000)).getOrElse(-1.0)
+            val rT0 = System.nanoTime()
+            val rreps = runGroup(Seq(q), s"outlier$i", reps).getOrElse(q, Vector.empty)
+            retrySecs += (System.nanoTime() - rT0) / 1e9
+            val after = scala.util.Try(calibratePingPong(20000)).getOrElse(-1.0)
+            retryDetail(q) = (rreps, before, after)
+            if (rreps.nonEmpty) results += q -> (results.getOrElse(q, Vector.empty) ++ rreps)
+          } catch {
+            case t: Throwable =>
+              phaseError = Some(s"${t.getClass.getName}: ${String.valueOf(t.getMessage).take(300)}")
+          }
       }
+    }
+    val retriedList = retried.result()
+    val budgetSkippedList = budgetSkipped.result()
+    val unretried = {
+      val done = retriedList.toSet
+      ranked.filterNot(done.contains)
     }
 
     def median(v: Vector[Double]): Double = {
@@ -535,17 +616,31 @@ object Bench {
       if (unretried.isEmpty) ""
       else s""",
 "outliers_unretried": [${unretried.map("\"" + _ + "\"").mkString(", ")}]"""
-    Files.writeString(Paths.get("bench_detail.json"),
+    val budgetSkippedJson =
+      if (budgetSkippedList.isEmpty) ""
+      else s""",
+"outliers_budget_skipped": [${budgetSkippedList.map("\"" + _ + "\"").mkString(", ")}]"""
+    val shed = shedEvents.result()
+    val shedJson =
+      if (shed.isEmpty) ""
+      else s""",
+"reps_shed": [${shed.map { case (tag, r) => s"""{"group": "$tag", "reps": $r}""" }.mkString(", ")}]"""
+    val errorJson = phaseError.map(e =>
+      s""",
+"phase_error": "${e.replace("\\", "\\\\").replace("\"", "\\\"")}"""").getOrElse("")
+    // Detail write failures must not stop the summary line below — the
+    // println is the contract, the sidecar is best-effort.
+    scala.util.Try(Files.writeString(Paths.get("bench_detail.json"),
       s"""{
-"config": {"sf": "$sfDir", "cpus": $cpus, "reps": $reps, "group_size": $groupSize, "protocol": "fork-per-group JVM, warmup pass, forced GC + sync between timed regions, min of reps incl. outlier retry; per-group calib probes (sched normalized to 100k rounds); >2x-CALIB-NORMALIZED-ledger queries re-forked once with adjacent calib_sched", "calib_md5_3e6_sec": ${fmt(calib)}, "calib_md5_mt_sec": ${fmt(calibMt)}, "calib_sched_pingpong_sec": ${fmt(calibSched)}, "outlier_retry_cap": $retryCap, "ledger_segments": [${segments.map { case (lo, hi, c) => s"""{"from": $lo, "to": $hi, "calib_md5": ${fmt(c)}}""" }.mkString(", ")}], "ledger_missing": [${ledgerMissing.map("\"" + _ + "\"").mkString(", ")}]},
+"config": {"sf": "$sfDir", "cpus": $cpus, "reps": $reps, "group_size": $groupSize, "budget_sec": ${fmt(budgetSec)}, "budget_elapsed_sec": ${fmt(budgetSec - remaining)}, "protocol": "fork-per-group JVM, warmup pass, forced GC + sync between timed regions, min of reps incl. outlier retry; per-group calib probes (sched normalized to 100k rounds); >2x-CALIB-NORMALIZED-ledger queries re-forked once with adjacent calib_sched; reps/retries shed against SPARK_GRAFT_BENCH_BUDGET_SEC", "calib_md5_3e6_sec": ${fmt(calib)}, "calib_md5_mt_sec": ${fmt(calibMt)}, "calib_sched_pingpong_sec": ${fmt(calibSched)}, "outlier_retry_cap": $retryCap, "ledger_segments": [${segments.map { case (lo, hi, c) => s"""{"from": $lo, "to": $hi, "calib_md5": ${fmt(c)}}""" }.mkString(", ")}], "ledger_missing": [${ledgerMissing.map("\"" + _ + "\"").mkString(", ")}]},
 "group_calib": [
 $groupsJson
 ],
 "queries": {
 $detail
-}$unretriedJson
+}$unretriedJson$budgetSkippedJson$shedJson$errorJson
 }
-""")
+""")): Unit
 
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Cap the inline failed list (summary-line size budget) but mark
@@ -574,6 +669,6 @@ $detail
     val slowest = headline.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"queries":$slowest,"queries_truncated":true,"detail":"bench_detail.json","sf":"$sfDir","calib_md5":${ms(calib)},"calib_md5_mt":${ms(calibMt)},"calib_sched":${ms(calibSched)},"reps":$reps,"stat":"min","n_outlier_retries":${retried.size}$failedJson}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"queries":$slowest,"queries_truncated":true,"detail":"bench_detail.json","sf":"$sfDir","calib_md5":${ms(calib)},"calib_md5_mt":${ms(calibMt)},"calib_sched":${ms(calibSched)},"reps":$reps,"stat":"min","n_outlier_retries":${retriedList.size},"n_reps_shed_groups":${shed.size},"budget_sec":${ms(budgetSec)}$failedJson}""")
   }
 }

@@ -61,5 +61,40 @@ object CodecProbe {
       graft.operators.Multimodal
         .encodeBlockY4m(id, id, (24 + id % 13).toInt, (16 + (id / 13) % 11).toInt, (3 + id % 3).toInt): Unit
     }
+    // THREAD-SCALING arm (r17): the §2.5 input-spread move only pays
+    // if the JDK codec kernels actually scale across concurrent tasks
+    // — javax.imageio / javax.sound route through registry lookups
+    // whose locking behavior this measures directly. Reports wall
+    // seconds for the SAME total record count at 1/8/32 threads; the
+    // 1-thread line is the serial bound, ideal scaling divides by the
+    // thread count. Machine-state-robust: all arms run back-to-back.
+    for (threads <- Seq(1, 8, 32)) {
+      val per = math.max(1, n / threads)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      try {
+        val t0 = System.nanoTime()
+        val futs = (0 until threads).map { t =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = {
+              var i = 0
+              var sink = 0L
+              while (i < per) {
+                val id = (t * per + i).toLong
+                val r = graft.operators.Multimodal
+                  .encodeBlockPng(2 * id, id, (64 + id % 61).toInt, (64 + (id / 61) % 53).toInt)
+                val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+                sink += graft.operators.Multimodal.dHash64(img)
+                i += 1
+              }
+              sink
+            }
+          })
+        }
+        val sink = futs.map(_.get(600, java.util.concurrent.TimeUnit.SECONDS): Long).sum
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (sink == Long.MinValue) println("")
+        println(f"[codec] png encode+decode+hash x${threads}thr: ${dt}%.2f s wall for ${per * threads} recs")
+      } finally pool.shutdownNow()
+    }
   }
 }

@@ -50,6 +50,23 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Let AQE re-plan CACHE-BUILDING queries too (off by Spark
+      // default for partitioning-stability conservatism): the
+      // operators here persist mid-pipeline frames everywhere
+      // (signature/hash/pair/label frames), and with this off every
+      // such cache compiles at the FULL session shuffle width — tiny
+      // frames pinned across dozens of near-empty partitions that
+      // every consumer then re-scans task-by-task. That is exactly
+      // the r16 scaling inversion (q195/q196 FASTER at 8 cores than
+      // 32: the narrower session width shrank every cached frame's
+      // partition count). With it on, the cache build coalesces by
+      // AQE's size rule — scale-adaptive by construction: corpus-
+      // sized caches keep their width, node/pair-sized ones collapse
+      // to few partitions. A/B kill-switch:
+      // GRAFT_CACHED_PLAN_AQE=off restores the Spark default.
+      .config(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        (!sys.env.get("GRAFT_CACHED_PLAN_AQE").contains("off")).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // localCheckpoint truncation normally stops at the FIRST marked

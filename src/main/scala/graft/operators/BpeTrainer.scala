@@ -272,10 +272,10 @@ object BpeTrainer {
     val words0Df = loopSpark.createDataFrame(words0Rdd, words0.schema)
     // Arm order of precedence, each level explicit > env > auto:
     // the LOCAL (driver-side) arm first — GRAFT_BPE_LOCAL on/off,
-    // auto when the merge count is production-sized AND the observed
-    // vocabulary clears the bounded-collect ceiling — then between
-    // the distributed arms, GRAFT_BPE_INCR on/off > vocabulary-size
-    // auto-select.
+    // auto when the OBSERVED vocabulary alone clears the
+    // bounded-collect ceiling (the r12 merge-count floor was retired
+    // in r16) — then between the distributed arms, GRAFT_BPE_INCR
+    // on/off > vocabulary-size auto-select.
     def onOff(name: String)(v: String): Boolean = v match {
       case "on"  => true
       case "off" => false

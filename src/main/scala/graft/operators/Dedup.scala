@@ -795,7 +795,8 @@ object Dedup {
   /** Union-find (path-halving + union by rank) over collected mirrored
     * edge rows, labeling each node with the MIN node id of its
     * component — the unique fixpoint the iterative arm converges to,
-    * so the two arms are equal by construction (CcLocalArmSpec). The
+    * so the two arms are equal by construction (ConnCompSpec's
+    * arm-equality tests). The
     * result frame is RDD-backed and partitioned by the loop-partition
     * rule so downstream joins see the same shape class as the
     * distributed arm's materialized labels.
@@ -807,7 +808,14 @@ object Dedup {
     val ids = new scala.collection.mutable.ArrayBuffer[Long](rows.length)
     def reg(v: Long): Int =
       idx.getOrElse(v, { val i = ids.length; idx.update(v, i); ids += v; i })
-    rows.foreach { r => reg(r.getLong(0)); reg(r.getLong(1)): Unit }
+    rows.foreach { r =>
+      // A null endpoint (nullable source column cast to long) would
+      // otherwise surface as an unboxing NPE out of getLong — fail
+      // with the contract instead (r16 ADVICE).
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "connectedComponents: null edge endpoint — edge src/dst must be non-null integral ids")
+      reg(r.getLong(0)); reg(r.getLong(1)): Unit
+    }
     val n = ids.length
     val parent = Array.tabulate(n)(identity)
     val rank = new Array[Byte](n)
@@ -897,7 +905,7 @@ object Dedup {
     // labeling runs as union-find over the collected edge rows
     // instead: the min-label fixpoint is UNIQUE (component id = min
     // node id in the component), so the result is identical to the
-    // iterative arm's by construction — CcLocalArmSpec pins equality
+    // iterative arm's by construction — ConnCompSpec pins equality
     // on path/star/random graphs, and every CC-consuming oracle gate
     // re-proves it per query. Same guarded-collect idiom as
     // BpeTrainer.LocalVocabCeil / ClassifierTrainer.LocalFeatCeil:

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal}
+import graft.operators.{Dedup, Multimodal, Relational}
 import graft.queries.CoreQueries.Q
 
 /** Round-14 surface — the r13 verdict's image near-dup ask (Next #6):
@@ -64,6 +64,24 @@ object Round14Queries {
   private def imageRecords(s: SparkSession, d: String): Dataset[Multimodal.MediaRecord] =
     imageRecordsFor(Tables.documents(s, d))
 
+  /** Pre-codec input spread (guide §2.5 input skew, r17): the media
+    * fixture corpora arrive as ONE parquet split and `mapPartitions`
+    * preserves input partitioning, so without this every per-corpus
+    * codec chain (PNG/WAV/Y4M encode+decode, 200–500 µs/record —
+    * CodecProbe) ran as a SINGLE task at any core count. CodecProbe's
+    * thread-scaling arm pins that the kernels parallelize cleanly
+    * (4000 recs: 0.92 s @1 thread → 0.16 s @32 — no ImageIO lock
+    * pathology), and spreadFewSplits is the identity once the input
+    * already has ≥ parallelism splits (the real-crawl case).
+    * `GRAFT_MEDIA_SPREAD=off` restores the single-task funnel for A/B
+    * attribution.
+    */
+  private[graft] def spreadForCodec(
+      df: org.apache.spark.sql.DataFrame,
+      key: String): org.apache.spark.sql.DataFrame =
+    if (sys.env.get("GRAFT_MEDIA_SPREAD").contains("off")) df
+    else Relational.spreadFewSplits(df, key)
+
   /** The corpus generator over an arbitrary (doc_id, …) frame — shared
     * with [[graft.ScaleCheck]]'s `imagehash` slope probe. */
   private[graft] def imageRecordsFor(docs: org.apache.spark.sql.DataFrame): Dataset[Multimodal.MediaRecord] = {
@@ -74,7 +92,9 @@ object Round14Queries {
     // (a two-branch union over the same unpersisted Dataset would
     // re-run the full-corpus PNG encode for the variant branch —
     // r14 review finding).
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+    // Spread BEFORE the codec pass — see spreadForCodec.
+    spreadForCodec(docs.select(col("doc_id")), "doc_id")
+      .as[Long].mapPartitions(_.flatMap { id =>
       val wb = (64 + id % 61).toInt
       val hb = (64 + (id / 61) % 53).toInt
       val base = Multimodal.encodeBlockPng(2 * id, id, wb, hb)
@@ -235,10 +255,14 @@ object Round14Queries {
   private[graft] def audioRecordsFor(docs: org.apache.spark.sql.DataFrame): Dataset[Multimodal.MediaRecord] = {
     val s = docs.sparkSession
     import s.implicits._
-    docs
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), regexp_replace(col("text"), "[^ -~]", "").as("__t"))
-      .filter(length(col("__t")) >= 1)
+    // Spread BEFORE the codec pass — see spreadForCodec; the shuffle
+    // carries (id, ASCII projection) only.
+    spreadForCodec(
+      docs
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), regexp_replace(col("text"), "[^ -~]", "").as("__t"))
+        .filter(length(col("__t")) >= 1),
+      "doc_id")
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         val base = Multimodal.encodePcmWav(2 * id, t)

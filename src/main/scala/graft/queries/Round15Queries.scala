@@ -53,9 +53,9 @@ object Round15Queries {
   private[graft] def videoRecordsFor(docs: org.apache.spark.sql.DataFrame): Dataset[Multimodal.MediaRecord] = {
     val s = docs.sparkSession
     import s.implicits._
-    docs
-      .filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id"))
+    // Spread BEFORE the codec pass — see Round14Queries.spreadForCodec.
+    Round14Queries
+      .spreadForCodec(docs.filter(col("doc_id") % 2 === 0).select(col("doc_id")), "doc_id")
       .as[Long]
       .mapPartitions(_.flatMap { id =>
         val w = (24 + id % 13).toInt
@@ -334,10 +334,17 @@ object Round15Queries {
       .filter(col("text").isNotNull)
       .select(dId.as("leader"), regexp_replace(col("text"), "[^ -~]", "").as("__t"))
       .filter(length(col("__t")) >= 1)
-    val audRecords = docs
-      .select(dId, (dId - dId % 5).as("leader"))
-      .join(leaderTxt, "leader")
-      .select(dId, col("__t"))
+    // Spread before the codec pass — see Round14Queries.spreadForCodec
+    // (the leader join inherits the single-split scan's partitioning
+    // via a broadcast, so the WAV encode would otherwise run as one
+    // task).
+    val audRecords = Round14Queries
+      .spreadForCodec(
+        docs
+          .select(dId, (dId - dId % 5).as("leader"))
+          .join(leaderTxt, "leader")
+          .select(dId, col("__t")),
+        "doc_id")
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => Multimodal.encodePcmWav(id, t) })
     val audSh = Multimodal.audioHashes(audRecords)(s).toDF()
@@ -434,11 +441,14 @@ object Round15Queries {
   private[graft] def groupImageSh(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val imgRecords = docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
-      val w = (64 + id % 61).toInt
-      val h = (64 + (id / 61) % 53).toInt
-      Multimodal.encodeBlockPng(id, id - id % 3, w, h)
-    })
+    // Spread before the codec pass — see Round14Queries.spreadForCodec.
+    val imgRecords = Round14Queries
+      .spreadForCodec(docs.select(col("doc_id")), "doc_id")
+      .as[Long].mapPartitions(_.map { id =>
+        val w = (64 + id % 61).toInt
+        val h = (64 + (id / 61) % 53).toInt
+        Multimodal.encodeBlockPng(id, id - id % 3, w, h)
+      })
     Multimodal.imageHashes(imgRecords)(s).toDF()
       .select(col("docId").as("doc_id"), expr("shiftleft(dhashHi, 32) | dhashLo").as("simhash"))
   }
@@ -493,9 +503,11 @@ object Round15Queries {
     */
   val q198VideoSceneCut: Q = (s, d) => {
     import s.implicits._
-    val recs = Tables.documents(s, d)
-      .filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"))
+    // Spread before the codec pass — see Round14Queries.spreadForCodec.
+    val recs = Round14Queries
+      .spreadForCodec(
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 1).select(col("doc_id")),
+        "doc_id")
       .as[Long]
       .mapPartitions(_.map { id =>
         val w = (24 + id % 13).toInt
